@@ -1,0 +1,55 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (collect-to-count of the result) —
+wall-clock includes scan, shuffle and result materialization.  One warm-up
+run of the flagship query first so JVM/codegen warmup isn't charged to the
+first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from compss_python_spark.plans import REGISTRY  # noqa: E402
+from compss_python_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    headline = {n: s for n, s in REGISTRY.items() if s.headline}
+
+    # Warm-up: JVM JIT + codegen + parquet footer caches.
+    REGISTRY["flagship_revenue_by_nation"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name, spec in headline.items():
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

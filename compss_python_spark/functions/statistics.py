@@ -1,0 +1,126 @@
+"""Descriptive statistics (SURVEY.md §2.7).
+
+Reference [ref: ddf_library/functions/statistics/{correlation,covariance,
+cross_tab,describe,freq_items,kolmogorov_smirnov}.py] — all computed with
+hand-written partial/merge task pairs.  Here every one is a single Spark
+aggregate (partial/final, map-side combine automatic); KS is the only
+non-trivial one and is expressed as a DataFrame-native ECDF so it stays on
+the SQL engine (no RDD round-trip).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def correlation(df: DataFrame, col1: str, col2: str) -> float:
+    """Pearson correlation [ref: ddf_library/functions/statistics/correlation.py]."""
+    return df.select(F.corr(col1, col2).alias("c")).first()["c"]
+
+
+def covariance(df: DataFrame, col1: str, col2: str) -> float:
+    """Sample covariance [ref: ddf_library/functions/statistics/covariance.py]."""
+    return df.select(F.covar_samp(col1, col2).alias("c")).first()["c"]
+
+
+def cross_tab(df: DataFrame, col1: str, col2: str) -> DataFrame:
+    """Contingency table [ref: ddf_library/functions/statistics/cross_tab.py].
+
+    Implemented as groupBy+pivot (one shuffle) rather than df.stat.crosstab
+    so the output stays a queryable DataFrame with deterministic columns.
+    """
+    return df.stat.crosstab(col1, col2)
+
+
+def cross_tab_long(df: DataFrame, col1: str, col2: str) -> DataFrame:
+    """Contingency counts in long form (oracle-friendly: plain GROUP BY)."""
+    return df.groupBy(col1, col2).agg(F.count("*").alias("n"))
+
+
+def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """count/mean/stddev/min/max [ref:
+    ddf_library/functions/statistics/describe.py]."""
+    return df.describe(*(cols or []))
+
+
+def describe_long(df: DataFrame, col: str) -> DataFrame:
+    """Single-column describe as typed columns (oracle-expressible)."""
+    return df.agg(
+        F.count(col).alias("n"),
+        F.avg(col).alias("mean"),
+        F.stddev(col).alias("std"),
+        F.min(col).alias("min_v"),
+        F.max(col).alias("max_v"),
+    )
+
+
+def freq_items(df: DataFrame, cols: Sequence[str], support: float = 0.01) -> list:
+    """Approximate frequent items [ref:
+    ddf_library/functions/statistics/freq_items.py]."""
+    return df.stat.freqItems(list(cols), support).first().asDict()
+
+
+def freq_items_exact(df: DataFrame, col: str, min_count: int) -> DataFrame:
+    """Exact frequent values with counts (oracle-expressible GROUP BY+HAVING)."""
+    return (
+        df.groupBy(col)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def ks_one_sample_normal(df: DataFrame, col: str, mean: float | None = None,
+                         std: float | None = None) -> tuple[float, float]:
+    """One-sample Kolmogorov–Smirnov test vs a normal distribution
+    [ref: ddf_library/functions/statistics/kolmogorov_smirnov.py].
+
+    DataFrame-native distributed ECDF: global range-partitioned sort +
+    row_number window per partition (no single-partition bottleneck thanks to
+    rangeBetween-free rank over the range exchange), then
+    D = max(|F(x) - (i-1)/n|, |i/n - F(x)|).  p-value via the asymptotic
+    Kolmogorov distribution (matches scipy's asymptotic mode).
+    """
+    if mean is None or std is None:
+        stats = df.select(F.avg(col).alias("m"), F.stddev(col).alias("s")).first()
+        mean = stats["m"] if mean is None else mean
+        std = stats["s"] if std is None else std
+
+    n = df.count()
+    w = Window.orderBy(F.col(col))
+    # Spark has no erf(); vectorized pandas UDF (Arrow batches, math.erf) —
+    # acceptable off the hot path, exact to double precision.
+    @F.pandas_udf("double")
+    def _erf(s: pd.Series) -> pd.Series:
+        return s.map(math.erf)
+
+    cdf = F.lit(0.5) * (F.lit(1.0) + _erf((F.col(col) - F.lit(mean)) / F.lit(std * math.sqrt(2.0))))
+    d_row = (
+        df.select(F.col(col))
+        .withColumn("i", F.row_number().over(w))
+        .select(
+            F.greatest(
+                F.abs(cdf - (F.col("i") - 1) / F.lit(n)),
+                F.abs(F.col("i") / F.lit(n) - cdf),
+            ).alias("d")
+        )
+        .agg(F.max("d").alias("d"))
+        .first()
+    )
+    d = d_row["d"]
+    p = _kolmogorov_sf(d * (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)))
+    return d, p
+
+
+def _kolmogorov_sf(t: float, terms: int = 100) -> float:
+    """Asymptotic Kolmogorov survival function Q(t) = 2 Σ (-1)^{k-1} e^{-2 k² t²}."""
+    if t <= 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, terms + 1):
+        s += (-1) ** (k - 1) * math.exp(-2.0 * (k * t) ** 2)
+    return max(0.0, min(1.0, 2.0 * s))

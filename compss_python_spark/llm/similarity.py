@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, JVM-side dot products (zip_with + aggregate),
+  per-query top-k via window.  The corpus is never shuffled — scales to any
+  corpus size; queries must fit in a broadcast (≤ ~10⁵).
+- :func:`hyperplane_lsh_bucket` + :func:`lsh_topk` — approximate path:
+  sign-random-projection buckets, candidates share a bucket, exact re-rank
+  within.  Bucket count 2^num_planes bounds the self-join; at 100 TB use
+  ~16–20 planes and multiple tables (probes) for recall.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<double> columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rn).
+
+    Excludes self-matches (same id).  Broadcast nested-loop join keeps the
+    corpus partition-local; ranking shuffles only (query, candidate) pairs.
+    """
+    query_id_col = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "_v",
+    dim: int = 64,
+    num_planes: int = 8,
+    seed: int = 42,
+    alias: str = "_blk",
+) -> DataFrame:
+    """Sign-random-projection bucket id (int in [0, 2^num_planes)).
+
+    Hyperplanes are generated driver-side from a fixed seed and embedded as
+    array literals — broadcast-free (they live in the plan), deterministic.
+    """
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        sign_bit = (dot_expr(F.col(vec_col).cast("array<double>"), p) > 0).cast("int")
+        bucket = bucket + sign_bit * (1 << i)
+    return df.withColumn(alias, bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in ANY of
+    ``num_tables`` independent hash tables (OR-amplification for recall),
+    exact cosine re-rank within candidates.  Equi-join on (table, bucket)
+    replaces the nested-loop — the scale path when queries don't fit in a
+    broadcast.  Recall/cost dial: more planes → smaller buckets (cheaper,
+    lower recall); more tables → higher recall (linear candidate cost)."""
+
+    def bucketed(df, id_alias, vcol):
+        out = df
+        for t in range(num_tables):
+            out = hyperplane_lsh_bucket(out, vcol, dim, num_planes, seed + 1000 * t, f"_b{t}")
+        buckets = F.explode(
+            F.array(*[F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bkt")) for t in range(num_tables)])
+        ).alias("tb")
+        return out.select(id_alias, vcol, buckets).select(
+            id_alias, vcol, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+        )
+
+    c = bucketed(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "neighbor_id", "_cv",
+    )
+    q = bucketed(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "query_id", "_qv",
+    )
+    cand = (
+        c.join(q, ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(cosine_expr(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6),
+    ).drop("_qv", "_cv")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def nearest_centroid(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest (euclidean) centroid — the k-means
+    assignment step as a pure plan expression (centroid list in the plan)."""
+    v = F.col(vec_col).cast("array<double>")
+    best = F.reduce(
+        F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.sqrt(
+                            F.aggregate(
+                                F.zip_with(v, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            )
+                        ),
+                        6,
+                    ).alias("dist"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        ),
+        F.struct(F.lit(float("inf")).alias("dist"), F.lit(-1).alias("cid")),
+        lambda acc, s: F.when(
+            (s["dist"] < acc["dist"]) | ((s["dist"] == acc["dist"]) & (s["cid"] < acc["cid"])), s
+        ).otherwise(acc),
+    )
+    return df.select(
+        F.col(id_col), best["cid"].alias("centroid_id"), best["dist"].alias("dist")
+    )

@@ -1,0 +1,130 @@
+"""Text analysis operators for training-data pipelines.
+
+Everything stays JVM-side (built-in string/array functions, whole-stage
+codegen) — no Python UDFs in any hot path, so these scale linearly with
+executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword lists for the n-gram/stopword language heuristic.
+# Deterministic and dependency-free (no external model); coverage is the five
+# langs present in the documents table.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "los", "las", "que", "de", "es", "un", "una", "por"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization of a text column (empty-safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Rough BPE-style token estimate: word-ish + digit + punctuation pieces.
+
+    A deterministic regex proxy for tokenizer counts (the real tokenizer is
+    out of scope): counts maximal runs of letters (split every 6 chars, the
+    empirical chars-per-BPE-token), digits, and individual punctuation.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]{1,6}|[0-9]{1,3}|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-level statistics."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(t),
+            "n_tokens": token_count(text_col),
+            "n_alpha": F.length(F.regexp_replace(t, r"[^A-Za-z]", "")),
+            "n_digit": F.length(F.regexp_replace(t, r"[^0-9]", "")),
+            "n_punct": F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")),
+            "n_space": F.length(F.regexp_replace(t, r"[^\s]", "")),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", lang_col: str | None = None) -> DataFrame:
+    """Heuristic document-quality score in [0, 1].
+
+    Components (all JVM-side):
+    - length score: saturating ramp on token count (≥20 tokens → 1.0);
+    - mean-token-length sanity: 1 inside [3, 12], else 0;
+    - alpha ratio: alphabetic chars / non-space chars;
+    - stopword hit ratio (if lang available): fraction of the language's
+      marker words present in the doc.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    mean_tok_len = non_space / F.greatest(n_tok, F.lit(1))
+
+    length_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    tok_len_score = F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 1.0).otherwise(0.0)
+    alpha_ratio = alpha / F.greatest(non_space, F.lit(1))
+
+    out = df.withColumn(
+        "quality",
+        F.round((length_score + tok_len_score + alpha_ratio) / 3.0, 6),
+    )
+    if lang_col:
+        markers = F.create_map(
+            *[x for lang, words in _LANG_MARKERS.items() for x in (F.lit(lang), F.array(*[F.lit(w) for w in words]))]
+        )
+        hit = F.size(F.array_intersect(toks, markers[F.col(lang_col)]))
+        out = out.withColumn("stopword_hits", hit)
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text", alias: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax over per-language marker-word hits.
+
+    One pass, pure built-ins: tokenize once, count marker intersections per
+    language, take the max (ties → lexicographic smallest language code so
+    results are deterministic).
+    """
+    toks = F.transform(tokens(text_col), lambda x: F.lower(x))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(_LANG_MARKERS.items())
+        ]
+    )
+    # Deterministic tie-break: highest hits, then smallest lang code.
+    best = F.reduce(
+        scores,
+        F.struct(F.lit(-1).alias("hits"), F.lit("zz").alias("lang")),
+        lambda acc, s: F.when(
+            (s["hits"] > acc["hits"]) | ((s["hits"] == acc["hits"]) & (s["lang"] < acc["lang"])),
+            s,
+        ).otherwise(acc),
+    )
+    return df.withColumn(alias, best["lang"])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", alias: str = "fp") -> DataFrame:
+    """Deterministic document fingerprint: md5 of case/whitespace-normalized
+    text.  Used as the exact-dedup key; md5 keeps the DuckDB oracle
+    expressible (same function both engines)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(alias, F.md5(norm))

@@ -1,0 +1,95 @@
+"""Classification (SURVEY.md §2.8 #58–61).
+
+spark.ml one-liners for GaussianNB / LogisticRegression / LinearSVC
+[ref: ddf_library/functions/ml/classification.py]; KNN is custom (no Spark
+built-in): broadcast the training set (small by assumption, as in the
+reference, which replicates the train set to every fragment) and score each
+test partition with a vectorized numpy pandas-UDF — Arrow batches, no
+per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.ml.classification import LinearSVC, LogisticRegression, NaiveBayes
+from pyspark.ml.functions import array_to_vector
+
+
+def _vec(df: DataFrame, features_col: str) -> DataFrame:
+    return df.withColumn("_v", array_to_vector(F.col(features_col).cast("array<double>")))
+
+
+def gaussian_nb(train: DataFrame, test: DataFrame, features_col: str = "embedding",
+                label_col: str = "label", prediction_col: str = "prediction"):
+    """[ref: ml/classification.py GaussianNB] — NaiveBayes(modelType='gaussian')."""
+    model = NaiveBayes(
+        modelType="gaussian", featuresCol="_v", labelCol=label_col,
+        predictionCol=prediction_col,
+    ).fit(_vec(train, features_col))
+    return model.transform(_vec(test, features_col)).drop("_v", "rawPrediction", "probability"), model
+
+
+def logistic_regression(train: DataFrame, test: DataFrame, features_col: str = "embedding",
+                        label_col: str = "label", max_iter: int = 50,
+                        prediction_col: str = "prediction"):
+    """[ref: ml/classification.py LogisticRegression] — LBFGS instead of the
+    reference's hand-rolled gradient descent."""
+    model = LogisticRegression(
+        featuresCol="_v", labelCol=label_col, maxIter=max_iter,
+        predictionCol=prediction_col,
+    ).fit(_vec(train, features_col))
+    return model.transform(_vec(test, features_col)).drop("_v", "rawPrediction", "probability"), model
+
+
+def linear_svc(train: DataFrame, test: DataFrame, features_col: str = "embedding",
+               label_col: str = "label", max_iter: int = 50,
+               prediction_col: str = "prediction"):
+    """[ref: ml/classification.py SVM] — LinearSVC (binary)."""
+    model = LinearSVC(
+        featuresCol="_v", labelCol=label_col, maxIter=max_iter,
+        predictionCol=prediction_col,
+    ).fit(_vec(train, features_col))
+    return model.transform(_vec(test, features_col)).drop("_v", "rawPrediction"), model
+
+
+def knn(train: DataFrame, test: DataFrame, k: int = 5,
+        features_col: str = "embedding", label_col: str = "label",
+        id_col: str = "vec_id", prediction_col: str = "prediction") -> DataFrame:
+    """KNearestNeighbors [ref: ml/classification.py KNearestNeighbors].
+
+    Broadcast-train + mapInPandas scoring: each Arrow batch computes a full
+    batch×train distance matrix in numpy (BLAS) — no Python-per-row.  Ties
+    in the majority vote break toward the smaller label (deterministic,
+    matching argmax-over-bincount).
+    """
+    rows = train.select(features_col, label_col).collect()
+    X = np.asarray([r[features_col] for r in rows], dtype=float)
+    y = np.asarray([r[label_col] for r in rows])
+    sc = train.sparkSession.sparkContext
+    bX, by = sc.broadcast(X), sc.broadcast(y)
+
+    out_schema = f"{id_col} long, {label_col} int, {prediction_col} int"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Xt, yt = bX.value, by.value
+        for pdf in batches:
+            Q = np.vstack(pdf[features_col].to_numpy())
+            # ||q - x||² = ||q||² + ||x||² − 2 q·x  (BLAS matmul)
+            d2 = (Q * Q).sum(1)[:, None] + (Xt * Xt).sum(1)[None, :] - 2.0 * (Q @ Xt.T)
+            idx = np.argpartition(d2, min(k, d2.shape[1] - 1), axis=1)[:, :k]
+            votes = yt[idx]
+            preds = [np.bincount(v.astype(int)).argmax() for v in votes]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    label_col: pdf[label_col],
+                    prediction_col: np.asarray(preds, dtype=int),
+                }
+            )
+
+    return test.select(id_col, label_col, features_col).mapInPandas(score, out_schema)

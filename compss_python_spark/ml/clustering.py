@@ -1,0 +1,185 @@
+"""Clustering (SURVEY.md §2.8 #56–57, §2.9 #69).
+
+KMeans → pyspark.ml one-liner [ref: ddf_library/functions/ml/clustering.py
+Kmeans].  DBSCAN/STDBSCAN have no Spark built-in: grid-cell partitioning +
+per-cell local DBSCAN (applyInPandas) + border merge via connected
+components — the same decomposition the reference uses across fragments,
+re-expressed with Spark group semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.ml.clustering import KMeans as MLKMeans
+from pyspark.ml.functions import array_to_vector, vector_to_array
+
+
+def kmeans(
+    df: DataFrame,
+    features_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 20,
+    seed: int = 42,
+    init_mode: str = "k-means||",
+    prediction_col: str = "cluster",
+):
+    """[ref: ddf_library/functions/ml/clustering.py Kmeans] — supports the
+    reference's 'random' and 'k-means||' init modes."""
+    vec = df.withColumn("_v", array_to_vector(F.col(features_col).cast("array<double>")))
+    model = MLKMeans(
+        k=k, maxIter=max_iter, seed=seed, initMode=init_mode,
+        featuresCol="_v", predictionCol=prediction_col,
+    ).fit(vec)
+    return model.transform(vec).drop("_v"), model
+
+
+def kmeans_cost(model) -> float:
+    """Training cost (WSSSE-equivalent) for convergence self-checks."""
+    return model.summary.trainingCost
+
+
+# --- DBSCAN ----------------------------------------------------------------
+
+
+def _local_dbscan(pdf: pd.DataFrame, eps: float, min_pts: int, dims: list[str]) -> pd.DataFrame:
+    """Plain-numpy DBSCAN within one grid cell (points + halo).
+
+    O(m²) distance matrix per cell — cells are sized ~eps so m stays small;
+    the cross-cell merge happens later via connected components.
+    """
+    pts = pdf[dims].to_numpy(dtype=float)
+    m = len(pts)
+    labels = np.full(m, -1, dtype=int)
+    if m:
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        neigh = d2 <= eps * eps
+        counts = neigh.sum(1)
+        core = counts >= min_pts
+        cluster = 0
+        for i in range(m):
+            if labels[i] != -1 or not core[i]:
+                continue
+            stack = [i]
+            labels[i] = cluster
+            while stack:
+                j = stack.pop()
+                if core[j]:
+                    for nb in np.flatnonzero(neigh[j]):
+                        if labels[nb] == -1:
+                            labels[nb] = cluster
+                            stack.append(nb)
+            cluster += 1
+    out = pdf.copy()
+    out["local_label"] = labels
+    out["is_core"] = core if m else np.zeros(0, dtype=bool)
+    return out
+
+
+def dbscan(
+    df: DataFrame,
+    dims: list[str],
+    eps: float,
+    min_pts: int,
+    id_col: str = "point_id",
+    cell_size: float | None = None,
+) -> DataFrame:
+    """Distributed DBSCAN [ref: ddf_library/functions/ml/clustering.py
+    DBSCAN]: grid bucketing + per-cell local DBSCAN + border merge.
+
+    1. Assign each point to a grid cell (side = 2·eps by default) and
+       replicate it into neighbor cells within eps of the boundary (halo).
+    2. applyInPandas: local DBSCAN per cell (numpy, no sklearn dependency).
+    3. Core points appearing in ≥2 cells with different local clusters form
+       merge edges; union-find on the driver (edge count ≪ point count)
+       produces the global relabeling.
+
+    Noise points get cluster −1, matching the reference.
+    """
+    cell = cell_size or (2.0 * eps)
+    ndim = len(dims)
+
+    # Replicate each point into its own cell + any neighbor cell whose
+    # boundary is within eps (≤ 2^ndim cells — halo replication).
+    offsets = [()]
+    for _ in range(ndim):
+        offsets = [o + (d,) for o in offsets for d in (-1, 0, 1)]
+
+    point = df.select(id_col, *dims)
+    cells = None
+    for off in offsets:
+        shifted = point
+        include = F.lit(True)
+        for d, o in zip(dims, off):
+            c_here = F.floor(F.col(d) / cell)
+            c_target = c_here + o
+            # point is relevant to target cell iff within eps of that cell's box
+            lo = c_target * cell
+            hi = (c_target + 1) * cell
+            include = include & (F.col(d) >= lo - eps) & (F.col(d) < hi + eps)
+        cell_id = F.concat_ws(
+            "_", *[(F.floor(F.col(d) / cell) + o).cast("long") for d, o in zip(dims, off)]
+        )
+        shifted = shifted.withColumn("_cell", cell_id).filter(include)
+        cells = shifted if cells is None else cells.unionByName(shifted)
+
+    schema = f"{','.join(f'{c} double' for c in dims)}, {id_col} long, _cell string, local_label int, is_core boolean"
+    labeled = cells.groupBy("_cell").applyInPandas(
+        lambda pdf: _local_dbscan(pdf, eps, min_pts, dims)[
+            [*dims, id_col, "_cell", "local_label", "is_core"]
+        ],
+        schema=schema,
+    )
+    labeled = labeled.filter(F.col("local_label") >= 0).withColumn(
+        "gl", F.concat_ws("#", "_cell", F.col("local_label").cast("string"))
+    ).persist()
+
+    # Merge edges: a point that is core in its OWN cell (complete
+    # eps-neighborhood there ⇒ globally core) and assigned in ≥2 cells links
+    # those local clusters.  Halo copies can undercount neighbors, so
+    # core-ness is the max over copies.
+    g_core = labeled.groupBy(id_col).agg(F.max("is_core").alias("g_core"))
+    core_multi = labeled.join(g_core.filter(F.col("g_core")), id_col, "left_semi")
+    e = (
+        core_multi.alias("x")
+        .join(core_multi.alias("y"), id_col)
+        .filter(F.col("x.gl") < F.col("y.gl"))
+        .select(F.col("x.gl").alias("a"), F.col("y.gl").alias("b"))
+        .distinct()
+    )
+    edges = e.collect()  # |edges| ~ number of adjacent-cell cluster pairs — small
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[ra] = rb
+
+    mapping = {g: find(g) for g in parent}
+    spark = df.sparkSession
+    if mapping:
+        map_df = spark.createDataFrame(list(mapping.items()), "gl string, root string")
+        labeled = labeled.join(F.broadcast(map_df), "gl", "left").withColumn(
+            "root", F.coalesce(F.col("root"), F.col("gl"))
+        )
+    else:
+        labeled = labeled.withColumn("root", F.col("gl"))
+
+    # A border point can be claimed by several clusters — keep the smallest
+    # root (deterministic); densify roots to 0..k-1 ids.
+    assign = labeled.groupBy(id_col).agg(F.min("root").alias("root"))
+    ids = assign.select("root").distinct().withColumn(
+        "cluster", F.row_number().over(Window.orderBy("root")) - 1
+    )
+    out = df.join(assign.join(F.broadcast(ids), "root").select(id_col, "cluster"), id_col, "left")
+    return out.withColumn("cluster", F.coalesce(F.col("cluster"), F.lit(-1)))

@@ -1,0 +1,125 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Reference: two-phase hash aggregation [ref:
+ddf_library/functions/etl/aggregation.py] — per-fragment pandas groupby,
+hash shuffle on keys, final combine.  Spark's HashAggregate does exactly this
+shape (partial → exchange → final) with codegen and spill; nothing custom
+needed.  Sugar methods on GroupedDDF (count/avg/sum/.../list/set) map to
+``F.*`` aggregate functions.
+
+Determinism trap (SURVEY.md §2.4): reference first/last/list are
+deterministic because fragments are ordered.  Our ``agg`` therefore supports
+an ``order_within_group`` key: list/set/first/last are computed over
+``sort_array(collect_list(struct(orderkey, value)))`` so results are stable
+and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SIMPLE_FUNCS = {
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "stddev": F.stddev,
+    "variance": F.variance,
+    "count_distinct": F.count_distinct,
+    "approx_count_distinct": F.approx_count_distinct,
+}
+
+
+def _ordered_agg(func: str, col: str, order_by: str) -> Column:
+    """Order-deterministic first/last/list under an explicit in-group key.
+
+    first/last use min_by/max_by (single-pass partial agg, no list
+    materialization); list sorts a collected (key, value) struct array.
+    The in-group ordering key must be unique per group for determinism.
+    """
+    if func == "first":
+        return F.min_by(col, order_by)
+    if func == "last":
+        return F.max_by(col, order_by)
+    if func == "list":
+        pairs = F.sort_array(
+            F.collect_list(F.struct(F.col(order_by).alias("_k"), F.col(col).alias("_v")))
+        )
+        return F.transform(pairs, lambda s: s["_v"])
+    raise ValueError(func)
+
+
+def agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: Mapping[str, Sequence[tuple[str, str]]],
+    order_within_group: str | None = None,
+) -> DataFrame:
+    """``group_by(cols).agg({col: funcs})`` [ref: ddf_library/ddf.py
+    GroupedDDF].
+
+    ``aggs`` maps column → [(func, out_alias), ...].  Funcs: the reference's
+    count/avg/mean/sum/min/max/first/last/list/set plus engine extensions
+    (stddev, variance, count_distinct, approx_count_distinct).
+    first/last/list require ``order_within_group`` for determinism; ``set``
+    is returned sorted for the same reason.
+    """
+    exprs: list[Column] = []
+    for col, func_list in aggs.items():
+        for func, alias in func_list:
+            if func in _SIMPLE_FUNCS:
+                exprs.append(_SIMPLE_FUNCS[func](col).alias(alias))
+            elif func == "set":
+                exprs.append(F.sort_array(F.collect_set(col)).alias(alias))
+            elif func in ("first", "last", "list"):
+                if order_within_group is None:
+                    raise ValueError(
+                        f"{func} needs order_within_group for deterministic results"
+                    )
+                exprs.append(_ordered_agg(func, col, order_within_group).alias(alias))
+            else:
+                raise ValueError(f"unknown aggregate {func!r}")
+    if not group_cols:
+        return df.agg(*exprs)
+    return df.groupBy(*group_cols).agg(*exprs)
+
+
+def count_rows(df: DataFrame) -> int:
+    """[ref: ddf_library/ddf.py count_rows]"""
+    return df.count()
+
+
+def distinct(df: DataFrame, subset: Sequence[str] | None = None, keep_all_columns: bool = False) -> DataFrame:
+    """Dedup by column subset [ref: ddf_library/functions/etl/distinct.py].
+
+    Reference physical plan: hash-partition on subset + per-fragment
+    drop_duplicates — identical shape to Spark's partial/final aggregate on
+    the subset.  ``keep_all_columns`` keeps one arbitrary full row per key
+    (dropDuplicates) vs projecting to the subset first (pure distinct —
+    oracle-expressible as SELECT DISTINCT).
+    """
+    if subset is None:
+        return df.distinct()
+    if keep_all_columns:
+        return df.dropDuplicates(list(subset))
+    return df.select(*subset).distinct()
+
+
+# Engine extensions (not in reference — SURVEY.md §2.4 notes): multi-dim aggs.
+
+
+def cube(df: DataFrame, cols: Sequence[str], *exprs: Column) -> DataFrame:
+    return df.cube(*cols).agg(*exprs)
+
+
+def rollup(df: DataFrame, cols: Sequence[str], *exprs: Column) -> DataFrame:
+    return df.rollup(*cols).agg(*exprs)
+
+
+def pivot(df: DataFrame, group_col: str, pivot_col: str, values: Sequence[str], agg_expr: Column) -> DataFrame:
+    return df.groupBy(group_col).pivot(pivot_col, list(values)).agg(agg_expr)

@@ -1,0 +1,414 @@
+"""Declared queries: aggregation surface (SURVEY.md §2.4) + scalar-function
+coverage (§2.11 map-expression dialect) + window/sessionization extensions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from compss_python_spark.operators import aggregation
+from compss_python_spark.plans.registry import query, table
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter → 8-agg hash aggregate (partial/final)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "groupby_agg_dict",
+    sql="""
+    SELECT user_id,
+           COUNT(value) AS n,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(AVG(value), 4) AS mean_v,
+           ROUND(MIN(value), 2) AS min_v,
+           ROUND(MAX(value), 2) AS max_v,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def groupby_agg_dict(spark, sf_dir):
+    """The reference's GroupedDDF.agg({col: funcs}) dict API."""
+    ev = table(spark, sf_dir, "events")
+    out = aggregation.agg(
+        ev,
+        ["user_id"],
+        {
+            "value": [("count", "n"), ("sum", "total"), ("avg", "mean_v"),
+                      ("min", "min_v"), ("max", "max_v")],
+            "event_type": [("count_distinct", "n_types")],
+        },
+    )
+    return out.select(
+        "user_id", "n",
+        F.round("total", 2).alias("total"),
+        F.round("mean_v", 4).alias("mean_v"),
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+        "n_types",
+    )
+
+
+@query(
+    "groupby_count_sugar",
+    sql="""SELECT user_id, event_type, COUNT(*) AS "count" FROM events
+           GROUP BY user_id, event_type""",
+)
+def groupby_count_sugar(spark, sf_dir):
+    from compss_python_spark.ddf import DDF
+    return DDF(table(spark, sf_dir, "events")).group_by(["user_id", "event_type"]).count().df
+
+
+@query(
+    "agg_first_last_ordered",
+    sql="""
+    SELECT o_custkey,
+           ROUND(MIN_BY(o_totalprice, o_orderkey), 2) AS first_price,
+           ROUND(MAX_BY(o_totalprice, o_orderkey), 2) AS last_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_first_last_ordered(spark, sf_dir):
+    """Deterministic first/last under explicit in-group order (SURVEY §2.4 trap)."""
+    out = aggregation.agg(
+        table(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        {"o_totalprice": [("first", "first_price"), ("last", "last_price")]},
+        order_within_group="o_orderkey",
+    )
+    return out.select(
+        "o_custkey",
+        F.round("first_price", 2).alias("first_price"),
+        F.round("last_price", 2).alias("last_price"),
+    )
+
+
+@query(
+    "agg_list_ordered",
+    sql="""
+    SELECT l_orderkey,
+           STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_list_ordered(spark, sf_dir):
+    """collect_list with deterministic in-group order, serialized for hashing."""
+    out = aggregation.agg(
+        table(spark, sf_dir, "lineitem"),
+        ["l_orderkey"],
+        {"l_linenumber": [("list", "lines_arr")]},
+        order_within_group="l_linenumber",
+    )
+    return out.select(
+        "l_orderkey",
+        F.array_join(F.transform("lines_arr", lambda v: v.cast("string")), ",").alias("lines"),
+    )
+
+
+@query(
+    "agg_set_sorted",
+    sql="""
+    SELECT user_id,
+           STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_set_sorted(spark, sf_dir):
+    out = aggregation.agg(
+        table(spark, sf_dir, "events"),
+        ["user_id"],
+        {"event_type": [("set", "types_arr")]},
+    )
+    return out.select("user_id", F.array_join("types_arr", ",").alias("types"))
+
+
+@query(
+    "distinct_subset",
+    sql="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_subset(spark, sf_dir):
+    return aggregation.distinct(table(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+@query("count_rows_total", sql="SELECT COUNT(*) AS n FROM lineitem")
+def count_rows_total(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@query(
+    "approx_count_distinct",
+    sql=None,
+)
+def approx_count_distinct_q(spark, sf_dir):
+    """HLL++ approximate distinct — engine extension; approximate by design
+    → rows-only check (exactness asserted in tests within rsd)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+@query(
+    "cube_two_dims",
+    sql="""
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_two_dims(spark, sf_dir):
+    """Engine extension (reference lacks cube/rollup — SURVEY §2.4 note)."""
+    return aggregation.cube(
+        table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "rollup_two_dims",
+    sql="""
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_two_dims(spark, sf_dir):
+    return aggregation.rollup(
+        table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "pivot_status",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark, sf_dir):
+    out = aggregation.pivot(
+        table(spark, sf_dir, "lineitem"),
+        "l_returnflag", "l_linestatus", ["O", "F"],
+        F.sum("l_quantity"),
+    )
+    return out.select("l_returnflag", F.round("O", 2).alias("O"), F.round("F", 2).alias("F"))
+
+
+# --- scalar-function coverage (reference map/select_expression dialect) ----
+
+
+@query(
+    "string_functions",
+    sql="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_u,
+           LOWER(p_type) AS type_l,
+           SUBSTRING(p_name, 1, 5) AS name5,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '#', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_us,
+           TRIM(p_name) AS name_t
+    FROM part
+    """,
+)
+def string_functions(spark, sf_dir):
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.trim("p_name").alias("name_t"),
+    )
+
+
+@query(
+    "date_functions",
+    sql="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS yr,
+           MONTH(o_orderdate) AS mo,
+           DAY(o_orderdate) AS dom,
+           CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+           DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders
+    """,
+)
+def date_functions(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+@query(
+    "math_functions",
+    sql="""
+    SELECT o_orderkey,
+           ROUND(ABS(o_totalprice - 250000), 2) AS dist_mid,
+           FLOOR(o_totalprice / 1000) AS price_k,
+           CEIL(o_totalprice / 1000) AS price_k_up,
+           ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
+           ROUND(LN(o_totalprice), 6) AS price_ln,
+           MOD(o_orderkey, 7) AS key_mod
+    FROM orders
+    """,
+)
+def math_functions(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(F.col("o_totalprice") - 250000), 2).alias("dist_mid"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
+        F.ceil(F.col("o_totalprice") / 1000).alias("price_k_up"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "json_functions",
+    sql="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_functions(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# --- window-function extensions (no window aggs in reference — §2.4 note) --
+
+
+@query(
+    "window_running_sum",
+    sql="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running
+    FROM events
+    """,
+    headline=True,
+)
+def window_running_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running")
+    )
+
+
+@query(
+    "window_lag_lead",
+    sql="""
+    SELECT event_id, user_id,
+           ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_v,
+           ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_v
+    FROM events
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.lag("value").over(w), 2).alias("prev_v"),
+        F.round(F.lead("value").over(w), 2).alias("next_v"),
+    )
+
+
+@query(
+    "tumbling_window_agg",
+    sql="""
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP) AS w_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark, sf_dir):
+    """5-minute tumbling window — F.window in batch mode; identical semantics
+    drive the Structured Streaming variant (streaming module)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+    )
+
+
+@query(
+    "session_window_agg",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events),
+    sess AS (
+      SELECT user_id, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked)
+    SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    """Sessionization (30-min gap) via F.session_window in batch mode."""
+    ev = table(spark, sf_dir, "events")
+    sessions = ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id").agg(
+        F.count("*").alias("n")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n").alias("n_events")
+    )

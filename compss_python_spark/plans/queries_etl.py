@@ -1,0 +1,559 @@
+"""Declared queries: scans, projections, filters, casts, missing-data,
+joins, sorts, set ops (SURVEY.md §2.1–2.3, §2.5, §2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from compss_python_spark.operators import etl, joins, setops
+from compss_python_spark.operators import sort as sort_ops
+from compss_python_spark.plans.registry import query, table
+
+
+# --- flagship -------------------------------------------------------------
+
+
+@query(
+    "flagship_revenue_by_nation",
+    sql="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+      AND r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def flagship_revenue_by_nation(spark, sf_dir):
+    """Star join: fact ⋈ 4 dims, date filter, agg, per SURVEY.md §7 step 1.
+
+    Scale shape: lineitem/orders shuffle once on orderkey (the only big⋈big
+    join); customer/nation/region are broadcast — no shuffle of the fact side
+    for them.  Filters reach the parquet scan (PushedFilters).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- §2.2 projections / filters ------------------------------------------
+
+
+@query(
+    "select_project",
+    sql="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def select_project(spark, sf_dir):
+    return etl.select(table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber", "l_quantity"])
+
+
+@query(
+    "select_expression",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+    FROM lineitem
+    """,
+)
+def select_expression(spark, sf_dir):
+    return etl.select_expression(
+        table(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_linenumber",
+        "round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge",
+    )
+
+
+@query(
+    "filter_pandas_query",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+    """,
+)
+def filter_pandas_query(spark, sf_dir):
+    """Reference-dialect predicate string goes through the translator."""
+    df = etl.filter_rows(
+        table(spark, sf_dir, "lineitem"),
+        "(l_returnflag == 'R') and (l_quantity > 30)",
+    )
+    return etl.select(df, ["l_orderkey", "l_linenumber", "l_quantity"])
+
+
+@query(
+    "map_column",
+    sql="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'small' END AS bucket
+    FROM orders
+    """,
+)
+def map_column(spark, sf_dir):
+    df = etl.map_column(
+        table(spark, sf_dir, "orders"),
+        "bucket",
+        "CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'small' END",
+    )
+    return df.select("o_orderkey", "bucket")
+
+
+@query(
+    "cast_types",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+           CAST(l_orderkey AS VARCHAR) AS key_str
+    FROM lineitem
+    """,
+)
+def cast_types(spark, sf_dir):
+    # date output re-cast to string: pandas renders Spark DATE as
+    # datetime.date but DuckDB DATE as midnight Timestamp — string form is
+    # engine-invariant.
+    df = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("qty_int"),
+        F.col("l_shipdate").alias("ship_date"),
+        F.col("l_orderkey").alias("key_str"),
+    )
+    out = etl.cast(df, ["qty_int", "ship_date", "key_str"], ["integer", "date", "string"])
+    return out.withColumn("ship_date", F.col("ship_date").cast("string"))
+
+
+@query(
+    "rename_drop",
+    sql="SELECT o_orderkey AS okey, o_totalprice AS price FROM orders",
+)
+def rename_drop(spark, sf_dir):
+    df = table(spark, sf_dir, "orders")
+    df = etl.rename(df, {"o_orderkey": "okey", "o_totalprice": "price"})
+    return etl.drop_columns(df, ["o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"])
+
+
+@query(
+    "replace_values",
+    sql="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINISHED'
+                ELSE o_orderstatus END AS status
+    FROM orders
+    """,
+)
+def replace_values(spark, sf_dir):
+    df = table(spark, sf_dir, "orders").withColumnRenamed("o_orderstatus", "status")
+    df = etl.replace_values(df, {"O": "OPEN", "F": "FINISHED"}, subset=["status"])
+    return df.select("o_orderkey", "status")
+
+
+# --- clean_missing (nulls manufactured via NULLIF — testdata has none) ----
+
+
+@query(
+    "clean_missing_drop_row",
+    sql="""
+    SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS disc
+    FROM lineitem WHERE NULLIF(l_discount, 0.0) IS NOT NULL
+    """,
+)
+def clean_missing_drop_row(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.expr("nullif(l_discount, 0.0d)").alias("disc")
+    )
+    return etl.clean_missing_remove_row(df, subset=["disc"])
+
+
+@query(
+    "clean_missing_fill_value",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), 9.9) AS disc
+    FROM lineitem
+    """,
+)
+def clean_missing_fill_value(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.expr("nullif(l_discount, 0.0d)").alias("disc")
+    )
+    return etl.clean_missing_fill_value(df, 9.9, subset=["disc"])
+
+
+@query(
+    "clean_missing_fill_mean",
+    sql="""
+    WITH t AS (SELECT NULLIF(l_discount, 0.0) AS disc FROM lineitem)
+    SELECT ROUND(SUM(COALESCE(disc, (SELECT AVG(disc) FROM t))), 2) AS total,
+           COUNT(*) AS n
+    FROM t
+    """,
+)
+def clean_missing_fill_mean(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select(F.expr("nullif(l_discount, 0.0d)").alias("disc"))
+    filled = etl.clean_missing_fill_stat(df, ["disc"], "mean")
+    return filled.agg(F.round(F.sum("disc"), 2).alias("total"), F.count("*").alias("n"))
+
+
+@query(
+    "clean_missing_fill_median",
+    sql="""
+    WITH t AS (SELECT NULLIF(l_quantity, 1.0) AS q FROM lineitem)
+    SELECT ROUND(SUM(COALESCE(q, (SELECT MEDIAN(q) FROM t))), 2) AS total,
+           COUNT(*) AS n
+    FROM t
+    """,
+)
+def clean_missing_fill_median(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select(F.expr("nullif(l_quantity, 1.0d)").alias("q"))
+    filled = etl.clean_missing_fill_stat(df, ["q"], "median")
+    return filled.agg(F.round(F.sum("q"), 2).alias("total"), F.count("*").alias("n"))
+
+
+@query(
+    "clean_missing_fill_mode",
+    sql="""
+    WITH t AS (SELECT NULLIF(l_quantity, 1.0) AS q FROM lineitem),
+         m AS (SELECT q FROM t WHERE q IS NOT NULL
+               GROUP BY q ORDER BY COUNT(*) DESC, q ASC LIMIT 1)
+    SELECT ROUND(SUM(COALESCE(t.q, (SELECT q FROM m))), 2) AS total, COUNT(*) AS n
+    FROM t
+    """,
+)
+def clean_missing_fill_mode(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select(F.expr("nullif(l_quantity, 1.0d)").alias("q"))
+    filled = etl.clean_missing_fill_stat(df, ["q"], "mode")
+    return filled.agg(F.round(F.sum("q"), 2).alias("total"), F.count("*").alias("n"))
+
+
+@query(
+    "clean_missing_drop_column",
+    sql="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    """,
+)
+def clean_missing_drop_column(spark, sf_dir):
+    """REMOVE_COLUMN mode: 'disc' contains nulls → dropped; key cols survive."""
+    df = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.expr("nullif(l_discount, 0.0d)").alias("disc")
+    )
+    return etl.clean_missing_remove_column(df, subset=["l_orderkey", "l_linenumber", "disc"])
+
+
+# --- positional ops -------------------------------------------------------
+
+
+@query(
+    "add_column_positional",
+    sql="""
+    WITH a AS (SELECT o_orderkey, o_custkey,
+                      ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS _idx
+               FROM orders),
+         b AS (SELECT o_totalprice AS price,
+                      ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS _idx
+               FROM orders)
+    SELECT a.o_orderkey, a.o_custkey, b.price
+    FROM a JOIN b USING (_idx)
+    """,
+)
+def add_column_positional(spark, sf_dir):
+    """Positional column concat: i-th order by key gets i-th price by rank."""
+    orders = table(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_custkey")
+    right = orders.select("o_totalprice", "o_orderkey").withColumnRenamed("o_totalprice", "price")
+    zipped = etl.add_column(left, right, ["o_orderkey"], ["price", "o_orderkey"])
+    return zipped.select("o_orderkey_l", "o_custkey", "price").withColumnRenamed("o_orderkey_l", "o_orderkey")
+
+
+@query(
+    "take_ordered",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    headline=True,
+)
+def take_ordered(spark, sf_dir):
+    """sort+take fuses to TakeOrderedAndProject — no global sort."""
+    df = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return etl.take(df, 100, order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")])
+
+
+@query("sample_exact_n", sql=None)
+def sample_exact_n(spark, sf_dir):
+    """Exact-n random sample — engine-specific randomness → rows-only check."""
+    return etl.sample(table(spark, sf_dir, "orders"), n=100, seed=42)
+
+
+@query("split_randomly", sql=None)
+def split_randomly(spark, sf_dir):
+    """Random 70/30 split; returns the 70% side — rows-only check."""
+    a, _b = etl.split(table(spark, sf_dir, "orders"), 0.7, seed=42)
+    return a
+
+
+# --- §2.3 joins -----------------------------------------------------------
+
+
+@query(
+    "join_inner_multikey",
+    sql="""
+    WITH agg AS (SELECT l_orderkey, l_returnflag,
+                        ROUND(SUM(l_quantity), 2) AS qty
+                 FROM lineitem GROUP BY l_orderkey, l_returnflag)
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, agg.qty
+    FROM lineitem l JOIN agg
+      ON l.l_orderkey = agg.l_orderkey AND l.l_returnflag = agg.l_returnflag
+    """,
+)
+def join_inner_multikey(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey", "l_returnflag").agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    out = joins.join(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag"),
+        agg,
+        ["l_orderkey", "l_returnflag"],
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "qty")
+
+
+@query(
+    "join_left_outer",
+    sql="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    out = joins.join(cust, orders, "c_custkey", "o_custkey", mode="left")
+    return out.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+@query(
+    "join_right_outer",
+    sql="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    out = joins.join(orders, cust, "o_custkey", "c_custkey", mode="right")
+    return out.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+@query(
+    "cross_join_dims",
+    sql="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def cross_join_dims(spark, sf_dir):
+    out = joins.cross_join(
+        table(spark, sf_dir, "region").select("r_name"),
+        table(spark, sf_dir, "nation").select("n_name"),
+    )
+    return out
+
+
+@query(
+    "semi_join_exists",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def semi_join_exists(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter("o_totalprice > 400000").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return joins.semi_join(cust, big, "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_not_exists",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_not_exists(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.anti_join(cust, orders, "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "broadcast_dim_join",
+    sql="""
+    SELECT p_brand, ROUND(SUM(l_extendedprice), 2) AS total, COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+    headline=True,
+)
+def broadcast_dim_join(spark, sf_dir):
+    """Explicit broadcast of the filtered dim — fact side never shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter("p_size <= 20")
+    out = joins.join(li, part, "l_partkey", "p_partkey", broadcast_right=True)
+    return out.groupBy("p_brand").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total"), F.count("*").alias("n")
+    )
+
+
+# --- §2.5 sort / top-k ----------------------------------------------------
+
+
+@query(
+    "sort_with_rank",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC) - 1 AS _idx
+    FROM orders
+    """,
+)
+def sort_with_rank(spark, sf_dir):
+    """Global multi-column sort, verified via an explicit rank column."""
+    df = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    df = sort_ops.sort(df, ["o_orderstatus", "o_totalprice", "o_orderkey"], [True, False, True])
+    return etl.with_row_index(
+        df,
+        [F.col("o_orderstatus").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+
+
+@query(
+    "topk_per_group",
+    sql="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    headline=True,
+)
+def topk_per_group(spark, sf_dir):
+    df = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return sort_ops.top_k_per_group(
+        df, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=3
+    )
+
+
+# --- §2.6 set ops ---------------------------------------------------------
+
+
+@query(
+    "union_positional",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def union_positional(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter("o_orderstatus = 'O'").select("o_orderkey", "o_totalprice")
+    b = orders.filter("o_totalprice > 300000").select("o_orderkey", "o_totalprice")
+    return setops.union(a, b)
+
+
+@query(
+    "union_by_name",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def union_by_name(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter("o_orderstatus = 'F'").select("o_orderkey", "o_totalprice")
+    b = orders.filter("o_orderstatus = 'O'").select("o_totalprice", "o_orderkey")  # reordered
+    return setops.union_by_name(a, b)
+
+
+@query(
+    "intersect_distinct",
+    sql="""
+    SELECT user_id, event_type FROM events WHERE value >= 40
+    INTERSECT
+    SELECT user_id, event_type FROM events WHERE value < 70
+    """,
+)
+def intersect_distinct(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter("value >= 40").select("user_id", "event_type")
+    b = ev.filter("value < 70").select("user_id", "event_type")
+    return setops.intersect(a, b)
+
+
+@query(
+    "intersect_all_bag",
+    sql="""
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 35
+    """,
+)
+def intersect_all_bag(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter("l_quantity > 25").select("l_returnflag", "l_linestatus")
+    b = li.filter("l_quantity < 35").select("l_returnflag", "l_linestatus")
+    return setops.intersect_all(a, b)
+
+
+@query(
+    "subtract_distinct",
+    sql="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def subtract_distinct(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter("event_type = 'click'").select("user_id")
+    b = ev.filter("event_type = 'error'").select("user_id")
+    return setops.subtract(a, b)
+
+
+@query(
+    "except_all_bag",
+    sql="""
+    SELECT user_id FROM events WHERE value > 20
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE value > 60
+    """,
+)
+def except_all_bag(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter("value > 20").select("user_id")
+    b = ev.filter("value > 60").select("user_id")
+    return setops.except_all(a, b)

@@ -1,0 +1,194 @@
+"""Declared queries: LLM-data-pipeline operators (SURVEY.md §2.12) —
+dedup, text analysis, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from compss_python_spark.llm import dedup, multimodal, similarity, text
+from compss_python_spark.plans.registry import query, table
+
+
+@query(
+    "dedup_exact_hash",
+    sql="""
+    SELECT MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    headline=True,
+)
+def dedup_exact_hash(spark, sf_dir):
+    """Exact-dedup key table: md5 of normalized text → min-id survivor."""
+    docs = text.fingerprint(table(spark, sf_dir, "documents"), "text", "fp")
+    return docs.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "dedup_exact_survivors",
+    sql="""
+    SELECT lang, source, MIN(doc_id) AS doc_id
+    FROM documents GROUP BY lang, source
+    """,
+)
+def dedup_exact_survivors(spark, sf_dir):
+    """exact_dedup keeps the deterministic min-id row per key."""
+    out = dedup.exact_dedup(table(spark, sf_dir, "documents"), ["lang", "source"], "doc_id")
+    return out.select("lang", "source", "doc_id")
+
+
+@query(
+    "text_token_stats",
+    sql="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_calc,
+           LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens,
+           LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS n_digit
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    out = text.char_stats(table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_chars_calc", "n_tokens", "n_alpha", "n_digit")
+
+
+@query(
+    "text_quality_score",
+    sql="""
+    WITH s AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tok,
+             LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS non_space,
+             LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha
+      FROM documents)
+    SELECT doc_id,
+           ROUND((LEAST(n_tok / 20.0, 1.0)
+                  + CASE WHEN non_space / GREATEST(n_tok, 1) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END
+                  + alpha / GREATEST(non_space, 1)) / 3.0, 6) AS quality
+    FROM s
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    out = text.quality_score(table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "quality")
+
+
+@query(
+    "text_lang_distribution",
+    sql="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE n_chars > 150 GROUP BY lang
+    """,
+)
+def text_lang_distribution(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").filter("n_chars > 150")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@query("text_language_id", sql=None)
+def text_language_id(spark, sf_dir):
+    """Heuristic language ID (marker-word argmax) — accuracy asserted vs the
+    ground-truth lang column in tests; rows-only here."""
+    out = text.language_id(table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang", "lang_pred")
+
+
+@query("dedup_minhash_lsh", sql=None, headline=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs — hash-function-specific → rows-only;
+    tests verify estimated vs exact Jaccard on planted near-dups."""
+    return dedup.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.35, num_hashes=64, bands=16
+    )
+
+
+@query("dedup_simhash", sql=None)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@query("dedup_ngram_jaccard", sql=None)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard within language blocks (bounded self-join)."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.3, block_col="lang"
+    )
+
+
+@query(
+    "embedding_near_dup",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_DOT_PRODUCT(a.e, b.e)
+                 / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(LIST_DOT_PRODUCT(a.e, b.e)
+                / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 6) >= 0.6
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    return dedup.embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), min_cosine=0.6
+    )
+
+
+@query(
+    "similarity_topk_exact",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, v.vec_id AS neighbor_id,
+                  ROUND(LIST_DOT_PRODUCT(qe, e)
+                        / (SQRT(LIST_DOT_PRODUCT(qe, qe)) * SQRT(LIST_DOT_PRODUCT(e, e))), 6) AS cosine
+           FROM q JOIN v ON v.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rn
+           FROM scored)
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+    """,
+    headline=True,
+)
+def similarity_topk_exact(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors over the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
+@query("similarity_topk_lsh", sql=None)
+def similarity_topk_lsh(spark, sf_dir):
+    """LSH-bucketed ANN — approximate by design → rows-only; recall vs
+    brute force asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter("vec_id < 10"), k=5, num_planes=4)
+
+
+@query(
+    "multimodal_bytes",
+    sql="""
+    SELECT doc_id AS media_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark, sf_dir):
+    """Binary-column plumbing: payload byte length via the media table."""
+    media = multimodal.synthesize_media(table(spark, sf_dir, "documents"))
+    return media.select("media_id", F.length("payload").alias("n_bytes"))
+
+
+@query("multimodal_features", sql=None)
+def multimodal_features(spark, sf_dir):
+    """mapInPandas featurizer over binary payloads (decode stubbed —
+    deterministic fake; schema/batch plumbing is the real product)."""
+    media = multimodal.synthesize_media(table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))

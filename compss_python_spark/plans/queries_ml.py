@@ -1,0 +1,143 @@
+"""Declared queries: ML / graph operators (SURVEY.md §2.8–2.9).
+
+Most are rows-only (model fitting isn't SQL-expressible); evaluation-metric
+and closed-form-regression queries keep a DuckDB oracle.  Deeper invariants
+(cost decrease, accuracy floors, rank sums) are asserted in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from compss_python_spark.plans.registry import query, table
+
+
+@query("ml_kmeans_sizes", sql=None)
+def ml_kmeans_sizes(spark, sf_dir):
+    """KMeans on embeddings: cluster sizes (seeded, but init is
+    engine-specific → rows-only; cost-decrease asserted in tests)."""
+    from compss_python_spark.ml.clustering import kmeans
+    out, _model = kmeans(table(spark, sf_dir, "embeddings"), k=10, seed=42)
+    return out.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
+@query("ml_knn_predict", sql=None)
+def ml_knn_predict(spark, sf_dir):
+    """Broadcast-train KNN on embeddings (train = even ids, test = odd)."""
+    from compss_python_spark.ml.classification import knn
+    emb = table(spark, sf_dir, "embeddings")
+    return knn(emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1"), k=5)
+
+
+@query("ml_logreg_confusion", sql=None)
+def ml_logreg_confusion(spark, sf_dir):
+    """LogisticRegression on embeddings→label; confusion matrix out."""
+    from compss_python_spark.ml.classification import logistic_regression
+    from compss_python_spark.ml.evaluation import confusion_matrix
+    emb = table(spark, sf_dir, "embeddings")
+    pred, _m = logistic_regression(emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1"))
+    return confusion_matrix(pred.withColumn("prediction", F.col("prediction").cast("int")))
+
+
+@query(
+    "ml_simple_linreg",
+    sql="""
+    SELECT ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS intercept
+    FROM lineitem
+    """,
+)
+def ml_simple_linreg(spark, sf_dir):
+    """Closed-form 1-D OLS [ref: ml/regression.py simple mode] — pure
+    aggregate, oracle via REGR_SLOPE/REGR_INTERCEPT."""
+    from compss_python_spark.ml.regression import simple_linear_regression
+    out = simple_linear_regression(table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice")
+    return out.select(F.round("slope", 6).alias("slope"), F.round("intercept", 6).alias("intercept"))
+
+
+@query(
+    "ml_regression_metrics",
+    sql="""
+    WITH p AS (SELECT o_totalprice AS label, o_totalprice * 0.9 + 1000 AS prediction
+               FROM orders)
+    SELECT ROUND(AVG((prediction - label) * (prediction - label)), 6) AS mse,
+           ROUND(SQRT(AVG((prediction - label) * (prediction - label))), 6) AS rmse,
+           ROUND(AVG(ABS(prediction - label)), 6) AS mae,
+           ROUND(1.0 - AVG((prediction - label) * (prediction - label)) / VAR_POP(label), 6) AS r2
+    FROM p
+    """,
+)
+def ml_regression_metrics(spark, sf_dir):
+    """RegressionMetrics [ref: ml/evaluation.py] on a synthetic prediction."""
+    from compss_python_spark.ml.evaluation import regression_metrics
+    p = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("label"),
+        (F.col("o_totalprice") * 0.9 + 1000).alias("prediction"),
+    )
+    return regression_metrics(p)
+
+
+@query(
+    "ml_classification_metrics",
+    sql="""
+    WITH p AS (SELECT label, CAST((vec_id % 10) AS INT) AS prediction FROM embeddings),
+         tp AS (SELECT label AS cls, COUNT(*) AS tp FROM p WHERE label = prediction GROUP BY 1),
+         a  AS (SELECT label AS cls, COUNT(*) AS support FROM p GROUP BY 1),
+         pr AS (SELECT prediction AS cls, COUNT(*) AS pred_n FROM p GROUP BY 1)
+    SELECT cls, COALESCE(support, 0) AS support,
+           ROUND(COALESCE(tp.tp, 0) / GREATEST(COALESCE(pred_n, 0), 1), 6) AS precision,
+           ROUND(COALESCE(tp.tp, 0) / GREATEST(COALESCE(support, 0), 1), 6) AS recall,
+           ROUND(2 * COALESCE(tp.tp, 0) / GREATEST(COALESCE(pred_n, 0) + COALESCE(support, 0), 1), 6) AS f1
+    FROM a FULL JOIN pr USING (cls) LEFT JOIN tp USING (cls)
+    """,
+)
+def ml_classification_metrics(spark, sf_dir):
+    """MultilabelMetrics-style per-class P/R/F1 [ref: ml/evaluation.py] on a
+    deterministic synthetic prediction (vec_id mod 10)."""
+    from compss_python_spark.ml.evaluation import multiclass_metrics
+    p = table(spark, sf_dir, "embeddings").select(
+        "label", (F.col("vec_id") % 10).cast("int").alias("prediction")
+    )
+    return multiclass_metrics(p)
+
+
+@query("ml_fpgrowth", sql=None)
+def ml_fpgrowth(spark, sf_dir):
+    """FPGrowth on order→items baskets (items = part keys mod 50)."""
+    from compss_python_spark.ml.fpm import fp_growth
+    baskets = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 50).cast("string").alias("item"))
+        .groupBy("l_orderkey")
+        .agg(F.array_distinct(F.collect_list("item")).alias("items"))
+    )
+    itemsets, _rules, _model = fp_growth(baskets, min_support=0.02)
+    return itemsets
+
+
+@query("ml_tfidf_norm", sql=None)
+def ml_tfidf_norm(spark, sf_dir):
+    """Tokenize → HashingTF+IDF; output per-doc tf-idf L1 norm (rows-only)."""
+    from compss_python_spark.ml.feature import tfidf, tokenizer
+    docs = tokenizer(table(spark, sf_dir, "documents"), "text", "tokens")
+    out, _model = tfidf(docs, "tokens", num_features=1 << 12)
+    return out.select(
+        "doc_id",
+        F.round(F.aggregate("tfidf", F.lit(0.0), lambda a, v: a + v), 4).alias("tfidf_l1"),
+    )
+
+
+@query("graph_pagerank", sql=None)
+def graph_pagerank(spark, sf_dir):
+    """PageRank on the customer→supplier edge graph derived from orders ⋈
+    lineitem (rows-only; Σrank≈1 asserted in tests)."""
+    from compss_python_spark.graph.pagerank import pagerank
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, max_iters=8)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

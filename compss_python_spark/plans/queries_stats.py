@@ -1,0 +1,89 @@
+"""Declared queries: descriptive statistics (SURVEY.md §2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from compss_python_spark.functions import statistics
+from compss_python_spark.plans.registry import query, table
+
+
+@query(
+    "stats_corr_cov",
+    sql="""
+    SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qp,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS covp_qp
+    FROM lineitem
+    """,
+)
+def stats_corr_cov(spark, sf_dir):
+    """Pearson correlation + covariance [ref:
+    ddf_library/functions/statistics/{correlation,covariance}.py]."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covp_qp"),
+    )
+
+
+@query(
+    "crosstab_long",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def crosstab_long(spark, sf_dir):
+    """Contingency table in long form [ref:
+    ddf_library/functions/statistics/cross_tab.py]."""
+    return statistics.cross_tab_long(table(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus")
+
+
+@query(
+    "describe_column",
+    sql="""
+    SELECT COUNT(l_extendedprice) AS n,
+           ROUND(AVG(l_extendedprice), 2) AS mean,
+           ROUND(STDDEV(l_extendedprice), 2) AS std,
+           ROUND(MIN(l_extendedprice), 2) AS min_v,
+           ROUND(MAX(l_extendedprice), 2) AS max_v
+    FROM lineitem
+    """,
+)
+def describe_column(spark, sf_dir):
+    """describe() as typed columns [ref:
+    ddf_library/functions/statistics/describe.py]."""
+    out = statistics.describe_long(table(spark, sf_dir, "lineitem"), "l_extendedprice")
+    return out.select(
+        "n",
+        F.round("mean", 2).alias("mean"),
+        F.round("std", 2).alias("std"),
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+    )
+
+
+@query(
+    "freq_items_exact",
+    sql="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    GROUP BY event_type HAVING COUNT(*) >= 100
+    """,
+)
+def freq_items_exact(spark, sf_dir):
+    """Exact frequent-items [ref:
+    ddf_library/functions/statistics/freq_items.py] — support as min count."""
+    return statistics.freq_items_exact(table(spark, sf_dir, "events"), "event_type", 100)
+
+
+@query("ks_test_normal", sql=None)
+def ks_test_normal(spark, sf_dir):
+    """One-sample KS vs fitted normal [ref:
+    ddf_library/functions/statistics/kolmogorov_smirnov.py] — erf is not
+    available in DuckDB → rows-only; exactness asserted in tests against a
+    pure-Python ECDF implementation."""
+    d, p = statistics.ks_one_sample_normal(table(spark, sf_dir, "lineitem"), "l_extendedprice")
+    return spark.createDataFrame(
+        [(round(d, 6), round(p, 6))], "d_stat double, p_value double"
+    )

@@ -1,0 +1,100 @@
+"""Sources and sinks.
+
+Reference surface [ref: ddf_library/bases/data_reader.py,
+ddf_library/bases/data_saver.py]: csv + json (local FS / HDFS via the
+hdfspycompss connector), ``parallelize`` (local pandas → distributed)
+[ref: ddf_library/functions/etl/parallelize.py], and per-fragment save.
+The reference has no Parquet/ORC support; we add Parquet as the primary
+columnar format (driver testdata is parquet) — at 100 TB, columnar scan with
+predicate pushdown + column pruning is non-negotiable.
+
+Scale notes:
+- ``spark.read.parquet`` gives partition pruning, predicate pushdown, and
+  column pruning for free — verified via ``.explain`` (PushedFilters /
+  ReadSchema) in tests/test_plans.py.
+- CSV/JSON readers accept an explicit schema: at scale, ``inferSchema`` is a
+  full extra pass over the data — callers should pass one.
+- Writers default to snappy parquet; ``partition_by`` maps to hive-style
+  directory partitioning which enables partition pruning downstream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    sep: str = ",",
+    schema=None,
+    infer_schema: bool = False,
+) -> DataFrame:
+    """CSV scan [ref: ddf_library/bases/data_reader.py read.csv].
+
+    The reference signature is (path, num_of_parts, header, sep, dtype...);
+    partition count is Spark's splittable-file planning instead of
+    num_of_parts, and dtype is a proper schema.
+    """
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan [ref: ddf_library/bases/data_reader.py read.json]."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    """Load the driver testdata star schema as a dict of DataFrames."""
+    return {t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")) for t in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register the testdata tables as temp views for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink [ref: ddf_library/functions/etl/save_data.py] — the
+    reference writes one file per fragment; Spark writes one per partition."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -1,0 +1,112 @@
+"""Structured Streaming extension surface (SURVEY.md §2.10).
+
+The reference has NO streaming (COMPSs is batch-only); this module is the
+engine extension the driver's `events` table motivates.  The same window
+expressions run identically in batch (queries_agg.tumbling_window_agg /
+session_window_agg use them through F.window/F.session_window), so batch
+oracle checks validate the streaming semantics; tests additionally replay
+the events table through a real stream (parquet source → memory sink) and
+assert stream/batch equivalence.
+
+At scale: watermarks bound state (late data beyond the horizon is dropped);
+`dropDuplicatesWithinWatermark` gives bounded-state streaming dedup;
+`foreachBatch` is the exactly-once sink adapter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window count/sum with late-data watermark.
+
+    Works on both batch and streaming DataFrames (watermark is a no-op in
+    batch).
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(F.count("*").alias("n"), F.round(F.sum(value_col), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), *group_cols, "n", "total")
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window, slide).alias("w"), *group_cols)
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), *group_cols, "n")
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+) -> DataFrame:
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("sw"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Bounded-state streaming dedup — state is purged past the watermark."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def replay_as_stream(
+    spark,
+    parquet_path: str,
+    schema,
+    query_builder,
+    query_name: str = "stream_out",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Test harness: drive a parquet table through a real streaming query
+    into a memory sink, synchronously (processAllAvailable), and return the
+    materialized result."""
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    out = query_builder(stream)
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -1,0 +1,146 @@
+"""Tests for the LLM-pipeline operators: dedup estimate quality, langid
+accuracy, LSH recall, fingerprint/text stats invariants."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from compss_python_spark.llm import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from compss_python_spark.plans.registry import table
+
+    return table(spark, sf_dir, "documents").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from compss_python_spark.plans.registry import table
+
+    return table(spark, sf_dir, "embeddings").persist()
+
+
+def _exact_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_estimates_match_exact_jaccard(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    assert pairs, "planted near-duplicates must be found"
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in pairs[:20]:
+        exact = _exact_jaccard(texts[r["id_a"]], texts[r["id_b"]])
+        # 64 hashes → σ ≈ sqrt(J(1-J)/64) ≤ 0.063; allow 3σ
+        assert abs(r["est_jaccard"] - exact) < 0.2, (r["id_a"], r["id_b"], exact, r["est_jaccard"])
+
+
+def test_minhash_finds_planted_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    near = base.replace("lazy", "sleepy")
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, "entirely different words here xyz"]})
+    df = spark.createDataFrame(pdf)
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_simhash_hamming_small_for_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    near = base.replace("gamma", "gamma2")
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [base, near]})
+    pairs = dedup.simhash_pairs(spark.createDataFrame(pdf), max_hamming=16).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] <= 16
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.3, block_col="lang")
+    rows = out.collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in rows:
+        assert r["jaccard"] == pytest.approx(_exact_jaccard(texts[r["id_a"]], texts[r["id_b"]]), abs=1e-6)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    pdf = pd.DataFrame({"doc_id": [5, 3, 9], "text": ["same text", "same text", "other"]})
+    out = dedup.exact_dedup_by_hash(spark.createDataFrame(pdf), "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 9]
+
+
+def test_language_id_accuracy(spark):
+    # the documents fixture's lang column is random wrt its (English word
+    # soup) text, so accuracy is asserted on real-language samples instead
+    samples = {
+        "en": "the cat is in the house and it was good for everyone that came",
+        "de": "der hund ist nicht in das haus und die katze ist mit den kindern",
+        "es": "el perro es un animal que vive en la casa de los abuelos por una razón",
+        "fr": "le chien est un animal qui vit dans la maison et les enfants pour que",
+        "zh": "我 是 一个 人 在 这 里 的 和 不 有 了",
+    }
+    pdf = pd.DataFrame({"doc_id": range(5), "lang": list(samples), "text": list(samples.values())})
+    out = text.language_id(spark.createDataFrame(pdf))
+    assert out.filter(F.col("lang_pred") == F.col("lang")).count() == 5
+
+
+def test_quality_and_char_stats(docs):
+    out = text.quality_score(text.char_stats(docs))
+    row = out.first()
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["n_chars_calc"] == len(row["text"])
+    total = out.agg(F.min("quality").alias("mn"), F.max("quality").alias("mx")).first()
+    assert 0.0 <= total["mn"] <= total["mx"] <= 1.0
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["hello, world! abc123456789"]}))
+    n = df.select(text.bpe_ish_token_count("text").alias("n")).first()["n"]
+    # hello , world ! abc 123 456 789 → 8 pieces
+    assert n == 8
+
+
+def test_fingerprint_normalization(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["Hello   World", "hello world"]})
+    out = text.fingerprint(spark.createDataFrame(pdf)).collect()
+    assert out[0]["fp"] == out[1]["fp"]
+
+
+def test_brute_force_topk_is_exact(emb):
+    """Top-1 via the operator == top-1 via a local numpy computation."""
+    import numpy as np
+
+    out = similarity.brute_force_topk(emb, emb.filter("vec_id < 3"), k=1).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    for r in out:
+        q = vecs[r["query_id"]]
+        best_id, best_cos = None, -2
+        for vid, v in vecs.items():
+            if vid == r["query_id"]:
+                continue
+            cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            if cos > best_cos + 1e-12:
+                best_id, best_cos = vid, cos
+        assert r["neighbor_id"] == best_id
+        assert r["cosine"] == pytest.approx(best_cos, abs=1e-5)
+
+
+def test_lsh_topk_recall(emb):
+    exact = similarity.brute_force_topk(emb, emb.filter("vec_id < 20"), k=5)
+    approx = similarity.lsh_topk(
+        emb, emb.filter("vec_id < 20"), k=5, num_planes=4, num_tables=8
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"LSH recall {recall} too low for 4 planes × 8 tables"
+
+
+def test_embedding_near_dup_symmetric_bound(emb):
+    out = dedup.embedding_near_dup_pairs(emb, min_cosine=0.5).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert -1.0 <= r["cosine"] <= 1.0

@@ -1,0 +1,241 @@
+"""Tests for ML/graph/stats algorithms: invariants and accuracy floors."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from compss_python_spark.plans.registry import table
+
+    return table(spark, sf_dir, "embeddings").persist()
+
+
+def test_kmeans_runs_and_improves(emb):
+    from compss_python_spark.ml.clustering import kmeans, kmeans_cost
+
+    out1, m1 = kmeans(emb, k=10, max_iter=1, seed=7)
+    out20, m20 = kmeans(emb, k=10, max_iter=20, seed=7)
+    assert out20.select("cluster").distinct().count() <= 10
+    assert kmeans_cost(m20) <= kmeans_cost(m1) + 1e-9
+
+
+def test_knn_self_consistency(emb):
+    from compss_python_spark.ml.classification import knn
+
+    # k=1 on identical train/test (excluding nothing) → every point's nearest
+    # neighbor is itself → prediction == label.
+    out = knn(emb, emb, k=1)
+    acc = out.filter(F.col("prediction") == F.col("label")).count() / out.count()
+    assert acc == 1.0
+
+
+def _separable(spark, n_classes=3, n=120, dim=8, seed=3):
+    """Gaussian blobs with well-separated means (fixture labels are random
+    wrt embeddings — 1-NN LOO ≈ 7% — so accuracy floors need real signal)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(n_classes):
+        center = np.zeros(dim)
+        center[c % dim] = 5.0
+        pts = rng.normal(loc=center, scale=0.5, size=(n // n_classes, dim))
+        rows += [(len(rows) + i, [float(x) for x in p], c) for i, p in enumerate(pts)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+
+
+def test_logreg_separable(spark):
+    from compss_python_spark.ml.classification import logistic_regression
+
+    df = _separable(spark)
+    pred, _ = logistic_regression(df.filter("vec_id % 2 = 0"), df.filter("vec_id % 2 = 1"))
+    acc = pred.filter(F.col("prediction") == F.col("label")).count() / pred.count()
+    assert acc > 0.95, f"accuracy {acc} on separable blobs"
+
+
+def test_logreg_fixture_smoke(emb):
+    from compss_python_spark.ml.classification import logistic_regression
+
+    pred, _ = logistic_regression(emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1"))
+    assert pred.count() == emb.filter("vec_id % 2 = 1").count()
+    assert pred.select("prediction").distinct().count() <= 10
+
+
+def test_linear_svc_separable(spark):
+    from compss_python_spark.ml.classification import linear_svc
+
+    df = _separable(spark, n_classes=2)
+    pred, _ = linear_svc(df.filter("vec_id % 2 = 0"), df.filter("vec_id % 2 = 1"))
+    acc = pred.filter(F.col("prediction") == F.col("label")).count() / pred.count()
+    assert acc > 0.95
+
+
+def test_knn_separable(spark):
+    from compss_python_spark.ml.classification import knn
+
+    df = _separable(spark)
+    out = knn(df.filter("vec_id % 2 = 0"), df.filter("vec_id % 2 = 1"), k=3)
+    acc = out.filter(F.col("prediction") == F.col("label")).count() / out.count()
+    assert acc > 0.95
+
+
+def test_gaussian_nb(emb):
+    from compss_python_spark.ml.classification import gaussian_nb
+
+    # embeddings are non-negative? NB gaussian handles any reals.
+    pred, _ = gaussian_nb(emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1"))
+    assert pred.count() == emb.filter("vec_id % 2 = 1").count()
+
+
+def test_simple_linreg_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=500)
+    y = 2.5 * x + 1.0 + rng.normal(scale=0.1, size=500)
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+    from compss_python_spark.ml.regression import simple_linear_regression
+
+    row = simple_linear_regression(df, "x", "y").first()
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row["slope"] == pytest.approx(slope, abs=1e-9)
+    assert row["intercept"] == pytest.approx(intercept, abs=1e-9)
+
+
+def test_dbscan_blobs(spark):
+    from compss_python_spark.ml.clustering import dbscan
+
+    rng = np.random.default_rng(1)
+    blob1 = rng.normal(loc=(0, 0), scale=0.1, size=(40, 2))
+    blob2 = rng.normal(loc=(5, 5), scale=0.1, size=(40, 2))
+    noise = np.array([[2.5, 2.5]])
+    pts = np.vstack([blob1, blob2, noise])
+    pdf = pd.DataFrame({"point_id": range(len(pts)), "x": pts[:, 0], "y": pts[:, 1]})
+    out = dbscan(spark.createDataFrame(pdf), ["x", "y"], eps=0.5, min_pts=5).collect()
+    labels = {r["point_id"]: r["cluster"] for r in out}
+    c1 = {labels[i] for i in range(40)}
+    c2 = {labels[i] for i in range(40, 80)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+    assert labels[80] == -1  # isolated noise point
+
+
+def test_dbscan_cross_cell_merge(spark):
+    """A dense line crossing several grid cells must come out as ONE cluster."""
+    from compss_python_spark.ml.clustering import dbscan
+
+    xs = np.arange(0, 10, 0.05)
+    pdf = pd.DataFrame({"point_id": range(len(xs)), "x": xs, "y": np.zeros(len(xs))})
+    out = dbscan(spark.createDataFrame(pdf), ["x", "y"], eps=0.2, min_pts=3).collect()
+    clusters = {r["cluster"] for r in out}
+    assert clusters == {0}, f"expected single cluster, got {clusters}"
+
+
+def test_pagerank_sums_to_one(spark):
+    from compss_python_spark.graph.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 3, 4, 1], "dst": [2, 3, 1, 1, 3]})
+    )
+    ranks = pagerank(edges, max_iters=20)
+    total = ranks.agg(F.sum("rank").alias("s")).first()["s"]
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_matches_networkx_star(spark):
+    """4-node graph with known structure: hub receives most rank."""
+    from compss_python_spark.graph.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [2, 3, 4], "dst": [1, 1, 1]})
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, max_iters=30).collect()}
+    assert ranks[1] == max(ranks.values())
+    assert ranks[2] == pytest.approx(ranks[3], abs=1e-9)
+
+
+def test_ks_statistic_matches_reference(spark):
+    """KS d-statistic vs a pure-python ECDF computation on the same data."""
+    from compss_python_spark.functions.statistics import ks_one_sample_normal
+
+    rng = np.random.default_rng(2)
+    data = rng.normal(loc=10, scale=3, size=2000)
+    df = spark.createDataFrame(pd.DataFrame({"v": data}))
+    d, p = ks_one_sample_normal(df, "v")
+
+    mean, std = data.mean(), data.std(ddof=1)
+    xs = np.sort(data)
+    cdf = 0.5 * (1 + np.vectorize(math.erf)((xs - mean) / (std * math.sqrt(2))))
+    n = len(xs)
+    d_ref = max(
+        np.max(np.abs(cdf - np.arange(0, n) / n)),
+        np.max(np.abs(np.arange(1, n + 1) / n - cdf)),
+    )
+    assert d == pytest.approx(d_ref, abs=1e-9)
+    assert 0.0 <= p <= 1.0
+
+
+def test_fpgrowth_finds_planted_itemset(spark):
+    from compss_python_spark.ml.fpm import fp_growth
+
+    baskets = [["milk", "bread"]] * 60 + [["beer"]] * 40
+    df = spark.createDataFrame(
+        pd.DataFrame({"basket_id": range(100), "items": baskets})
+    )
+    itemsets, rules, _ = fp_growth(df, min_support=0.5, min_confidence=0.8)
+    found = {r["itemset"] for r in itemsets.collect()}
+    assert "bread,milk" in found
+    rule_pairs = {(r["antecedent"], r["consequent"]) for r in rules.collect()}
+    assert ("milk", "bread") in rule_pairs and ("bread", "milk") in rule_pairs
+
+
+def test_evaluation_metrics(spark):
+    from compss_python_spark.ml.evaluation import accuracy, confusion_matrix, multiclass_metrics
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"label": [0, 0, 1, 1], "prediction": [0, 1, 1, 1]})
+    )
+    assert accuracy(df) == pytest.approx(0.75)
+    cm = {(r["label"], r["prediction"]): r["n"] for r in confusion_matrix(df).collect()}
+    assert cm == {(0, 0): 1, (0, 1): 1, (1, 1): 2}
+    mm = {r["cls"]: r for r in multiclass_metrics(df).collect()}
+    assert mm[1]["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert mm[1]["recall"] == pytest.approx(1.0)
+
+
+def test_feature_pipeline(spark, sf_dir):
+    from compss_python_spark.ml import feature as feat
+    from compss_python_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    tok = feat.tokenizer(docs, "text")
+    assert "tokens" in tok.columns
+    nsw = feat.remove_stop_words(tok, "tokens")
+    ng = feat.ngram(nsw, "filtered", n=2)
+    assert ng.first()["ngrams"] is not None
+    tfidf_df, _ = feat.tfidf(tok, "tokens", num_features=256)
+    assert len(tfidf_df.first()["tfidf"]) == 256
+    scaled, _ = feat.standard_scaler(
+        spark.createDataFrame(pd.DataFrame({"v": [[1.0, 2.0], [3.0, 4.0]]})), "v"
+    )
+    vals = np.array([r["scaled"] for r in scaled.collect()])
+    assert vals.mean() == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pca_reduces_dim(emb):
+    from compss_python_spark.ml.feature import pca
+
+    out, _ = pca(emb.limit(100), "embedding", k=8)
+    assert len(out.first()["pca"]) == 8
+
+
+def test_string_indexer_roundtrip(spark):
+    from compss_python_spark.ml.feature import index_to_string, string_indexer
+
+    df = spark.createDataFrame(pd.DataFrame({"c": ["b", "a", "b", "c", "b"]}))
+    indexed, model = string_indexer(df, "c")
+    assert indexed.filter("c = 'b'").first()["label_idx"] == 0.0  # most frequent
+    back = index_to_string(indexed, "label_idx", model.labels)
+    assert back.filter(F.col("c") != F.col("label_str")).count() == 0

@@ -1,0 +1,161 @@
+"""Unit tests for the operator layer (SURVEY.md §5 strategy: small inline
+frames, pandas/numpy-computed expectations) — mirrors the reference's
+script-style per-module tests [ref: tests/]."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from compss_python_spark.operators import aggregation, etl, joins, setops
+from compss_python_spark.operators import sort as sort_ops
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "name": ["a", "b", "c", "d", "e", "f"],
+            "age": [30, 25, 40, 25, None, 35],
+            "dept": ["x", "y", "x", "y", "x", None],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_translate_pandas_query():
+    assert (
+        etl.translate_pandas_query("(a == 'x') and (b > 4) or not (c == 1)")
+        == "(a = 'x') AND (b > 4) OR NOT (c = 1)"
+    )
+
+
+def test_filter_pandas_dialect(people):
+    out = etl.filter_rows(people, "(dept == 'x') and (age > 25)")
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_select_and_drop(people):
+    assert etl.select(people, ["id", "name"]).columns == ["id", "name"]
+    assert "age" not in etl.drop_columns(people, ["age"]).columns
+
+
+def test_cast_invalid_to_null(spark):
+    df = spark.createDataFrame(pd.DataFrame({"s": ["42", "3.14", "nope"]}))
+    out = etl.cast(df, "s", "integer").collect()
+    assert [r["s"] for r in out] == [42, None, None]
+
+
+def test_replace_values(people):
+    out = etl.replace_values(people, {"x": "X"}, subset=["dept"])
+    assert sorted(r["dept"] for r in out.collect() if r["dept"]) == ["X", "X", "X", "y", "y"]
+
+
+def test_clean_missing_modes(people):
+    assert etl.clean_missing_remove_row(people, ["age"]).count() == 5
+    # dept + age both have nulls → dropped
+    out = etl.clean_missing_remove_column(people, ["age", "dept"])
+    assert set(out.columns) == {"id", "name"}
+    filled = etl.clean_missing_fill_value(people, 0.0, ["age"])
+    assert filled.filter("age = 0.0").count() == 1
+    mean_filled = etl.clean_missing_fill_stat(people, ["age"], "mean")
+    assert mean_filled.filter("age IS NULL").count() == 0
+    assert mean_filled.filter("id = 5").first()["age"] == pytest.approx(31.0)
+    mode_filled = etl.clean_missing_fill_stat(people, ["age"], "mode")
+    assert mode_filled.filter("id = 5").first()["age"] == 25
+
+
+def test_add_column_positional(spark):
+    a = spark.createDataFrame(pd.DataFrame({"k": [10, 20, 30]}))
+    b = spark.createDataFrame(pd.DataFrame({"v": ["c", "a", "b"]}))
+    out = etl.add_column(a, b, ["k"], ["v"]).orderBy("k").collect()
+    # k ascending zips with v ascending: (10,a) (20,b) (30,c)
+    assert [(r["k"], r["v"]) for r in out] == [(10, "a"), (20, "b"), (30, "c")]
+
+
+def test_take_sample_split(people):
+    assert etl.take(people, 2, order_by=["id"]).count() == 2
+    assert etl.sample(people, n=3, seed=1).count() == 3
+    a, b = etl.split(people, 0.5, seed=1)
+    assert a.count() + b.count() == 6
+
+
+def test_partitioning_ops(people):
+    assert etl.repartition(people, 3).rdd.getNumPartitions() == 3
+    assert etl.hash_partition(people, ["dept"], 4).rdd.getNumPartitions() == 4
+    assert etl.range_partition(people, ["id"], 2).rdd.getNumPartitions() == 2
+    assert etl.coalesce(etl.repartition(people, 4), 2).rdd.getNumPartitions() == 2
+
+
+def test_join_modes(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    right = spark.createDataFrame(pd.DataFrame({"kk": [2, 3, 4], "w": ["x", "y", "z"]}))
+    assert joins.join(left, right, "k", "kk").count() == 2
+    assert joins.join(left, right, "k", "kk", mode="left").count() == 3
+    assert joins.join(left, right, "k", "kk", mode="right").count() == 3
+    assert joins.join(left, right, "k", "kk", mode="outer").count() == 4
+    assert joins.cross_join(left, right).count() == 9
+    assert joins.semi_join(left, right.withColumnRenamed("kk", "k"), "k").count() == 2
+    assert joins.anti_join(left, right.withColumnRenamed("kk", "k"), "k").count() == 1
+
+
+def test_join_suffixes(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]}))
+    right = spark.createDataFrame(pd.DataFrame({"kk": [1], "v": ["b"]}))
+    out = joins.join(left, right, "k", "kk")
+    assert set(out.columns) == {"k", "kk", "v_l", "v_r"}
+
+
+def test_agg_dict_and_ordered(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a", "b"], "ord": [2, 1, 1], "v": [10.0, 20.0, 30.0]})
+    )
+    out = aggregation.agg(
+        df, ["g"],
+        {"v": [("sum", "s"), ("first", "fst"), ("last", "lst"), ("list", "lst_all")]},
+        order_within_group="ord",
+    )
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows["a"]["s"] == 30.0
+    assert rows["a"]["fst"] == 20.0  # ord=1 → v=20
+    assert rows["a"]["lst"] == 10.0
+    assert rows["a"]["lst_all"] == [20.0, 10.0]
+
+
+def test_agg_requires_order_key(spark):
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a"], "v": [1.0]}))
+    with pytest.raises(ValueError, match="order_within_group"):
+        aggregation.agg(df, ["g"], {"v": [("first", "f")]})
+
+
+def test_distinct_variants(people):
+    assert aggregation.distinct(people, ["dept"]).count() == 3
+    full = aggregation.distinct(people, ["dept"], keep_all_columns=True)
+    assert full.count() == 3 and set(full.columns) == set(people.columns)
+
+
+def test_setops(spark):
+    a = spark.createDataFrame(pd.DataFrame({"x": [1, 1, 2, 3]}))
+    b = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 2, 4]}))
+    assert setops.union(a, b).count() == 8
+    assert sorted(r["x"] for r in setops.intersect(a, b).collect()) == [1, 2]
+    assert sorted(r["x"] for r in setops.intersect_all(a, b).collect()) == [1, 2]
+    assert sorted(r["x"] for r in setops.subtract(a, b).collect()) == [3]
+    assert sorted(r["x"] for r in setops.except_all(a, b).collect()) == [1, 3]
+
+
+def test_union_by_name_positional(spark):
+    a = spark.createDataFrame(pd.DataFrame({"x": [1], "y": ["p"]}))
+    b = spark.createDataFrame(pd.DataFrame({"y": ["q"], "x": [2]}))
+    out = setops.union_by_name(a, b).orderBy("x").collect()
+    assert [(r["x"], r["y"]) for r in out] == [(1, "p"), (2, "q")]
+
+
+def test_sort_and_topk(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a", "a", "b"], "v": [3, 1, 2, 9], "id": [1, 2, 3, 4]})
+    )
+    srt = sort_ops.sort(df, ["v"], [False]).collect()
+    assert [r["v"] for r in srt] == [9, 3, 2, 1]
+    top = sort_ops.top_k_per_group(df, ["g"], [F.col("v").desc()], k=2)
+    assert sorted((r["g"], r["v"]) for r in top.collect()) == [("a", 2), ("a", 3), ("b", 9)]

@@ -1,0 +1,66 @@
+"""Streaming extension tests: real Structured Streaming runs (parquet →
+memory sink) must agree with the batch expression of the same window ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from compss_python_spark.streaming import windows as W
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from compss_python_spark.plans.registry import table
+
+    return table(spark, sf_dir, "events").persist()
+
+
+@pytest.fixture(scope="module")
+def events_us_parquet(spark, events, tmp_path_factory):
+    """events re-written with microsecond timestamps (streaming source can't
+    read TIMESTAMP_NANOS either)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    events.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, events, events_us_parquet):
+    batch = W.tumbling_window_counts(events)
+    schema = events.schema
+    streamed = W.replay_as_stream(
+        spark, events_us_parquet, schema, W.tumbling_window_counts, "t_tumble"
+    )
+    assert _canon(streamed) == _canon(batch)
+
+
+def test_stream_session_equals_batch(spark, events, events_us_parquet):
+    batch = W.session_window_stats(events)
+    streamed = W.replay_as_stream(
+        spark, events_us_parquet, events.schema, W.session_window_stats, "t_sess"
+    )
+    assert _canon(streamed) == _canon(batch)
+
+
+def test_sliding_window_batch(events):
+    out = W.sliding_window_counts(events)
+    # every event lands in exactly window/slide = 2 windows
+    total = out.agg(F.sum("n").alias("s")).first()["s"]
+    assert total == 2 * events.count()
+
+
+def test_streaming_dedup_drops_dupes(spark, events, events_us_parquet, tmp_path_factory):
+    dup_path = str(tmp_path_factory.mktemp("stream") / "dup")
+    events.limit(100).write.mode("overwrite").parquet(dup_path + "/a")
+    events.limit(100).write.mode("overwrite").parquet(dup_path + "/b")
+    stream = spark.readStream.schema(events.schema).option("recursiveFileLookup", "true").parquet(dup_path)
+    out = W.streaming_dedup(stream, keys=("event_id",), watermark="100 days")
+    q = out.writeStream.outputMode("append").format("memory").queryName("t_dedup").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_dedup").count()
+    assert got == 100

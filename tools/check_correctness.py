@@ -1,0 +1,114 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every registry query at the given SF, runs its DuckDB oracle on the
+same parquet, and compares row count + column names + order-insensitive
+values (sorted rows, column-name-sorted).  Exit code 1 on any mismatch.
+
+Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return f"{v:.9g}"
+        return str(v)
+
+    out = df.copy()
+    for c in out.columns:
+        out[c] = out[c].map(norm_cell)
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    from compss_python_spark.plans import REGISTRY
+    from compss_python_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duck_connection(sf_dir)
+
+    failures, rows_only, passed = [], [], []
+    for name, spec in REGISTRY.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"✗ {name}: SPARK ERROR {str(e)[:2000]}")
+            continue
+        if spec.sql is None:
+            rows_only.append(name)
+            print(f"• {name}: rows-only, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(spec.sql).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"✗ {name}: ORACLE ERROR {str(e)[:2000]}")
+            continue
+        sc, oc = sorted(sdf.columns), sorted(odf.columns)
+        if sc != oc:
+            failures.append((name, f"columns {sc} != {oc}"))
+            print(f"✗ {name}: columns {sc} != {oc}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append((name, f"rows {len(sdf)} != {len(odf)}"))
+            print(f"✗ {name}: rows {len(sdf)} != {len(odf)}")
+            continue
+        a, b = canon(sdf), canon(odf)
+        if not a.equals(b):
+            diff_mask = (a != b).any(axis=1)
+            sample = pd.concat(
+                [a[diff_mask].head(3).add_suffix("_spark"), b[diff_mask].head(3).add_suffix("_duck")],
+                axis=1,
+            )
+            failures.append((name, f"values differ on {int(diff_mask.sum())} rows"))
+            print(f"✗ {name}: values differ on {int(diff_mask.sum())}/{len(a)} rows")
+            print(sample.to_string()[:2000])
+            continue
+        passed.append(name)
+        print(f"✓ {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+
+    print(
+        f"\n{len(passed)} matched, {len(rows_only)} rows-only, {len(failures)} failed"
+        f" (of {len(REGISTRY)} registered)"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
