@@ -58,15 +58,44 @@ def shingles(text_col: str, n: int = 3):
 
 
 def minhash_signature(shingle_col, num_hashes: int = 64):
-    """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
-
-    Pure JVM: transform over a seed sequence, array_min inside — no UDF.
+    """MinHash signature expression: for seed i, min over shingles of
+    xxhash64(s, i).  Fine for small inputs / tests; `minhash_signatures`
+    (the aggregation form below) is the scale path — this nested
+    higher-order expression is interpreted (no codegen) and re-evaluates
+    the shingle expression once per seed.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(shingle_col, lambda s: F.xxhash64(s, i))
         ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) via explode + hash-once + 64 min-aggregates.
+
+    Scale path: each shingle string is hashed ONCE (xxhash64), the per-seed
+    variants are cheap long re-hashes, and the groupBy(id) runs with map-side
+    partial aggregation, so the shuffle carries `num_hashes` longs per id per
+    map partition — independent of document length.  Whole-stage codegen
+    applies throughout (no higher-order lambdas in the hot path).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, shingle_n)).alias("_s"),
+    ).withColumn("_h", F.xxhash64("_s"))
+    mins = [
+        F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
+    ]
+    return exploded.groupBy("_id").agg(*mins).select(
+        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig")
     )
 
 
@@ -90,10 +119,7 @@ def minhash_lsh_pairs(
     zip_with agreement.  The band self-join is the only wide op.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
-    ).persist()
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
 
     banded = sig.select(
         "_id",
