@@ -235,6 +235,36 @@ def simhash(text_col: str, bits: int = 64):
     return packed
 
 
+def simhashes(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash) via explode + hash-once + per-bit sum aggregates.
+
+    Scale path (same reasoning as `minhash_signatures`): one xxhash64 per
+    token, 64 codegen'd conditional-sum aggregates with map-side partial
+    aggregation; shuffle carries 64 longs per doc.  The expression form
+    `simhash()` is interpreted and re-hashes every token per bit.
+    """
+    masks = _bit_masks(bits)
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    sums = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"_c{j}")
+        for j, m in enumerate(masks)
+    ]
+    packed = F.aggregate(
+        F.zip_with(
+            F.array(*[f"_c{j}" for j in range(bits)]),
+            F.array(*[F.lit(m).cast("long") for m in masks]),
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return exploded.groupBy("_id").agg(*sums).select("_id", packed.alias("_sh"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -246,7 +276,7 @@ def simhash_pairs(
     (pigeonhole: hamming ≤ bands−1 guarantees an exact-match band), candidate
     pairs share a chunk, verified with bit_count(xor) ≤ max_hamming."""
     chunk = 64 // bands
-    h = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+    h = simhashes(df, id_col, text_col)
     banded = h.select(
         "_id",
         "_sh",

@@ -80,6 +80,42 @@ def _local_dbscan(pdf: pd.DataFrame, eps: float, min_pts: int, dims: list[str]) 
     return out
 
 
+def _grid_halo(
+    point: DataFrame, dims: list[str], cell_sizes: list[float], margins: list[float]
+) -> DataFrame:
+    """Assign each point to its grid cell and replicate it into any neighbor
+    cell whose box it is within margin of (halo replication, ≤ 3^ndim
+    copies; in practice ~1 + boundary fraction).
+
+    Single scan: per row, build the array of qualifying cell ids (null for
+    non-qualifying offsets, compacted away) and explode it — one narrow
+    projection instead of a 3^ndim-branch union re-scanning the input.
+    """
+    offsets = [()]
+    for _ in range(len(dims)):
+        offsets = [o + (d,) for o in offsets for d in (-1, 0, 1)]
+
+    candidates = []
+    for off in offsets:
+        include = F.lit(True)
+        for d, o, cell, eps in zip(dims, off, cell_sizes, margins):
+            c_target = F.floor(F.col(d) / cell) + o
+            lo = c_target * cell
+            hi = (c_target + 1) * cell
+            include = include & (F.col(d) >= lo - eps) & (F.col(d) < hi + eps)
+        cell_id = F.concat_ws(
+            "_",
+            *[
+                (F.floor(F.col(d) / cell) + o).cast("long")
+                for d, o, cell in zip(dims, off, cell_sizes)
+            ],
+        )
+        candidates.append(F.when(include, cell_id))
+    return point.withColumn(
+        "_cell", F.explode(F.array_compact(F.array(*candidates)))
+    )
+
+
 def dbscan(
     df: DataFrame,
     dims: list[str],
@@ -101,31 +137,9 @@ def dbscan(
     Noise points get cluster −1, matching the reference.
     """
     cell = cell_size or (2.0 * eps)
-    ndim = len(dims)
-
-    # Replicate each point into its own cell + any neighbor cell whose
-    # boundary is within eps (≤ 2^ndim cells — halo replication).
-    offsets = [()]
-    for _ in range(ndim):
-        offsets = [o + (d,) for o in offsets for d in (-1, 0, 1)]
-
-    point = df.select(id_col, *dims)
-    cells = None
-    for off in offsets:
-        shifted = point
-        include = F.lit(True)
-        for d, o in zip(dims, off):
-            c_here = F.floor(F.col(d) / cell)
-            c_target = c_here + o
-            # point is relevant to target cell iff within eps of that cell's box
-            lo = c_target * cell
-            hi = (c_target + 1) * cell
-            include = include & (F.col(d) >= lo - eps) & (F.col(d) < hi + eps)
-        cell_id = F.concat_ws(
-            "_", *[(F.floor(F.col(d) / cell) + o).cast("long") for d, o in zip(dims, off)]
-        )
-        shifted = shifted.withColumn("_cell", cell_id).filter(include)
-        cells = shifted if cells is None else cells.unionByName(shifted)
+    cells = _grid_halo(
+        df.select(id_col, *dims), dims, [cell] * len(dims), [eps] * len(dims)
+    )
 
     schema = f"{','.join(f'{c} double' for c in dims)}, {id_col} long, _cell string, local_label int, is_core boolean"
     labeled = cells.groupBy("_cell").applyInPandas(
@@ -134,6 +148,11 @@ def dbscan(
         ],
         schema=schema,
     )
+    return _merge_cells(df, labeled, id_col)
+
+
+def _merge_cells(df: DataFrame, labeled: DataFrame, id_col: str) -> DataFrame:
+    """Union-find merge of per-cell cluster labels into global cluster ids."""
     labeled = labeled.filter(F.col("local_label") >= 0).withColumn(
         "gl", F.concat_ws("#", "_cell", F.col("local_label").cast("string"))
     ).persist()
@@ -183,3 +202,84 @@ def dbscan(
     )
     out = df.join(assign.join(F.broadcast(ids), "root").select(id_col, "cluster"), id_col, "left")
     return out.withColumn("cluster", F.coalesce(F.col("cluster"), F.lit(-1)))
+
+
+# --- ST-DBSCAN -------------------------------------------------------------
+
+
+def _local_stdbscan(
+    pdf: pd.DataFrame,
+    eps_spatial: float,
+    eps_temporal: float,
+    min_pts: int,
+    spatial_dims: list[str],
+    t_dim: str,
+) -> pd.DataFrame:
+    """ST-DBSCAN neighbor predicate: spatial Euclidean ≤ eps_spatial AND
+    |Δt| ≤ eps_temporal (two independent radii, Birant & Kut 2007 — NOT a
+    scaled-Euclidean ellipsoid)."""
+    pts = pdf[spatial_dims].to_numpy(dtype=float)
+    ts = pdf[t_dim].to_numpy(dtype=float)
+    m = len(pts)
+    labels = np.full(m, -1, dtype=int)
+    core = np.zeros(m, dtype=bool)
+    if m:
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        dt = np.abs(ts[:, None] - ts[None, :])
+        neigh = (d2 <= eps_spatial * eps_spatial) & (dt <= eps_temporal)
+        core = neigh.sum(1) >= min_pts
+        cluster = 0
+        for i in range(m):
+            if labels[i] != -1 or not core[i]:
+                continue
+            stack = [i]
+            labels[i] = cluster
+            while stack:
+                j = stack.pop()
+                if core[j]:
+                    for nb in np.flatnonzero(neigh[j]):
+                        if labels[nb] == -1:
+                            labels[nb] = cluster
+                            stack.append(nb)
+            cluster += 1
+    out = pdf.copy()
+    out["local_label"] = labels
+    out["is_core"] = core
+    return out
+
+
+def stdbscan(
+    df: DataFrame,
+    spatial_dims: list[str],
+    ts_col: str,
+    eps_spatial: float,
+    eps_temporal: float,
+    min_pts: int,
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Spatio-temporal DBSCAN [ref: ddf_library/functions/ml/clustering.py
+    STDBSCAN]: the DBSCAN grid/merge machinery with a third (time) grid axis
+    sized by eps_temporal.  `ts_col` may be a timestamp (cast to epoch
+    seconds) or numeric; `eps_temporal` is in seconds.
+
+    Scale: the shuffle is one hash partition on grid cell; halo duplication
+    is bounded by 3^3 worst case and ~(1+3·margin/cell) expected.  Per-cell
+    work is vectorized numpy; the cross-cell merge moves only (cell, label)
+    edges to the driver.
+    """
+    t = df.withColumn("_t", F.col(ts_col).cast("double"))
+    dims = [*spatial_dims, "_t"]
+    cells = _grid_halo(
+        t.select(id_col, *dims),
+        dims,
+        [2 * eps_spatial] * len(spatial_dims) + [2 * eps_temporal],
+        [eps_spatial] * len(spatial_dims) + [eps_temporal],
+    )
+    schema = f"{','.join(f'{c} double' for c in dims)}, {id_col} long, _cell string, local_label int, is_core boolean"
+    labeled = cells.groupBy("_cell").applyInPandas(
+        lambda pdf: _local_stdbscan(
+            pdf, eps_spatial, eps_temporal, min_pts, spatial_dims, "_t"
+        )[[*dims, id_col, "_cell", "local_label", "is_core"]],
+        schema=schema,
+    )
+    return _merge_cells(df, labeled, id_col)

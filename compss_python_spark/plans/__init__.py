@@ -13,5 +13,6 @@ from compss_python_spark.plans import queries_agg  # noqa: F401
 from compss_python_spark.plans import queries_stats  # noqa: F401
 from compss_python_spark.plans import queries_llm  # noqa: F401
 from compss_python_spark.plans import queries_ml  # noqa: F401
+from compss_python_spark.plans import queries_geo  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "table"]

@@ -1,0 +1,128 @@
+"""Geo operators: shapefile parsing, geo_within ray-cast, ST-DBSCAN."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from compss_python_spark.geo import geo_within, read_shapefile, stdbscan
+from compss_python_spark.geo.geo import polygons_from_rings
+
+
+def _write_shp(path, rings):
+    """Write a minimal ESRI shapefile (Polygon, type 5) for round-trip tests."""
+    records = b""
+    for i, ring in enumerate(rings):
+        xs, ys = [p[0] for p in ring], [p[1] for p in ring]
+        payload = struct.pack("<i", 5)
+        payload += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+        payload += struct.pack("<ii", 1, len(ring))
+        payload += struct.pack("<i", 0)
+        for x, y in ring:
+            payload += struct.pack("<dd", x, y)
+        records += struct.pack(">ii", i + 1, len(payload) // 2) + payload
+    header = struct.pack(">i", 9994) + b"\x00" * 20
+    header += struct.pack(">i", (100 + len(records)) // 2)
+    header += struct.pack("<ii", 1000, 5)
+    header += struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(header + records)
+
+
+def _write_dbf(path, names, rows):
+    """Minimal dBASE III writer: all fields C(16)."""
+    flen = 16
+    fields = b""
+    for n in names:
+        fields += n.encode().ljust(11, b"\x00") + b"C" + b"\x00" * 4 + bytes([flen]) + b"\x00" * 15
+    header_len = 32 + len(fields) + 1
+    record_len = 1 + flen * len(names)
+    header = struct.pack("<BBBBIHH", 3, 24, 1, 1, len(rows), header_len, record_len)
+    header += b"\x00" * 20 + fields + b"\x0d"
+    recs = b""
+    for row in rows:
+        recs = recs + b" " + b"".join(str(v).encode().ljust(flen)[:flen] for v in row)
+    with open(path, "wb") as f:
+        f.write(header + recs + b"\x1a")
+
+
+SQUARE = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+# Concave "L" polygon: unit test for the even-odd rule beyond rectangles.
+ELL = [(0.0, 0.0), (6.0, 0.0), (6.0, 2.0), (2.0, 2.0), (2.0, 6.0), (0.0, 6.0)]
+
+
+def test_shapefile_roundtrip(spark, tmp_path):
+    shp, dbf = str(tmp_path / "t.shp"), str(tmp_path / "t.dbf")
+    _write_shp(shp, [SQUARE, ELL])
+    _write_dbf(dbf, ["NAME"], [["square"], ["ell"]])
+    df = read_shapefile(spark, shp, dbf)
+    rows = {r["geom_id"]: r for r in df.collect()}
+    assert rows[0]["NAME"] == "square"
+    assert [(p["x"], p["y"]) for p in rows[0]["points"]] == SQUARE
+    assert [(p["x"], p["y"]) for p in rows[1]["points"]] == ELL
+
+
+def _ray_cast(px, py, ring):
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+        if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+def test_geo_within_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(-2, 12, (300, 2)))]
+    pdf = spark.createDataFrame(pts, "id long, px double, py double")
+    polys = polygons_from_rings(spark, [SQUARE, ELL])
+    got = {
+        (r["id"], r["geom_id"])
+        for r in geo_within(pdf, polys, lat_col="py", lon_col="px").collect()
+    }
+    want = {
+        (i, g)
+        for i, x, y in pts
+        for g, ring in enumerate([SQUARE, ELL])
+        if _ray_cast(x, y, ring)
+    }
+    assert got == want
+    assert any(g == 1 for _, g in want)  # concave polygon exercised
+
+
+def test_geo_within_concave_notch_excluded(spark):
+    # (4, 4) is inside ELL's bounding box but outside the L shape.
+    pdf = spark.createDataFrame([(1, 4.0, 4.0), (2, 1.0, 1.0)], "id long, px double, py double")
+    polys = polygons_from_rings(spark, [ELL])
+    got = [r["id"] for r in geo_within(pdf, polys, lat_col="py", lon_col="px").collect()]
+    assert got == [2]
+
+
+def test_stdbscan_separates_time_blobs(spark):
+    """Two blobs at the SAME location, 1 hour apart → separate clusters;
+    plain DBSCAN on space alone would merge them."""
+    rng = np.random.default_rng(11)
+    a = [(i, float(x), float(y), 0.0 + rng.uniform(0, 60)) for i, (x, y) in enumerate(rng.normal(0, 0.3, (30, 2)))]
+    b = [(100 + i, float(x), float(y), 3600.0 + rng.uniform(0, 60)) for i, (x, y) in enumerate(rng.normal(0, 0.3, (30, 2)))]
+    noise = [(200, 50.0, 50.0, 0.0)]
+    df = spark.createDataFrame(a + b + noise, "point_id long, x double, y double, t double")
+    out = stdbscan(df, ["x", "y"], "t", eps_spatial=1.0, eps_temporal=300.0, min_pts=5)
+    rows = {r["point_id"]: r["cluster"] for r in out.collect()}
+    ca = {rows[i] for i, *_ in a}
+    cb = {rows[i] for i, *_ in b}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+    assert -1 not in ca | cb
+    assert rows[200] == -1
+
+
+def test_stdbscan_merges_across_grid_cells(spark):
+    """A dense line of points crossing many grid cells stays one cluster."""
+    pts = [(i, i * 0.4, 0.0, float(i)) for i in range(50)]
+    df = spark.createDataFrame(pts, "point_id long, x double, y double, t double")
+    out = stdbscan(df, ["x", "y"], "t", eps_spatial=0.5, eps_temporal=10.0, min_pts=3)
+    clusters = {r["cluster"] for r in out.collect()}
+    assert clusters == {0}
