@@ -153,6 +153,29 @@ class DDF:
     def except_all(self, other: "DDF") -> "DDF":
         return DDF(setops.except_all(self.df, other.df))
 
+    # -- §2.3/§2.9 geo -------------------------------------------------------
+    def geo_within(
+        self,
+        shp_ddf: "DDF",
+        lat_col: str,
+        lon_col: str,
+        polygon_col: str = "points",
+        attributes: Sequence[str] | None = None,
+    ) -> "DDF":
+        """[ref: ddf_library/functions/geo.py geo_within]"""
+        from compss_python_spark.geo import geo_within as _geo_within
+
+        return DDF(
+            _geo_within(
+                self.df,
+                shp_ddf.df,
+                lat_col=lat_col,
+                lon_col=lon_col,
+                polygon_col=polygon_col,
+                attributes=list(attributes) if attributes else None,
+            )
+        )
+
     # -- §2.7 statistics (scalar results) ------------------------------------
     def correlation(self, col1: str, col2: str) -> float:
         from compss_python_spark.functions import statistics
@@ -173,6 +196,15 @@ class DDF:
     def freq_items(self, cols, support: float = 0.01) -> list:
         from compss_python_spark.functions import statistics
         return statistics.freq_items(self.df, cols, support)
+
+    def kolmogorov_smirnov_one_sample(self, col: str, distribution: str = "norm"):
+        """[ref: ddf_library/functions/statistics/kolmogorov_smirnov.py] —
+        one-sample KS test vs the normal distribution."""
+        from compss_python_spark.functions import statistics
+
+        if distribution != "norm":
+            raise NotImplementedError("only 'norm' is supported (as in tests)")
+        return statistics.ks_one_sample_normal(self.df, col)
 
     # -- actions / misc [ref: ddf_library/ddf.py] ----------------------------
     def cache(self) -> "DDF":

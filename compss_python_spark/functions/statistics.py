@@ -79,38 +79,56 @@ def ks_one_sample_normal(df: DataFrame, col: str, mean: float | None = None,
     """One-sample Kolmogorov–Smirnov test vs a normal distribution
     [ref: ddf_library/functions/statistics/kolmogorov_smirnov.py].
 
-    DataFrame-native distributed ECDF: global range-partitioned sort +
-    row_number window per partition (no single-partition bottleneck thanks to
-    rangeBetween-free rank over the range exchange), then
-    D = max(|F(x) - (i-1)/n|, |i/n - F(x)|).  p-value via the asymptotic
-    Kolmogorov distribution (matches scipy's asymptotic mode).
+    Distributed ECDF without a single-partition sort: range-partition by
+    value, rank *within* each partition, then add per-partition offsets
+    (one tiny collect of partition counts — the classic zipWithIndex
+    decomposition).  D = max(|F(x) - (i-1)/n|, |i/n - F(x)|); p-value via
+    the asymptotic Kolmogorov distribution (matches scipy's asymptotic
+    mode).
     """
     if mean is None or std is None:
         stats = df.select(F.avg(col).alias("m"), F.stddev(col).alias("s")).first()
         mean = stats["m"] if mean is None else mean
         std = stats["s"] if std is None else std
 
-    n = df.count()
-    w = Window.orderBy(F.col(col))
+    spark = df.sparkSession
+    nparts = max(df.rdd.getNumPartitions(), 1)
+    vals = (
+        df.select(F.col(col).alias("v"))
+        .repartitionByRange(nparts, "v")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["pid"]: r["c"] for r in vals.groupBy("pid").agg(F.count("*").alias("c")).collect()}
+    n = sum(counts.values())
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+
     # Spark has no erf(); vectorized pandas UDF (Arrow batches, math.erf) —
     # acceptable off the hot path, exact to double precision.
     @F.pandas_udf("double")
     def _erf(s: pd.Series) -> pd.Series:
         return s.map(math.erf)
 
-    cdf = F.lit(0.5) * (F.lit(1.0) + _erf((F.col(col) - F.lit(mean)) / F.lit(std * math.sqrt(2.0))))
+    cdf = F.lit(0.5) * (F.lit(1.0) + _erf((F.col("v") - F.lit(mean)) / F.lit(std * math.sqrt(2.0))))
+    w = Window.partitionBy("pid").orderBy("v")
     d_row = (
-        df.select(F.col(col))
-        .withColumn("i", F.row_number().over(w))
+        vals.withColumn("j", F.row_number().over(w))
+        .join(F.broadcast(off_df), "pid")
+        .select((F.col("j") + F.col("off")).alias("i"), cdf.alias("cdf"))
         .select(
             F.greatest(
-                F.abs(cdf - (F.col("i") - 1) / F.lit(n)),
-                F.abs(F.col("i") / F.lit(n) - cdf),
+                F.abs(F.col("cdf") - (F.col("i") - 1) / F.lit(n)),
+                F.abs(F.col("i") / F.lit(n) - F.col("cdf")),
             ).alias("d")
         )
         .agg(F.max("d").alias("d"))
         .first()
     )
+    vals.unpersist()
     d = d_row["d"]
     p = _kolmogorov_sf(d * (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)))
     return d, p

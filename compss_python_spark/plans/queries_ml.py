@@ -127,17 +127,64 @@ def ml_tfidf_norm(spark, sf_dir):
     )
 
 
-@query("graph_pagerank", sql=None)
-def graph_pagerank(spark, sf_dir):
-    """PageRank on the customer→supplier edge graph derived from orders ⋈
-    lineitem (rows-only; Σrank≈1 asserted in tests)."""
-    from compss_python_spark.graph.pagerank import pagerank
+def _cust_supp_edges(spark, sf_dir):
+    """customer→supplier edge table from orders ⋈ lineitem; supplier node
+    ids offset by 1e6 so the two key spaces can't collide."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
-    edges = (
+    return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
         .distinct()
     )
+
+
+@query("graph_pagerank", sql=None)
+def graph_pagerank(spark, sf_dir):
+    """PageRank on the directed customer→supplier graph (all suppliers are
+    dangling → exercises dangling-mass redistribution; rows-only because the
+    dangling formulation isn't recursively SQL-expressible with a single
+    self-reference; Σrank≈1 asserted in tests)."""
+    from compss_python_spark.graph.pagerank import pagerank
+
+    ranks = pagerank(_cust_supp_edges(spark, sf_dir), max_iters=8)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+@query(
+    "graph_pagerank_symmetric",
+    sql="""
+    WITH RECURSIVE
+    base AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    deg AS (SELECT src AS node, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
+    n_nodes AS (SELECT COUNT(DISTINCT node)::DOUBLE AS n FROM deg),
+    pr(iter, node, rank) AS (
+      SELECT 0, node, 1.0/(SELECT n FROM n_nodes) FROM deg
+      UNION ALL
+      SELECT p.iter + 1, e.dst,
+             0.15/(SELECT n FROM n_nodes) + 0.85 * SUM(p.rank / d.deg)
+      FROM pr p JOIN deg d ON d.node = p.node JOIN edges e ON e.src = p.node
+      WHERE p.iter < 8
+      GROUP BY p.iter, e.dst
+    )
+    SELECT node, ROUND(rank, 8) AS rank FROM pr WHERE iter = 8
+    """,
+)
+def graph_pagerank_symmetric(spark, sf_dir):
+    """PageRank on the symmetrized graph (no dangling nodes) — exact-value
+    parity with an 8-iteration recursive-CTE oracle in DuckDB."""
+    from compss_python_spark.graph.pagerank import pagerank
+
+    base = _cust_supp_edges(spark, sf_dir)
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     ranks = pagerank(edges, max_iters=8)
     return ranks.select("node", F.round("rank", 8).alias("rank"))

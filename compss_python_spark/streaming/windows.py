@@ -93,11 +93,16 @@ def replay_as_stream(
     query_builder,
     query_name: str = "stream_out",
     output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Test harness: drive a parquet table through a real streaming query
     into a memory sink, synchronously (processAllAvailable), and return the
-    materialized result."""
-    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    materialized result.  ``max_files_per_trigger`` forces multiple
+    micro-batches (exercises cross-batch state)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_path)
     out = query_builder(stream)
     q = (
         out.writeStream.outputMode(output_mode)

@@ -64,3 +64,30 @@ def test_streaming_dedup_drops_dupes(spark, events, events_us_parquet, tmp_path_
         q.stop()
     got = spark.table("t_dedup").count()
     assert got == 100
+
+
+def test_stateful_running_totals_equals_batch(spark, events, events_us_parquet):
+    """applyInPandasWithState per-key running totals: after replaying the
+    whole table, the last emitted update per key must equal the batch agg."""
+    from compss_python_spark.streaming.stateful import running_totals_stateful
+
+    streamed = W.replay_as_stream(
+        spark,
+        events_us_parquet,
+        events.schema,
+        running_totals_stateful,
+        "t_stateful",
+        output_mode="update",
+        max_files_per_trigger=4,  # force several micro-batches → state carries over
+    )
+    # update mode emits one row per key per micro-batch; the final state is
+    # the row with the largest n per key.
+    final = (
+        streamed.groupBy("user_id")
+        .agg(F.max(F.struct("n", "total")).alias("s"))
+        .select("user_id", "s.n", "s.total")
+    )
+    batch = events.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    assert _canon(final) == _canon(batch)
