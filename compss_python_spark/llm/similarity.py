@@ -136,6 +136,77 @@ def lsh_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer →
+    corpus partitioned into cells → each query probes its ``nprobe``
+    nearest cells → exact cosine re-rank within probed cells.
+
+    The scale path when both sides are large: the corpus is hash-partitioned
+    once on cell id; per query only ``nprobe/n_cells`` of the corpus is
+    scanned.  Centroids are trained with spark.ml KMeans (k-means||) and
+    embedded in the plan as literals — the assignment join is a plain
+    equi-join on cell id, no UDFs.
+    """
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"))
+    model = MLKMeans(k=n_cells, seed=seed, featuresCol="_v", maxIter=10).fit(train)
+    centroids = [c.tolist() for c in model.clusterCenters()]
+
+    def cell_dists(vcol: Column) -> Column:
+        v = vcol.cast("array<double>")
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(v, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("cell", F.array_min(cell_dists(F.col("_cv"))).cell)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cell_dists(F.col("_qv"))), 1, nprobe),
+                lambda s: s.cell,
+            )
+        ),
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_expr(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def nearest_centroid(
     df: DataFrame,
     centroids: list[list[float]],

@@ -172,6 +172,14 @@ def similarity_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter("vec_id < 10"), k=5, num_planes=4)
 
 
+@query("similarity_topk_ivf", sql=None)
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer, nprobe=3 of 16 cells) — centroid
+    init is engine-specific → rows-only; recall asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
 @query(
     "multimodal_bytes",
     sql="""

@@ -127,6 +127,37 @@ def ml_tfidf_norm(spark, sf_dir):
     )
 
 
+@query(
+    "ml_tfidf_norm_exact",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, t.term
+      FROM documents, UNNEST(string_split_regex(lower(text), '\s+')) AS t(term)
+      WHERE LENGTH(t.term) >= 1
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+    nq AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+    SELECT doc_id, ROUND(SUM(tf * LN(((SELECT n FROM nq)+1)/(df+1))), 4) AS tfidf_l1
+    FROM tf JOIN dfq USING (term) GROUP BY doc_id
+    """,
+)
+def ml_tfidf_norm_exact(spark, sf_dir):
+    """RegexTokenizer → CountVectorizer+IDF; per-doc tf-idf L1 norm with a
+    from-first-principles SQL oracle (validates Spark's IDF formula
+    ln((N+1)/(df+1)) and exact counting end-to-end)."""
+    from compss_python_spark.ml.feature import regex_tokenizer, tfidf
+
+    docs = regex_tokenizer(
+        table(spark, sf_dir, "documents"), "text", "tokens", pattern=r"\s+"
+    )
+    out, _model = tfidf(docs, "tokens", use_hashing=False)
+    return out.select(
+        "doc_id",
+        F.round(F.aggregate("tfidf", F.lit(0.0), lambda a, v: a + v), 4).alias("tfidf_l1"),
+    )
+
+
 def _cust_supp_edges(spark, sf_dir):
     """customer→supplier edge table from orders ⋈ lineitem; supplier node
     ids offset by 1e6 so the two key spaces can't collide."""

@@ -1,0 +1,124 @@
+"""Fluent DDF/Context facade: the reference-parity public API end-to-end.
+
+A user of the reference switches `COMPSsContext()` → `Context()` and keeps
+their method chains; these tests exercise those chains as a user would.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from compss_python_spark.ddf import DDF, Context
+
+
+@pytest.fixture(scope="module")
+def cc(spark):
+    return Context(spark)
+
+
+@pytest.fixture(scope="module")
+def orders(cc, sf_dir):
+    return cc.read.parquet(f"{sf_dir}/orders.parquet").cache()
+
+
+def test_read_filter_select_sort_take(orders):
+    out = (
+        orders.filter("o_orderstatus == 'F' and o_totalprice > 1000")
+        .select(["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice"], ascending=[False])
+        .take(5)
+        .to_df()
+    )
+    assert len(out) == 5
+    assert list(out.columns) == ["o_orderkey", "o_totalprice"]
+    assert out["o_totalprice"].is_monotonic_decreasing
+
+
+def test_groupby_sugar(orders):
+    g = orders.group_by(["o_orderstatus"])
+    counts = g.count().to_df().set_index("o_orderstatus")["count"]
+    sums = g.sum(["o_totalprice"]).to_df().set_index("o_orderstatus")["sum_o_totalprice"]
+    pdf = orders.to_df()
+    expect = pdf.groupby("o_orderstatus")["o_totalprice"].agg(["count", "sum"])
+    assert counts.to_dict() == expect["count"].to_dict()
+    for k, v in expect["sum"].items():
+        assert sums[k] == pytest.approx(v)
+
+
+def test_agg_dict_with_ordered_list(orders):
+    out = (
+        orders.group_by(["o_orderstatus"])
+        .agg({"o_totalprice": [("max", "max_price"), ("count", "n")]})
+        .to_df()
+    )
+    assert set(out.columns) == {"o_orderstatus", "max_price", "n"}
+
+
+def test_map_cast_rename_drop(cc):
+    src = cc.parallelize(pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
+    out = (
+        src.map("a * 10", "a10")
+        .cast(["a10"], ["string"])
+        .with_column_renamed("b", "label")
+        .drop(["a"])
+        .to_df()
+    )
+    assert sorted(out.columns) == ["a10", "label"]
+    assert out["a10"].tolist() == ["10", "20", "30"]
+
+
+def test_clean_missing_modes(cc):
+    src = cc.parallelize(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": [1.0, None, 3.0, None]})
+    )
+    assert src.clean_missing(["v"], mode="REMOVE_ROW").count_rows() == 2
+    filled = src.clean_missing(["v"], mode="MEAN").to_df().sort_values("k")
+    assert filled["v"].tolist() == [1.0, 2.0, 3.0, 2.0]
+
+
+def test_add_column_positional(cc):
+    left = cc.parallelize(pd.DataFrame({"id": [3, 1, 2], "a": ["c", "a", "b"]}))
+    right = cc.parallelize(pd.DataFrame({"id2": [30, 10, 20], "b": ["C", "A", "B"]}))
+    out = left.add_column(right, order_by1=["id"], order_by2=["id2"]).to_df()
+    out = out.sort_values("id")
+    assert out["b"].tolist() == ["A", "B", "C"]  # aligned by sorted position
+
+
+def test_join_union_setops(cc):
+    d1 = cc.parallelize(pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    d2 = cc.parallelize(pd.DataFrame({"k": [2, 3, 4], "w": ["B", "C", "D"]}))
+    joined = d1.join(d2, ["k"]).to_df()
+    assert sorted(joined["k"].tolist()) == [2, 3]
+    u = d1.select(["k"]).union(d2.select(["k"])).count_rows()
+    assert u == 6
+    inter = d1.select(["k"]).intersect(d2.select(["k"])).to_df()
+    assert sorted(inter["k"].tolist()) == [2, 3]
+    sub = d1.select(["k"]).subtract(d2.select(["k"])).to_df()
+    assert sub["k"].tolist() == [1]
+
+
+def test_sample_split_schema(orders):
+    n = orders.count_rows()
+    s = orders.sample(n=50)
+    assert s.count_rows() == 50
+    a, b = orders.split(0.25)
+    assert a.count_rows() + b.count_rows() == n
+    assert "o_orderkey" in [f.name for f in orders.schema()]
+    assert orders.num_of_partitions() >= 1
+
+
+def test_statistics_methods(orders):
+    corr = orders.correlation("o_orderkey", "o_totalprice")
+    assert -1.0 <= corr <= 1.0
+    cov = orders.covariance("o_orderkey", "o_totalprice")
+    assert isinstance(cov, float)
+    desc = orders.describe(["o_totalprice"]).to_df()
+    assert not desc.empty
+
+
+def test_save_roundtrip(cc, orders, tmp_path):
+    path = str(tmp_path / "orders_out")
+    orders.select(["o_orderkey", "o_totalprice"]).save.parquet(path)
+    back = cc.read.parquet(path)
+    assert back.count_rows() == orders.count_rows()

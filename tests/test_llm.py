@@ -144,3 +144,14 @@ def test_embedding_near_dup_symmetric_bound(emb):
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_ivf_topk_recall(emb):
+    exact = similarity.brute_force_topk(emb, emb.filter("vec_id < 20"), k=5)
+    approx = similarity.ivf_topk(
+        emb, emb.filter("vec_id < 20"), k=5, n_cells=8, nprobe=4
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"IVF recall {recall} too low for nprobe=4/8 cells"
