@@ -186,18 +186,41 @@ def clean_missing_fill_stat(df: DataFrame, subset: Sequence[str], strategy: str 
 
 
 def with_row_index(df: DataFrame, order_by: Sequence[str], name: str = "_idx") -> DataFrame:
-    """Stable 0-based global row index under an explicit ordering.
+    """Stable 0-based global row index under an explicit (total) ordering.
 
-    Scale note: a single global ``row_number`` window serializes on one
-    partition.  We use ``zipWithIndex``-equivalent two-phase numbering:
-    range-partition by the key, count per partition, then offset — fully
-    parallel.  For the data sizes where positional ops are actually used
-    (add_column pairing), a window over a range-partitioned sort is
-    acceptable; Spark's sort is already a parallel range sort and only the
-    final numbering is windowed.
+    ``zipWithIndex``-equivalent two-phase numbering — range-partition by the
+    key, rank locally, add per-partition offsets (one tiny collect of
+    partition counts) — instead of a global ``row_number`` window, which
+    would serialize the whole input onto one partition.
+
+    The range-partitioned frame is persisted so the counting pass and the
+    numbering pass see identical partition contents; the cache is dropped
+    lazily by Spark's LRU (callers doing one-shot positional ops never
+    rebuild it).
     """
-    w = Window.orderBy(*order_by)
-    return df.withColumn(name, F.row_number().over(w) - F.lit(1))
+    spark = df.sparkSession
+    nparts = max(df.rdd.getNumPartitions(), 1)
+    parted = (
+        df.repartitionByRange(nparts, *[F.col(c) for c in order_by])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        parted.withColumn("_j", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(name, F.col("_j") + F.col("_off") - 1)
+        .drop("_pid", "_j", "_off")
+    )
 
 
 def add_column(

@@ -557,3 +557,73 @@ def except_all_bag(spark, sf_dir):
     a = ev.filter("value > 20").select("user_id")
     b = ev.filter("value > 60").select("user_id")
     return setops.except_all(a, b)
+
+
+@query(
+    "asof_join_events",
+    sql="""
+    WITH err AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT user_id, ts, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value, p.pval AS prev_purchase
+    FROM err e ASOF LEFT JOIN pur p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join (engine extension — Spark lacks it, DuckDB's native ASOF
+    JOIN is the oracle): each error event picks up the latest prior purchase
+    value of the same user via the union + last(ignorenulls) window
+    formulation (one shuffle on user_id, no range self-join)."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts", "value")
+    pur = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = joins.asof_join(err, pur, on="ts", by=["user_id"], value_cols=["pval"])
+    return out.select(
+        "event_id", "user_id", "ts", "value", F.col("pval").alias("prev_purchase")
+    )
+
+
+@query(
+    "range_join_incidents",
+    sql="""
+    WITH hourly AS (
+      SELECT DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1 HAVING COUNT(*) >= 20
+    ),
+    windows AS (
+      SELECT EPOCH(h) AS w_start, EPOCH(h) + 3600 AS w_end FROM hourly
+    ),
+    err AS (
+      SELECT event_id, EPOCH(ts) AS t FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id, CAST(w.w_start AS BIGINT) AS w_start
+    FROM err e JOIN windows w ON e.t >= w.w_start AND e.t < w.w_end
+    """,
+)
+def range_join_incidents(spark, sf_dir):
+    """Bucketed range join (engine extension): error events falling inside
+    busy-hour incident windows; oracle is DuckDB's plain inequality join."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .filter("n >= 20")
+    )
+    windows = hourly.select(
+        F.unix_timestamp("h").cast("double").alias("w_start"),
+        (F.unix_timestamp("h") + 3600).cast("double").alias("w_end"),
+    )
+    err = ev.filter("event_type = 'error'").select(
+        "event_id", F.unix_timestamp("ts").cast("double").alias("t")
+    )
+    out = joins.range_join(err, windows, "t", "w_start", "w_end", bucket_width=3600.0)
+    return out.select("event_id", F.col("w_start").cast("long").alias("w_start"))

@@ -159,3 +159,24 @@ def test_sort_and_topk(spark):
     assert [r["v"] for r in srt] == [9, 3, 2, 1]
     top = sort_ops.top_k_per_group(df, ["g"], [F.col("v").desc()], k=2)
     assert sorted((r["g"], r["v"]) for r in top.collect()) == [("a", 2), ("a", 3), ("b", 9)]
+
+
+def test_asof_join_edges(spark):
+    from compss_python_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 6, 60.0)],
+        "k long, ts long, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(left, right, on="ts", by=["k"], value_cols=["v"]).collect()
+    }
+    assert out[(1, 10)] == 100.0   # equal ts matches (<= semantics)
+    assert out[(1, 20)] == 150.0   # latest prior
+    assert out[(2, 5)] is None     # right row is later -> no match
+    assert out[(3, 7)] is None     # key absent from right
