@@ -171,3 +171,27 @@ def range_join(
     l_bucket = left.withColumn("_bkt", F.floor(p / bucket_width))
     cond = (p >= F.col(start_col)) & (p < F.col(end_col))
     return l_bucket.join(r_buckets, "_bkt", how).filter(cond).drop("_bkt")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key over ``salt_buckets``
+    reducer partitions.
+
+    The big (skewed) side gets a random salt in [0, n); the small side is
+    replicated once per salt value and the join runs on (key, salt).
+    Complements AQE's runtime skew splitting (spark.sql.adaptive.skewJoin):
+    use this when the skew is known ahead of time and the right side is too
+    large to broadcast but cheap to replicate ``n``×.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l.join(r, [*on, "_salt"], how).drop("_salt")

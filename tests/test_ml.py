@@ -239,3 +239,22 @@ def test_string_indexer_roundtrip(spark):
     assert indexed.filter("c = 'b'").first()["label_idx"] == 0.0  # most frequent
     back = index_to_string(indexed, "label_idx", model.labels)
     assert back.filter(F.col("c") != F.col("label_str")).count() == 0
+
+
+def test_model_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """ModelDDF save_model/load_model parity: KMeans model round-trips and
+    predicts identically."""
+    from pyspark.ml.clustering import KMeansModel
+
+    from compss_python_spark.ml.clustering import kmeans
+    from compss_python_spark.ml.persistence import load_model, save_model
+    from compss_python_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    out, model = kmeans(emb, k=4, seed=1)
+    path = str(tmp_path / "kmeans_model")
+    save_model(model, path)
+    back = load_model(KMeansModel, path)
+    assert [list(c) for c in back.clusterCenters()] == [
+        list(c) for c in model.clusterCenters()
+    ]

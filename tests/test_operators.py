@@ -180,3 +180,17 @@ def test_asof_join_edges(spark):
     assert out[(1, 20)] == 150.0   # latest prior
     assert out[(2, 5)] is None     # right row is later -> no match
     assert out[(3, 7)] is None     # key absent from right
+
+
+def test_salted_join_matches_plain(spark):
+    from compss_python_spark.operators.joins import salted_join
+
+    left = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, name string"
+    )
+    plain = left.join(right, "k").groupBy("name").count()
+    salted = salted_join(left, right, "k").groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
