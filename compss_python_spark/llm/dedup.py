@@ -87,10 +87,28 @@ def minhash_signatures(
     map partition — independent of document length.  Whole-stage codegen
     applies throughout (no higher-order lambdas in the hot path).
     """
-    exploded = df.select(
+    # Shingle identity = xxhash64 of the n token hashes (each token string is
+    # hashed exactly once; no shingle strings are ever built — at scale this
+    # removes the dominant string-concat/GC cost of signature computation).
+    base = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(text_col, shingle_n)).alias("_s"),
-    ).withColumn("_h", F.xxhash64("_s"))
+        F.transform(tokens(text_col), lambda s: F.xxhash64(s)).alias("_th"),
+    )
+    th = F.col("_th")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(th) - shingle_n, F.lit(0)))
+    shingle_hashes = F.when(
+        F.size(th) < shingle_n, F.array(F.xxhash64(F.concat_ws(",", th)))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(th, i + j + 1) for j in range(shingle_n)]
+                ),
+            )
+        )
+    )
+    exploded = base.select("_id", F.explode(shingle_hashes).alias("_h"))
     mins = [
         F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
     ]

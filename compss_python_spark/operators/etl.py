@@ -200,8 +200,9 @@ def with_row_index(df: DataFrame, order_by: Sequence[str], name: str = "_idx") -
     """
     spark = df.sparkSession
     nparts = max(df.rdd.getNumPartitions(), 1)
+    keys = [F.col(c) if isinstance(c, str) else c for c in order_by]
     parted = (
-        df.repartitionByRange(nparts, *[F.col(c) for c in order_by])
+        df.repartitionByRange(nparts, *keys)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -214,7 +215,7 @@ def with_row_index(df: DataFrame, order_by: Sequence[str], name: str = "_idx") -
         offs.append((pid, acc))
         acc += counts[pid]
     off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*order_by)
+    w = Window.partitionBy("_pid").orderBy(*keys)
     return (
         parted.withColumn("_j", F.row_number().over(w))
         .join(F.broadcast(off_df), "_pid")
