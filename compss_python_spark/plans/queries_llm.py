@@ -92,10 +92,34 @@ def text_lang_distribution(spark, sf_dir):
     )
 
 
-@query("text_language_id", sql=None)
+def _lang_id_oracle_sql() -> str:
+    """Re-derive the marker-argmax heuristic in DuckDB SQL from the same
+    _LANG_MARKERS dict (single source of truth); tie-break = (max hits,
+    lexicographically smallest code), encoded as list_sort on (-hits, lang)."""
+    from compss_python_spark.llm.text import _LANG_MARKERS
+
+    def arr(ws):
+        return "[" + ",".join(f"'{w}'" for w in ws) + "]"
+
+    structs = ",".join(
+        f"{{'nh': -len(list_intersect(t, {arr(ws)})), 'lg': '{lang}'}}"
+        for lang, ws in sorted(_LANG_MARKERS.items())
+    )
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS t
+      FROM documents
+    )
+    SELECT doc_id, lang, list_sort([{structs}])[1].lg AS lang_pred
+    FROM tok
+    """
+
+
+@query("text_language_id", sql=_lang_id_oracle_sql())
 def text_language_id(spark, sf_dir):
-    """Heuristic language ID (marker-word argmax) — accuracy asserted vs the
-    ground-truth lang column in tests; rows-only here."""
+    """Heuristic language ID (marker-word argmax); oracle re-derives the
+    same heuristic in SQL; accuracy vs ground-truth lang asserted in tests."""
     out = text.language_id(table(spark, sf_dir, "documents"))
     return out.select("doc_id", "lang", "lang_pred")
 
@@ -114,9 +138,31 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=8)
 
 
-@query("dedup_ngram_jaccard", sql=None)
+@query(
+    "dedup_ngram_jaccard",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+      FROM tok
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE jaccard >= 0.3
+    """,
+)
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard within language blocks (bounded self-join)."""
+    """Exact 3-gram Jaccard within language blocks (bounded self-join);
+    oracle rebuilds the same shingle sets with DuckDB list lambdas."""
     return dedup.ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), threshold=0.3, block_col="lang"
     )
