@@ -49,7 +49,22 @@ class DDF:
     def filter(self, expr) -> "DDF":
         return DDF(etl.filter_rows(self.df, expr))
 
-    def map(self, expr, alias: str) -> "DDF":
+    def map(self, expr, alias: str, return_type: str = "string") -> "DDF":
+        """[ref: ddf_library/functions/etl/map.py] — add/overwrite a column.
+
+        Fast path: a SQL expression string or Column (JVM codegen).  Parity
+        path: a Python callable, applied per row exactly like the
+        reference's ``ddf.map(lambda row: ..., alias)`` — executed as an
+        Arrow-batched pandas UDF (``return_type`` required for callables;
+        the reference infers it from pandas, Spark cannot).
+        """
+        if callable(expr):  # Column/str are not callable — Python lambda path
+            fn = expr
+
+            def batched(pdf):
+                return pdf.apply(fn, axis=1)
+
+            return DDF(etl.map_pandas(self.df, alias, batched, return_type))
         return DDF(etl.map_column(self.df, alias, expr))
 
     def drop(self, cols: Sequence[str]) -> "DDF":

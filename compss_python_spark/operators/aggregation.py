@@ -123,3 +123,49 @@ def rollup(df: DataFrame, cols: Sequence[str], *exprs: Column) -> DataFrame:
 
 def pivot(df: DataFrame, group_col: str, pivot_col: str, values: Sequence[str], agg_expr: Column) -> DataFrame:
     return df.groupBy(group_col).pivot(pivot_col, list(values)).agg(agg_expr)
+
+
+def time_bucket(col, width_seconds: int):
+    """Timescale-style time_bucket: floor a timestamp column to fixed-width
+    epoch buckets (arbitrary widths — 90s, 7h — unlike date_trunc's calendar
+    units).  Pure integer arithmetic, codegen'd."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    secs = F.unix_timestamp(c)
+    return F.timestamp_seconds((secs - secs % width_seconds).cast("long"))
+
+
+def hypertable_rollup(
+    df,
+    ts_col: str,
+    group_cols,
+    agg_exprs,
+    levels=("hour", "day", "month"),
+):
+    """Hypertable-style hierarchical time rollup: one scan, one shuffle,
+    all time granularities at once via GROUPING SETS (the batch equivalent
+    of a continuous aggregate).  Returns rows tagged with their `grain`.
+
+    At scale this beats N separate groupBys: Spark expands grouping sets
+    after the partial aggregate, so the fact table is read and combined
+    map-side once.
+    """
+    from pyspark.sql import functions as F
+
+    truncs = {lv: F.date_trunc(lv, F.col(ts_col)).alias(f"_{lv}") for lv in levels}
+    base = df.select(*truncs.values(), *group_cols, *[c for c in df.columns])
+    # One grouping set per grain, each keeping its coarser ancestors so the
+    # rollup rows carry full time context: (hour,day,month), (day,month), (month).
+    sets = [[f"_{lv}" for lv in levels[i:]] for i in range(len(levels))]
+    gs = base.groupingSets(
+        [[*group_cols, *s] for s in sets], *group_cols, *[f"_{lv}" for lv in levels]
+    )
+    out = gs.agg(*agg_exprs)
+    grain = F.coalesce(
+        *[
+            F.when(F.col(f"_{lv}").isNotNull(), F.lit(lv))
+            for lv in levels
+        ]
+    )
+    return out.withColumn("grain", grain)

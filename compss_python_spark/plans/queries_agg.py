@@ -412,3 +412,41 @@ def session_window_agg(spark, sf_dir):
     return sessions.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"), F.sum("n").alias("n_events")
     )
+
+
+@query(
+    "hypertable_rollup_time",
+    sql="""
+    WITH b AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h, DATE_TRUNC('day', ts) AS d,
+             DATE_TRUNC('month', ts) AS m, value
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day' ELSE 'month' END AS grain,
+           event_type, COALESCE(h, d, m) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+    FROM b
+    GROUP BY GROUPING SETS ((event_type, h, d, m), (event_type, d, m), (event_type, m))
+    """,
+)
+def hypertable_rollup_time(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: hour/day/month aggregates of
+    events in ONE scan + ONE shuffle via GROUPING SETS (the batch form of a
+    continuous aggregate); oracle uses DuckDB GROUPING SETS."""
+    from compss_python_spark.operators.aggregation import hypertable_rollup
+
+    ev = table(spark, sf_dir, "events")
+    out = hypertable_rollup(
+        ev,
+        "ts",
+        ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+    )
+    return out.select(
+        "grain",
+        "event_type",
+        F.coalesce("_hour", "_day", "_month").alias("bucket"),
+        "n",
+        "total",
+    )

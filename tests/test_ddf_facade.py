@@ -122,3 +122,14 @@ def test_save_roundtrip(cc, orders, tmp_path):
     orders.select(["o_orderkey", "o_totalprice"]).save.parquet(path)
     back = cc.read.parquet(path)
     assert back.count_rows() == orders.count_rows()
+
+
+def test_map_with_python_lambda(cc):
+    """Reference-style ddf.map(lambda row: ..., alias) parity."""
+    src = cc.parallelize(pd.DataFrame({"a": [1, 2, 3], "b": [10.0, 20.0, 30.0]}))
+    out = (
+        src.map(lambda row: row["a"] * row["b"] + 1, "score", return_type="double")
+        .sort(["a"])
+        .to_df()
+    )
+    assert out["score"].tolist() == [11.0, 41.0, 91.0]

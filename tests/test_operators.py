@@ -194,3 +194,30 @@ def test_salted_join_matches_plain(spark):
     plain = left.join(right, "k").groupBy("name").count()
     salted = salted_join(left, right, "k").groupBy("name").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_time_bucket_arbitrary_width(spark):
+    from compss_python_spark.operators.aggregation import time_bucket
+
+    df = spark.sql(
+        "SELECT TIMESTAMP'2024-01-01 00:00:00' + MAKE_INTERVAL(0,0,0,0,0,0,x*40) AS ts "
+        "FROM RANGE(6) AS t(x)"
+    )
+    out = df.select(time_bucket("ts", 90).alias("b")).groupBy("b").count().collect()
+    # events at 0,40,80,120,160,200s -> 90s buckets [0,90):3 [90,180):2 [180,270):1
+    assert sorted(r["count"] for r in out) == [1, 2, 3]
+
+
+def test_hypertable_rollup_grains_consistent(spark):
+    from compss_python_spark.operators.aggregation import hypertable_rollup
+    from compss_python_spark.plans.registry import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    out = hypertable_rollup(
+        ev, "ts", ["event_type"], [F.count("*").alias("n")]
+    ).persist()
+    total = ev.count()
+    # every grain partitions the data: n sums to the event count at each level
+    for grain in ("hour", "day", "month"):
+        s = out.filter(F.col("grain") == grain).agg(F.sum("n")).first()[0]
+        assert s == total, grain
