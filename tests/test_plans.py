@@ -66,3 +66,28 @@ def test_entry_contract(spark):
     o = mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 80
+
+
+def test_topk_per_group_plans_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_per_group")
+    assert "WindowGroupLimit" in plan, "rank<=k must push below the shuffle"
+
+
+def test_geo_within_never_shuffles_points(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "geo_within_rect")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the point side must reach the join without an Exchange
+    before_join = plan.split("Join")[0]
+    assert "Exchange hashpartitioning" not in before_join
+
+
+def test_asof_join_single_shuffle_on_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_join_events")
+    # one hash exchange for the window (user_id); no range/global sort
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan
+
+
+def test_hypertable_rollup_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hypertable_rollup_time")
+    assert "Expand" in plan, "grouping sets should expand, not union N aggs"
