@@ -49,25 +49,43 @@ def pagerank(
     )
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    cached: list[DataFrame] = []
     for i in range(max_iters):
+        # ranks is referenced TWICE below (contribs + dangling) — persist so
+        # the shared subtree is computed once per job instead of doubling
+        # the plan every iteration (exponential between checkpoints).
+        ranks = ranks.persist()
+        cached.append(ranks)
         contribs = (
             edges_w.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
         # Mass of dangling nodes (rank with no out-edges) → spread uniformly.
+        # Kept IN the plan as a broadcast 1-row aggregate: a per-iteration
+        # .first() here would run one blocking job per iteration, each
+        # recomputing the lineage since the last checkpoint.
         dangling = (
             ranks.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()["m"]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n_nodes)
-                + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n_nodes))
-            ).alias("rank"),
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / n_nodes)
+                ).alias("rank"),
+            )
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+            for c in cached:
+                c.unpersist()
+            cached = []
+    for c in cached[:-1]:
+        c.unpersist()
     return ranks
