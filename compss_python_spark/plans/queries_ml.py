@@ -21,9 +21,33 @@ def ml_kmeans_sizes(spark, sf_dir):
     return out.groupBy("cluster").agg(F.count("*").alias("n"))
 
 
-@query("ml_knn_predict", sql=None)
+@query(
+    "ml_knn_predict",
+    sql="""
+    WITH train AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    test AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    neigh AS (
+      SELECT t.vec_id, t.label, tr.label AS nlabel,
+             ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                ORDER BY list_distance(t.embedding, tr.embedding), tr.vec_id) AS rn
+      FROM test t CROSS JOIN train tr
+    ),
+    votes AS (SELECT vec_id, label, nlabel, COUNT(*) AS c
+              FROM neigh WHERE rn <= 5 GROUP BY 1, 2, 3)
+    SELECT vec_id, CAST(label AS INT) AS label, CAST(nlabel AS INT) AS prediction
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, nlabel ASC) AS vr
+          FROM votes)
+    WHERE vr = 1
+    """,
+)
 def ml_knn_predict(spark, sf_dir):
-    """Broadcast-train KNN on embeddings (train = even ids, test = odd)."""
+    """Broadcast-train KNN on embeddings (train = even ids, test = odd).
+
+    Exact-value oracle: k-nearest by euclidean distance then majority vote
+    with ties toward the smaller label — both reproduced in SQL (the
+    brute-force cross join is fine at oracle scale; the engine path is the
+    BLAS batch×train matrix in ``ml.classification.knn``).
+    """
     from compss_python_spark.ml.classification import knn
     emb = table(spark, sf_dir, "embeddings")
     return knn(emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1"), k=5)
@@ -101,9 +125,46 @@ def ml_classification_metrics(spark, sf_dir):
     return multiclass_metrics(p)
 
 
-@query("ml_fpgrowth", sql=None)
+@query(
+    "ml_fpgrowth",
+    sql="""
+    WITH RECURSIVE
+    baskets AS (
+      SELECT l_orderkey,
+             list_sort(list_distinct(list(CAST(l_partkey % 50 AS VARCHAR)))) AS items
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    nb AS (SELECT CEIL(0.0075 * COUNT(*)) AS minc FROM baskets),
+    item1 AS (
+      SELECT item, COUNT(*)::BIGINT AS freq
+      FROM baskets, UNNEST(items) AS t(item)
+      GROUP BY item
+      HAVING COUNT(*) >= (SELECT minc FROM nb)
+    ),
+    fis(itemset, freq) AS (
+      SELECT [item] AS itemset, freq FROM item1
+      UNION ALL
+      SELECT cand.itemset, cand.freq FROM (
+        SELECT list_append(f.itemset, i.item) AS itemset, COUNT(*)::BIGINT AS freq
+        FROM fis f
+        JOIN item1 i ON i.item > f.itemset[-1]
+        JOIN baskets b ON list_has_all(b.items, list_append(f.itemset, i.item))
+        GROUP BY 1
+        HAVING COUNT(*) >= (SELECT minc FROM nb)
+      ) cand
+    )
+    SELECT array_to_string(itemset, ',') AS itemset, freq FROM fis
+    """,
+)
 def ml_fpgrowth(spark, sf_dir):
-    """FPGrowth on order→items baskets (items = part keys mod 50)."""
+    """FPGrowth on order→items baskets (items = part keys mod 50).
+
+    Exact-value oracle via an Apriori-style recursive CTE in DuckDB
+    (lexicographic itemset extension + list_has_all support counting —
+    Spark's minCount = ceil(minSupport * n) reproduced as CEIL).
+    min_support chosen so frequent 2-itemsets exist (~a dozen at sf0.01)
+    and the recursion is genuinely exercised.
+    """
     from compss_python_spark.ml.fpm import fp_growth
     baskets = (
         table(spark, sf_dir, "lineitem")
@@ -111,7 +172,7 @@ def ml_fpgrowth(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(F.array_distinct(F.collect_list("item")).alias("items"))
     )
-    itemsets, _rules, _model = fp_growth(baskets, min_support=0.02)
+    itemsets, _rules, _model = fp_growth(baskets, min_support=0.0075)
     return itemsets
 
 
