@@ -74,23 +74,15 @@ def freq_items_exact(df: DataFrame, col: str, min_count: int) -> DataFrame:
     )
 
 
-def ks_one_sample_normal(df: DataFrame, col: str, mean: float | None = None,
-                         std: float | None = None) -> tuple[float, float]:
-    """One-sample Kolmogorov–Smirnov test vs a normal distribution
-    [ref: ddf_library/functions/statistics/kolmogorov_smirnov.py].
+def _ks_d_statistic(df: DataFrame, col: str, cdf_of) -> tuple[float, int]:
+    """Distributed KS D statistic: max deviation between the ECDF of ``col``
+    and the theoretical CDF produced by ``cdf_of(value_column)``.
 
     Distributed ECDF without a single-partition sort: range-partition by
     value, rank *within* each partition, then add per-partition offsets
     (one tiny collect of partition counts — the classic zipWithIndex
-    decomposition).  D = max(|F(x) - (i-1)/n|, |i/n - F(x)|); p-value via
-    the asymptotic Kolmogorov distribution (matches scipy's asymptotic
-    mode).
+    decomposition).  D = max(|F(x) - (i-1)/n|, |i/n - F(x)|).
     """
-    if mean is None or std is None:
-        stats = df.select(F.avg(col).alias("m"), F.stddev(col).alias("s")).first()
-        mean = stats["m"] if mean is None else mean
-        std = stats["s"] if std is None else std
-
     spark = df.sparkSession
     nparts = max(df.rdd.getNumPartitions(), 1)
     vals = (
@@ -107,18 +99,11 @@ def ks_one_sample_normal(df: DataFrame, col: str, mean: float | None = None,
         acc += counts[pid]
     off_df = spark.createDataFrame(offs, "pid int, off long")
 
-    # Spark has no erf(); vectorized pandas UDF (Arrow batches, math.erf) —
-    # acceptable off the hot path, exact to double precision.
-    @F.pandas_udf("double")
-    def _erf(s: pd.Series) -> pd.Series:
-        return s.map(math.erf)
-
-    cdf = F.lit(0.5) * (F.lit(1.0) + _erf((F.col("v") - F.lit(mean)) / F.lit(std * math.sqrt(2.0))))
     w = Window.partitionBy("pid").orderBy("v")
     d_row = (
         vals.withColumn("j", F.row_number().over(w))
         .join(F.broadcast(off_df), "pid")
-        .select((F.col("j") + F.col("off")).alias("i"), cdf.alias("cdf"))
+        .select((F.col("j") + F.col("off")).alias("i"), cdf_of(F.col("v")).alias("cdf"))
         .select(
             F.greatest(
                 F.abs(F.col("cdf") - (F.col("i") - 1) / F.lit(n)),
@@ -129,9 +114,49 @@ def ks_one_sample_normal(df: DataFrame, col: str, mean: float | None = None,
         .first()
     )
     vals.unpersist()
-    d = d_row["d"]
-    p = _kolmogorov_sf(d * (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)))
-    return d, p
+    return d_row["d"], n
+
+
+def _ks_p_value(d: float, n: int) -> float:
+    """Asymptotic p-value with the Stephens small-sample correction
+    (matches scipy's asymptotic mode)."""
+    return _kolmogorov_sf(d * (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)))
+
+
+def ks_one_sample_normal(df: DataFrame, col: str, mean: float | None = None,
+                         std: float | None = None) -> tuple[float, float]:
+    """One-sample Kolmogorov–Smirnov test vs a normal distribution
+    [ref: ddf_library/functions/statistics/kolmogorov_smirnov.py]."""
+    if mean is None or std is None:
+        stats = df.select(F.avg(col).alias("m"), F.stddev(col).alias("s")).first()
+        mean = stats["m"] if mean is None else mean
+        std = stats["s"] if std is None else std
+
+    # Spark has no erf(); vectorized pandas UDF (Arrow batches, math.erf) —
+    # acceptable off the hot path, exact to double precision.
+    @F.pandas_udf("double")
+    def _erf(s: pd.Series) -> pd.Series:
+        return s.map(math.erf)
+
+    def cdf_of(v):
+        return F.lit(0.5) * (F.lit(1.0) + _erf((v - F.lit(mean)) / F.lit(std * math.sqrt(2.0))))
+
+    d, n = _ks_d_statistic(df, col, cdf_of)
+    return d, _ks_p_value(d, n)
+
+
+def ks_one_sample_uniform(df: DataFrame, col: str, lo: float = 0.0,
+                          hi: float = 1.0) -> tuple[float, float]:
+    """One-sample KS test vs Uniform(lo, hi) — same distributed ECDF, but the
+    CDF is a pure column expression (stays in whole-stage codegen, no UDF),
+    and fully SQL-expressible for the DuckDB oracle."""
+    span = hi - lo
+
+    def cdf_of(v):
+        return F.least(F.lit(1.0), F.greatest(F.lit(0.0), (v - F.lit(lo)) / F.lit(span)))
+
+    d, n = _ks_d_statistic(df, col, cdf_of)
+    return d, _ks_p_value(d, n)
 
 
 def _kolmogorov_sf(t: float, terms: int = 100) -> float:

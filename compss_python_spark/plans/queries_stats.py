@@ -77,6 +77,38 @@ def freq_items_exact(spark, sf_dir):
     return statistics.freq_items_exact(table(spark, sf_dir, "events"), "event_type", 100)
 
 
+@query(
+    "ks_test_uniform",
+    sql="""
+    WITH v AS (SELECT (l_partkey % 1000) / 1000.0 AS v FROM lineitem),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM v),
+    r AS (SELECT LEAST(1.0, GREATEST(0.0, v)) AS cdf,
+                 ROW_NUMBER() OVER (ORDER BY v) AS i FROM v),
+    d AS (SELECT MAX(GREATEST(ABS(cdf - (i - 1) / (SELECT n FROM n)),
+                              ABS(i / (SELECT n FROM n) - cdf))) AS d FROM r),
+    t AS (SELECT d, d * (SQRT(n) + 0.12 + 0.11 / SQRT(n)) AS t FROM d, n),
+    p AS (SELECT d,
+                 LEAST(1.0, GREATEST(0.0,
+                   2 * SUM((CASE WHEN k % 2 = 1 THEN 1 ELSE -1 END)
+                           * EXP(-2 * (k * t) * (k * t))))) AS p
+          FROM t, generate_series(1, 100) AS g(k) GROUP BY d, t)
+    SELECT ROUND(d, 6) AS d_stat, ROUND(p, 6) AS p_value FROM p
+    """,
+)
+def ks_test_uniform(spark, sf_dir):
+    """One-sample KS vs Uniform(0,1) on (l_partkey % 1000)/1000 — the uniform
+    CDF is the identity, so both the D statistic AND the asymptotic
+    Kolmogorov p-value (100-term alternating series, Stephens correction)
+    are reproduced exactly in the DuckDB oracle."""
+    vals = table(spark, sf_dir, "lineitem").select(
+        ((F.col("l_partkey") % 1000) / 1000.0).alias("u")
+    )
+    d, p = statistics.ks_one_sample_uniform(vals, "u")
+    return spark.createDataFrame(
+        [(round(d, 6), round(p, 6))], "d_stat double, p_value double"
+    )
+
+
 @query("ks_test_normal", sql=None)
 def ks_test_normal(spark, sf_dir):
     """One-sample KS vs fitted normal [ref:
