@@ -234,12 +234,58 @@ def _cust_supp_edges(spark, sf_dir):
     )
 
 
-@query("graph_pagerank", sql=None)
+def _dangling_pagerank_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Exact oracle for dangling-aware PageRank as an UNROLLED chain of
+    materialized CTEs (one per iteration).
+
+    A recursive CTE can't express the dangling-mass term: it needs a global
+    aggregate over the per-iteration result (one extra self-reference, which
+    SQL forbids; a window inside the recursive term mis-evaluates in DuckDB).
+    Instead each iteration computes the uncorrected update
+    rank' = (1-d)/n + d*contrib and then redistributes the lost mass as
+    (1 - Σrank')/n — algebraically identical to d*m/n with m the dangling
+    mass, since Σrank' = 1 - d*m.  MATERIALIZED is load-bearing: the scalar
+    Σrank' subquery references each iteration CTE twice, which un-hinted
+    would inline and re-evaluate the whole chain exponentially.
+    """
+    parts = [
+        """
+    WITH
+    base AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM base UNION SELECT dst FROM base),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*)::DOUBLE AS deg FROM base GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    it0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    it{k}_p AS MATERIALIZED (
+      SELECT nd.node,
+             {1 - damping}/(SELECT n FROM nn) + {damping} * COALESCE(SUM(p.rank / d.deg), 0) AS rank
+      FROM nodes nd
+      LEFT JOIN base e ON e.dst = nd.node
+      LEFT JOIN it{k - 1} p ON p.node = e.src
+      LEFT JOIN deg d ON d.node = e.src
+      GROUP BY nd.node
+    ),
+    it{k} AS MATERIALIZED (
+      SELECT node, rank + (1.0 - (SELECT SUM(rank) FROM it{k}_p)) / (SELECT n FROM nn) AS rank
+      FROM it{k}_p
+    )""")
+    parts.append(f"\n    SELECT node, ROUND(rank, 8) AS rank FROM it{iters}")
+    return "".join(parts)
+
+
+@query("graph_pagerank", sql=_dangling_pagerank_sql())
 def graph_pagerank(spark, sf_dir):
     """PageRank on the directed customer→supplier graph (all suppliers are
-    dangling → exercises dangling-mass redistribution; rows-only because the
-    dangling formulation isn't recursively SQL-expressible with a single
-    self-reference; Σrank≈1 asserted in tests)."""
+    dangling → exercises dangling-mass redistribution).  Exact-value oracle
+    via the unrolled-CTE formulation in `_dangling_pagerank_sql` (the
+    (1-Σrank')/n redistribution there equals this implementation's d·m/n
+    term); Σrank≈1 additionally asserted in tests."""
     from compss_python_spark.graph.pagerank import pagerank
 
     ranks = pagerank(_cust_supp_edges(spark, sf_dir), max_iters=8)
