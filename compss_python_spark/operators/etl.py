@@ -278,6 +278,20 @@ def sample(
     return df.sample(fraction=fraction, seed=seed)
 
 
+def sample_hash_n(df: DataFrame, n: int, key: str) -> DataFrame:
+    """Deterministic exact-n sample: the n rows with the smallest
+    md5(key) — reproducible across engines and runs (pipeline-stable
+    sampling for training-data splits), unlike the seeded-RNG `sample`.
+    Compiles to TakeOrderedAndProject: per-partition top-n, no shuffle of
+    the full data."""
+    return (
+        df.withColumn("_hk", F.md5(F.col(key).cast("string")))
+        .orderBy("_hk")
+        .limit(n)
+        .drop("_hk")
+    )
+
+
 def split(df: DataFrame, percentage: float, seed: int = 42) -> tuple[DataFrame, DataFrame]:
     """Random two-way split [ref: ddf_library/functions/etl/split.py]."""
     a, b = df.randomSplit([percentage, 1.0 - percentage], seed=seed)

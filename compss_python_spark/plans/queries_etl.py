@@ -304,6 +304,22 @@ def sample_exact_n(spark, sf_dir):
     return etl.sample(table(spark, sf_dir, "orders"), n=100, seed=42)
 
 
+@query(
+    "sample_hash_n",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+    LIMIT 100
+    """,
+)
+def sample_hash_n(spark, sf_dir):
+    """Deterministic exact-n sample (smallest md5(key)) — engine-independent,
+    so fully oracle-checked, unlike the seeded-RNG variant."""
+    df = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return etl.sample_hash_n(df, 100, "o_orderkey")
+
+
 @query("split_randomly", sql=None)
 def split_randomly(spark, sf_dir):
     """Random 70/30 split; returns the 70% side — rows-only check."""

@@ -239,10 +239,33 @@ def multimodal_bytes(spark, sf_dir):
     return media.select("media_id", F.length("payload").alias("n_bytes"))
 
 
-@query("multimodal_features", sql=None)
+@query(
+    "multimodal_features",
+    sql="""
+    SELECT doc_id AS media_id,
+           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           CASE
+             WHEN text IS NULL OR OCTET_LENGTH(ENCODE(text)) = 0 THEN 0.0
+             ELSE ROUND((CASE WHEN unicode(text) < 128 THEN unicode(text)
+                              WHEN unicode(text) < 2048 THEN 192 + unicode(text) // 64
+                              WHEN unicode(text) < 65536 THEN 224 + unicode(text) // 4096
+                              ELSE 240 + unicode(text) // 262144 END) / 255.0, 6)
+           END AS f0
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """mapInPandas featurizer over binary payloads (decode stubbed —
-    deterministic fake; schema/batch plumbing is the real product)."""
+    deterministic fake; schema/batch plumbing is the real product).
+
+    Oracled end-to-end: f0 is the first payload byte / 255, which the SQL
+    twin re-derives as the UTF-8 lead byte of the first code point."""
     media = multimodal.synthesize_media(table(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media)
-    return feats.select("media_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
