@@ -415,6 +415,29 @@ def session_window_agg(spark, sf_dir):
 
 
 @query(
+    "interval_join_events",
+    sql="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS event_id_r, r.ts AS ts_r
+    FROM events l JOIN events r ON l.user_id = r.user_id
+    WHERE l.event_type = 'view' AND r.event_type = 'click'
+      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def interval_join_events(spark, sf_dir):
+    """View→click attribution: interval join (right.ts within 10 minutes
+    after left.ts) on user_id — the batch twin of
+    `streaming.stream_stream_interval_join`, which runs the same plan with
+    watermarks bounding the join state."""
+    from compss_python_spark.streaming.windows import stream_stream_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return stream_stream_interval_join(views, clicks, within="10 minutes")
+
+
+@query(
     "hypertable_rollup_time",
     sql="""
     WITH b AS (

@@ -86,6 +86,38 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "20 minutes",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Stream–stream inner join on ``key`` with a time-interval condition:
+    right.ts in [left.ts, left.ts + within].
+
+    Both sides carry watermarks, so join state is bounded: a buffered left
+    row can be dropped once the right watermark passes left.ts + within.
+    Works identically on batch DataFrames (watermarks are no-ops), which is
+    how the oracle validates it.
+    """
+    l = (left.withWatermark(ts_col, watermark) if left.isStreaming else left).alias("l")
+    r = (right.withWatermark(ts_col, watermark) if right.isStreaming else right).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}"))
+    )
+    keep_l = [c for c in left.columns]
+    keep_r = [c for c in right.columns if c != key]
+    return l.join(r, cond, "inner").select(
+        *[F.col(f"l.{c}").alias(c) for c in keep_l],
+        *[F.col(f"r.{c}").alias(f"{c}{right_suffix}") for c in keep_r],
+    )
+
+
 def replay_as_stream(
     spark,
     parquet_path: str,

@@ -66,6 +66,29 @@ def test_streaming_dedup_drops_dupes(spark, events, events_us_parquet, tmp_path_
     assert got == 100
 
 
+def test_stream_stream_interval_join_equals_batch(spark, events, tmp_path_factory):
+    """Two real streams joined on user_id within a 10-minute interval must
+    produce exactly the batch interval-join pairs (append mode)."""
+    base = tmp_path_factory.mktemp("stream")
+    views = events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    vpath, cpath = str(base / "views"), str(base / "clicks")
+    views.write.mode("overwrite").parquet(vpath)
+    clicks.write.mode("overwrite").parquet(cpath)
+
+    vs = spark.readStream.schema(views.schema).parquet(vpath)
+    cs = spark.readStream.schema(clicks.schema).parquet(cpath)
+    out = W.stream_stream_interval_join(vs, cs, within="10 minutes")
+    q = out.writeStream.outputMode("append").format("memory").queryName("t_ssj").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = W.stream_stream_interval_join(views, clicks, within="10 minutes")
+    assert _canon(spark.table("t_ssj")) == _canon(batch)
+    assert spark.table("t_ssj").count() > 0
+
+
 def test_stateful_running_totals_equals_batch(spark, events, events_us_parquet):
     """applyInPandasWithState per-key running totals: after replaying the
     whole table, the last emitted update per key must equal the batch agg."""
