@@ -439,6 +439,7 @@ def interval_join_events(spark, sf_dir):
 
 @query(
     "hypertable_rollup_time",
+    headline=True,
     sql="""
     WITH b AS (
       SELECT event_type, DATE_TRUNC('hour', ts) AS h, DATE_TRUNC('day', ts) AS d,

@@ -577,6 +577,7 @@ def except_all_bag(spark, sf_dir):
 
 @query(
     "asof_join_events",
+    headline=True,
     sql="""
     WITH err AS (
       SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'

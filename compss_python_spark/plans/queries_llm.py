@@ -58,6 +58,7 @@ def text_token_stats(spark, sf_dir):
 
 @query(
     "text_quality_score",
+    headline=True,
     sql="""
     WITH s AS (
       SELECT doc_id,
