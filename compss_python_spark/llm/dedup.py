@@ -274,18 +274,24 @@ def simhash(text_col: str, bits: int = 64):
     return packed
 
 
-def simhashes(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def simhashes(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+              token_hash=None) -> DataFrame:
     """(id, simhash) via explode + hash-once + per-bit sum aggregates.
 
-    Scale path (same reasoning as `minhash_signatures`): one xxhash64 per
-    token, 64 codegen'd conditional-sum aggregates with map-side partial
-    aggregation; shuffle carries 64 longs per doc.  The expression form
+    Scale path (same reasoning as `minhash_signatures`): one hash per
+    token, `bits` codegen'd conditional-sum aggregates with map-side partial
+    aggregation; shuffle carries `bits` longs per doc.  The expression form
     `simhash()` is interpreted and re-hashes every token per bit.
+
+    ``token_hash``: Column-builder for the per-token hash; defaults to
+    xxhash64.  `md5_hash48` gives an engine-portable 48-bit variant (md5
+    exists in DuckDB too) so the computation can be oracle-checked exactly.
     """
+    token_hash = token_hash or F.xxhash64
     masks = _bit_masks(bits)
     exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", token_hash(F.col("_t")))
     sums = [
         F.sum(
             F.when(F.col("_h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
@@ -302,6 +308,13 @@ def simhashes(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> Data
         lambda acc, v: acc.bitwiseOR(v),
     )
     return exploded.groupBy("_id").agg(*sums).select("_id", packed.alias("_sh"))
+
+
+def md5_hash48(col) -> "F.Column":
+    """48-bit token hash from the first 12 hex chars of md5 — identical in
+    any engine with md5 (oracle-portable; 48 bits keeps the conv result
+    exact in a signed long)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 12), 16, 10).cast("long")
 
 
 def simhash_pairs(

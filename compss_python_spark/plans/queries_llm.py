@@ -140,6 +140,40 @@ def dedup_simhash(spark, sf_dir):
 
 
 @query(
+    "dedup_simhash_md5",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(tok)
+    ),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h FROM tok
+    ),
+    bitsum AS (
+      SELECT doc_id, g.j,
+             SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+      FROM h CROSS JOIN generate_series(0, 47) AS g(j)
+      GROUP BY doc_id, g.j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+)
+def dedup_simhash_md5(spark, sf_dir):
+    """SimHash signatures with the engine-portable 48-bit md5 token hash —
+    the whole computation (tokenize → hash → per-bit majority → bit pack)
+    hash-matches the DuckDB re-derivation exactly.  The production variant
+    (`dedup_simhash`) uses xxhash64, which DuckDB lacks → rows-only."""
+    out = dedup.simhashes(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        bits=48, token_hash=dedup.md5_hash48,
+    )
+    return out.select(F.col("_id").alias("doc_id"), F.col("_sh").alias("simhash"))
+
+
+@query(
     "dedup_ngram_jaccard",
     sql=r"""
     WITH tok AS (
