@@ -140,6 +140,53 @@ def dedup_simhash(spark, sf_dir):
 
 
 @query(
+    "dedup_minhash_md5",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok
+    )
+    SELECT doc_id, g.j AS seed,
+           MIN(CAST('0x' || substr(md5(u.sg || '#' || g.j), 1, 12) AS BIGINT)) AS mh
+    FROM sh, UNNEST(sh.s) AS u(sg), generate_series(0, 15) AS g(j)
+    GROUP BY doc_id, g.j
+    """,
+)
+def dedup_minhash_md5(spark, sf_dir):
+    """MinHash signatures (16 seeds, long form) with the engine-portable
+    48-bit md5 hash of 'shingle#seed' — exact signature parity with the
+    DuckDB re-derivation.  The production path (`dedup_minhash_lsh`) keeps
+    xxhash64 (≫ faster; DuckDB lacks it → rows-only)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", dedup.shingles("text", 3).alias("_sh"))
+    return (
+        sh.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("seed"), "_sh")
+        .select(
+            "doc_id",
+            "seed",
+            F.array_min(
+                F.transform(
+                    "_sh",
+                    lambda s: F.conv(
+                        F.substring(
+                            F.md5(F.encode(F.concat(s, F.lit("#"), F.col("seed").cast("string")), "UTF-8")),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("long"),
+                )
+            ).alias("mh"),
+        )
+    )
+
+
+@query(
     "dedup_simhash_md5",
     sql=r"""
     WITH tok AS (
