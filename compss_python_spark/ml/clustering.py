@@ -43,6 +43,73 @@ def kmeans_cost(model) -> float:
     return model.summary.trainingCost
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    init_ids: list[int],
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    features_col: str = "embedding",
+    prediction_col: str = "cluster",
+) -> DataFrame:
+    """DataFrame-native Lloyd's K-Means with FIXED initial centroids (the
+    rows whose ``id_col`` is in ``init_ids``) — fully deterministic, so
+    exact-value oracle-checkable (unlike seeded k-means||, whose init is
+    engine-internal).
+
+    Each iteration is: broadcast the k centroids → argmin squared distance
+    (ties toward the smaller centroid index) → groupBy centroid, element-wise
+    mean.  The shuffle per iteration carries only (cluster, 64 floats × n)
+    partial sums via map-side combine; centroids live in the plan as a
+    broadcast k-row table, never collected per-row.  Empty clusters keep
+    their previous centroid (no reseeding), matching the SQL oracle.
+    """
+    pts = df.select(F.col(id_col).alias("_id"), F.col(features_col).cast("array<double>").alias("_v"))
+    cents = (
+        pts.filter(F.col("_id").isin([int(i) for i in init_ids]))
+        .select(F.col("_id").alias("_cid0"), F.col("_v").alias("_c"))
+    )
+    # deterministic cluster index 0..k-1 in init_ids order
+    order = {int(v): i for i, v in enumerate(init_ids)}
+    mapping = F.create_map(*[F.lit(x) for kv in order.items() for x in kv])
+    cents = cents.select(mapping[F.col("_cid0")].alias("_cid"), "_c")
+
+    d2 = F.aggregate(
+        F.zip_with("_v", "_c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("_id").orderBy("_d2", "_cid")
+    for _ in range(iters):
+        assigned = (
+            pts.crossJoin(F.broadcast(cents))
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_id", "_v", "_cid")
+        )
+        # Element-wise mean as `dim` avg aggregates (partial/final hash agg
+        # with map-side combine — the shuffle carries k×dim doubles per map
+        # partition, not the points).
+        new_cents = assigned.groupBy("_cid").agg(
+            F.array(*[F.avg(F.element_at("_v", i + 1)) for i in range(dim)]).alias("_c")
+        )
+        # keep previous centroid for empty clusters
+        cents = (
+            cents.select("_cid", F.col("_c").alias("_c_old"))
+            .join(new_cents, "_cid", "left")
+            .select("_cid", F.coalesce("_c", "_c_old").alias("_c"))
+        )
+    final = (
+        pts.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_id").alias(id_col), F.col("_cid").alias(prediction_col))
+    )
+    return final
+
+
 # --- DBSCAN ----------------------------------------------------------------
 
 

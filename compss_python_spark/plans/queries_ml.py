@@ -12,6 +12,55 @@ from pyspark.sql import functions as F
 from compss_python_spark.plans.registry import query, table
 
 
+def _kmeans_lloyd_sql(iters: int = 2, k: int = 8, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations (same generated-oracle pattern as the
+    dangling-PageRank CTE chain): assignment = argmin distance with ties
+    toward the smaller centroid id, update = element-wise mean via
+    generate_series over dimensions."""
+    parts = [f"""
+    WITH
+    pts AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT CAST(vec_id AS INT) AS cid, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < {k}
+    )"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, v, cid FROM (
+        SELECT p.vec_id, p.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_distance(p.v, c.c), c.cid) AS rn
+        FROM pts p CROSS JOIN c{t - 1} c) WHERE rn = 1
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT cid, list(m ORDER BY j) AS c FROM (
+        SELECT cid, g.j, AVG(v[g.j]) AS m
+        FROM a{t} CROSS JOIN generate_series(1, {dim}) AS g(j)
+        GROUP BY cid, g.j) GROUP BY cid
+    )""")
+    parts.append(f"""
+    SELECT p.vec_id, CAST(c.cid AS INT) AS cluster FROM (
+      SELECT p.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                ORDER BY list_distance(p.v, c.c), c.cid) AS rn
+      FROM pts p CROSS JOIN c{iters} c) AS c
+    JOIN pts p ON p.vec_id = c.vec_id WHERE c.rn = 1""")
+    return "".join(parts)
+
+
+@query("ml_kmeans_lloyd_fixed_init", sql=_kmeans_lloyd_sql())
+def ml_kmeans_lloyd_fixed_init(spark, sf_dir):
+    """DataFrame-native Lloyd's K-Means with fixed initial centroids
+    (vec_id 0..7), 2 iterations — fully deterministic, exact assignment
+    parity with the unrolled SQL oracle.  Complements `ml_kmeans_sizes`
+    (spark.ml k-means||, whose init is engine-internal)."""
+    from compss_python_spark.ml.clustering import kmeans_lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, init_ids=list(range(8)), iters=2)
+
+
 @query("ml_kmeans_sizes", sql=None)
 def ml_kmeans_sizes(spark, sf_dir):
     """KMeans on embeddings: cluster sizes (seeded, but init is

@@ -258,3 +258,19 @@ def test_model_save_load_roundtrip(spark, sf_dir, tmp_path):
     assert [list(c) for c in back.clusterCenters()] == [
         list(c) for c in model.clusterCenters()
     ]
+
+
+def test_kmeans_lloyd_fixed_init_partitions_all_points(spark, sf_dir):
+    """Lloyd with fixed init: every point assigned exactly once, all k
+    clusters non-empty on this data, and the result is run-deterministic."""
+    from compss_python_spark.ml.clustering import kmeans_lloyd
+    from compss_python_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = kmeans_lloyd(emb, init_ids=list(range(8)), iters=2)
+    b = kmeans_lloyd(emb, init_ids=list(range(8)), iters=2)
+    ra = {r["vec_id"]: r["cluster"] for r in a.collect()}
+    rb = {r["vec_id"]: r["cluster"] for r in b.collect()}
+    assert ra == rb
+    assert len(ra) == emb.count()
+    assert len(set(ra.values())) == 8
