@@ -46,6 +46,64 @@ def logistic_regression(train: DataFrame, test: DataFrame, features_col: str = "
     return model.transform(_vec(test, features_col)).drop("_v", "rawPrediction", "probability"), model
 
 
+def logistic_regression_gd(
+    train: DataFrame,
+    test: DataFrame,
+    iters: int = 3,
+    lr: float = 0.5,
+    dim: int = 64,
+    features_col: str = "embedding",
+    label_col: str = "y",
+    prediction_col: str = "prediction",
+):
+    """Batch gradient-descent logistic regression — the REFERENCE's actual
+    algorithm [ref: ml/classification.py LogisticRegression, hand-rolled
+    GD], re-expressed as DataFrame aggregates.  Deterministic (w₀ = 0,
+    fixed iteration count, full-batch gradient), hence exactly
+    oracle-checkable, unlike LBFGS.
+
+    The weight vector never touches the driver: it lives as a broadcast
+    1-row DataFrame (array column) carried through the plan; each iteration
+    is one crossJoin + `dim` unrolled avg-aggregates (map-side combine, so
+    the shuffle per iteration is k×dim doubles per map partition).
+    """
+    spark = train.sparkSession
+    pts = train.select(
+        F.col(features_col).cast("array<double>").alias("_v"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    w = spark.createDataFrame(
+        [([0.0] * dim, 0.0)], f"_w array<double>, _b double"
+    )
+    dot = F.aggregate(
+        F.zip_with("_v", "_w", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    for _ in range(iters):
+        scored = (
+            pts.crossJoin(F.broadcast(w))
+            .withColumn("_e", F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.col("_b")))) - F.col("_y"))
+        )
+        grad = scored.agg(
+            F.array(*[F.avg(F.element_at("_v", j + 1) * F.col("_e")) for j in range(dim)]).alias("_gw"),
+            F.avg("_e").alias("_gb"),
+        )
+        w = grad.crossJoin(F.broadcast(w)).select(
+            F.zip_with("_w", "_gw", lambda wj, gj: wj - F.lit(lr) * gj).alias("_w"),
+            (F.col("_b") - F.lit(lr) * F.col("_gb")).alias("_b"),
+        )
+    out = (
+        test.select("vec_id", F.col(features_col).cast("array<double>").alias("_v"),
+                    F.col(label_col).cast("int").alias(label_col))
+        .crossJoin(F.broadcast(w))
+        .withColumn(
+            prediction_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.col("_b")))) >= 0.5).cast("int"),
+        )
+        .select("vec_id", label_col, prediction_col)
+    )
+    return out
+
+
 def linear_svc(train: DataFrame, test: DataFrame, features_col: str = "embedding",
                label_col: str = "label", max_iter: int = 50,
                prediction_col: str = "prediction"):

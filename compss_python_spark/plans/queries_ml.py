@@ -102,6 +102,64 @@ def ml_knn_predict(spark, sf_dir):
     return knn(emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1"), k=5)
 
 
+def _logreg_gd_sql(iters: int = 3, lr: float = 0.5, dim: int = 64) -> str:
+    """Unrolled full-batch GD iterations for logistic regression (generated
+    oracle, same pattern as Lloyd/PageRank): e = sigma(v.w + b) - y, per-dim
+    gradient means via generate_series, weight update as list_transform."""
+    parts = [f"""
+    WITH
+    pts AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    w0 AS (SELECT list_transform(range(1, {dim + 1}), x -> 0.0) AS w, 0.0 AS b)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    e{t} AS MATERIALIZED (
+      SELECT p.vec_id, p.v,
+             1.0/(1.0 + EXP(-(list_dot_product(p.v, w.w) + w.b))) - p.y AS e
+      FROM pts p CROSS JOIN w{t - 1} w
+    ),
+    g{t} AS MATERIALIZED (
+      SELECT (SELECT list(m ORDER BY j) FROM (
+                SELECT g.j, AVG(list_extract(v, g.j) * e) AS m
+                FROM e{t} CROSS JOIN generate_series(1, {dim}) AS g(j)
+                GROUP BY g.j)) AS gw,
+             (SELECT AVG(e) FROM e{t}) AS gb
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT list_transform(range(1, {dim + 1}),
+                            j -> list_extract(w.w, j) - {lr} * list_extract(g.gw, j)) AS w,
+             w.b - {lr} * g.gb AS b
+      FROM w{t - 1} w CROSS JOIN g{t} g
+    )""")
+    parts.append(f"""
+    SELECT t.vec_id,
+           CAST(CASE WHEN t.label >= 5 THEN 1 ELSE 0 END AS INT) AS y,
+           CAST(CASE WHEN 1.0/(1.0 + EXP(-(list_dot_product(t.embedding::DOUBLE[], w.w) + w.b))) >= 0.5
+                THEN 1 ELSE 0 END AS INT) AS prediction
+    FROM embeddings t CROSS JOIN w{iters} w
+    WHERE t.vec_id % 2 = 1""")
+    return "".join(parts)
+
+
+@query("ml_logreg_gd", sql=_logreg_gd_sql())
+def ml_logreg_gd(spark, sf_dir):
+    """Full-batch gradient-descent logistic regression (binary: label>=5,
+    train even ids / test odd, 3 iterations, lr=0.5) — the reference's GD
+    algorithm, deterministic end-to-end and oracle-matched per prediction.
+    Complements ml_logreg_confusion (spark.ml LBFGS → rows-only)."""
+    from compss_python_spark.ml.classification import logistic_regression_gd
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") >= 5).cast("int")
+    )
+    return logistic_regression_gd(
+        emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    )
+
+
 @query("ml_logreg_confusion", sql=None)
 def ml_logreg_confusion(spark, sf_dir):
     """LogisticRegression on embeddings→label; confusion matrix out."""
