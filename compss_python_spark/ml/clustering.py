@@ -262,7 +262,9 @@ def _merge_cells(df: DataFrame, labeled: DataFrame, id_col: str) -> DataFrame:
         labeled = labeled.withColumn("root", F.col("gl"))
 
     # A border point can be claimed by several clusters — keep the smallest
-    # root (deterministic); densify roots to 0..k-1 ids.
+    # root (deterministic); densify roots to 0..k-1 ids.  The unpartitioned
+    # window below is over the DISTINCT roots only (k rows ≈ cluster count,
+    # never the point set), so the single-partition WindowExec is bounded.
     assign = labeled.groupBy(id_col).agg(F.min("root").alias("root"))
     ids = assign.select("root").distinct().withColumn(
         "cluster", F.row_number().over(Window.orderBy("root")) - 1
