@@ -64,9 +64,14 @@ def _parse_shp(path: str) -> list[list[tuple[float, float]]]:
     return rings
 
 
-def _parse_dbf(path: str) -> tuple[list[str], list[list]]:
+def _parse_dbf(path: str) -> tuple[list[tuple[str, str]], list[list]]:
     """Minimal dBASE III .dbf parser: C (string), N/F (numeric), L (bool),
-    D (date-as-string) field types."""
+    D (date-as-string) field types.
+
+    Returns ``([(name, ftype), ...], rows)`` — the type codes come from the
+    field DESCRIPTORS, so callers can derive column types without inferring
+    from row values (a leading NULL numeric must still be a double column).
+    Deleted records (``*`` flag) are skipped."""
     with open(path, "rb") as f:
         data = f.read()
     n_records, header_len, record_len = struct.unpack("<IHH", data[4:12])
@@ -94,7 +99,7 @@ def _parse_dbf(path: str) -> tuple[list[str], list[list]]:
             else:
                 vals.append(raw)
         rows.append(vals)
-    return [f[0] for f in fields], rows
+    return [(f[0], f[1]) for f in fields], rows
 
 
 POINT = T.StructType(
@@ -112,22 +117,34 @@ def read_shapefile(
     broadcast side of ``geo_within``.
     """
     rings = _parse_shp(shp_path)
-    names: list[str] = []
+    fields: list[tuple[str, str]] = []
     attr_rows: list[list] = [[] for _ in rings]
     if dbf_path:
-        names, attr_rows = _parse_dbf(dbf_path)
+        fields, attr_rows = _parse_dbf(dbf_path)
+        # .shp records and live .dbf records must pair 1:1 — deleted dbf
+        # records or a truncated dbf would silently misalign attributes.
+        if len(attr_rows) != len(rings):
+            raise ValueError(
+                f"{dbf_path}: {len(attr_rows)} live dbf records != "
+                f"{len(rings)} shp records — attribute rows cannot be "
+                "aligned to geometries"
+            )
+    _DBF_TYPES = {"N": T.DoubleType(), "F": T.DoubleType(), "L": T.BooleanType()}
     schema = T.StructType(
         [
             T.StructField("geom_id", T.LongType()),
             T.StructField("points", T.ArrayType(POINT)),
         ]
+        # Column types come from the dbf field DESCRIPTORS (N/F→double,
+        # L→boolean, C/D→string), not from the first row's values — a
+        # leading NULL numeric stays a double column.
         + [
-            T.StructField(n, T.DoubleType() if isinstance(v, float) else T.StringType())
-            for n, v in zip(names, attr_rows[0] if attr_rows and rings else [])
+            T.StructField(n, _DBF_TYPES.get(ftype, T.StringType()))
+            for n, ftype in fields
         ]
     )
     data = [
-        (i, [{"x": x, "y": y} for x, y in ring], *(attr_rows[i] if names else []))
+        (i, [{"x": x, "y": y} for x, y in ring], *(attr_rows[i] if fields else []))
         for i, ring in enumerate(rings)
     ]
     return spark.createDataFrame(data, schema)

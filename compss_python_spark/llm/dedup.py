@@ -213,13 +213,23 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing a block key.
 
-    Without a block column this is O(n²) — callers at scale must provide one
-    (e.g. a MinHash band or a length bucket).  Jaccard via
+    ``block_col`` is REQUIRED: without one this is an O(n²) self-join — a
+    cartesian bomb at scale.  Callers that genuinely want the exact
+    all-pairs computation on a small, bounded input must opt in explicitly
+    with ``allow_full_scan=True`` (use a MinHash band, a length bucket, or
+    `similarity.hyperplane_lsh_bucket` as the block otherwise).  Jaccard via
     array_intersect/array_union on distinct shingle sets, JVM-side.
     """
+    if block_col is None and not allow_full_scan:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col plans an O(n²) self-join; "
+            "pass block_col (e.g. a length bucket or LSH band) or opt in "
+            "explicitly with allow_full_scan=True on small bounded inputs"
+        )
     sh = df.select(
         F.col(id_col).alias("_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),
@@ -370,25 +380,34 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
     block_fn=None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine ≥ min_cosine.
 
-    Default blocking is none (exact, O(n²) — fine for ≤10⁵ rows); at scale
-    pass `block_fn(df) -> df with _blk` (e.g. LSH hyperplane bucket from
-    similarity.hyperplane_lsh_bucket) to bound the self-join.
+    ``block_fn`` is REQUIRED: `block_fn(df) -> df with _blk` (e.g. LSH
+    hyperplane bucket from `similarity.hyperplane_lsh_bucket`) bounds the
+    self-join.  Without one this is an exact O(n²) all-pairs plan — callers
+    on small bounded inputs must opt in explicitly with
+    ``allow_full_scan=True``; at scale an unblocked call is a cartesian
+    bomb, so it raises instead of silently planning one.
     """
     from compss_python_spark.llm.similarity import cosine_expr
 
+    if block_fn is None and not allow_full_scan:
+        raise ValueError(
+            "embedding_near_dup_pairs without block_fn plans an O(n²) "
+            "self-join; pass block_fn (e.g. similarity.hyperplane_lsh_bucket)"
+            " or opt in explicitly with allow_full_scan=True on small inputs"
+        )
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     if block_fn is not None:
         v = block_fn(v)
-        cond = F.col("a._blk") == F.col("b._blk")
     else:
         v = v.withColumn("_blk", F.lit(1))
-        cond = F.col("a._blk") == F.col("b._blk")
+    cond = F.col("a._blk") == F.col("b._blk")
     a, b = v.alias("a"), v.alias("b")
     cos = cosine_expr(F.col("a._v"), F.col("b._v"))
     return (

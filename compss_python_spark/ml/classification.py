@@ -104,6 +104,78 @@ def logistic_regression_gd(
     return out
 
 
+def gaussian_nb_exact(
+    train: DataFrame,
+    test: DataFrame,
+    dim: int = 64,
+    features_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    prediction_col: str = "prediction",
+    var_eps: float = 1e-9,
+) -> DataFrame:
+    """Gaussian Naive Bayes as pure DataFrame aggregates — the REFERENCE's
+    algorithm [ref: ml/classification.py GaussianNB: per-class mean/variance
+    + priors, argmax log-likelihood], deterministic end-to-end and exactly
+    SQL-oracle-checkable (unlike spark.ml NaiveBayes, whose gaussian sigma
+    convention is engine-internal).
+
+    Fit = one groupBy(label) with per-dim avg/var_pop aggregates (map-side
+    combine; shuffle carries k×dim partials).  The k-row class-stats table
+    packs into ONE broadcast row (cid-sorted struct array) and scoring is a
+    per-row reduce — zero exchange on the test side, same shape as
+    `clustering.kmeans_lloyd`.  log P(c|x) ∝ ln(count_c) + Σⱼ[−½ln(2πσ²ⱼ)
+    − (xⱼ−μⱼ)²/(2σ²ⱼ)] (the −ln N prior term is class-constant → dropped);
+    ties toward the smaller label.
+    """
+    import math
+
+    pts = train.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(features_col).cast("array<double>").alias("_v"),
+    )
+    stats = pts.groupBy("_y").agg(
+        F.count("*").alias("_cnt"),
+        F.array(*[F.avg(F.element_at("_v", j + 1)) for j in range(dim)]).alias("_mu"),
+        F.array(*[F.var_pop(F.element_at("_v", j + 1)) for j in range(dim)]).alias("_var"),
+    )
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("_y", "_cnt", "_mu", "_var"))).alias("_cs")
+    )
+
+    def loglik(s):
+        diff = F.zip_with("_v", s["_mu"], lambda x, m: x - m)
+        terms = F.zip_with(
+            diff,
+            s["_var"],
+            lambda d, va: -0.5 * F.log(2.0 * math.pi * (va + var_eps))
+            - d * d / (2.0 * (va + var_eps)),
+        )
+        return F.log(s["_cnt"].cast("double")) + F.aggregate(
+            terms, F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    best = F.reduce(
+        F.col("_cs"),
+        F.struct(
+            F.lit(float("-inf")).alias("ll"), F.lit(-1).cast("int").alias("y")
+        ),
+        lambda acc, s: F.when(
+            loglik(s) > acc["ll"], F.struct(loglik(s).alias("ll"), s["_y"].alias("y"))
+        ).otherwise(acc),
+    )
+    return (
+        test.select(
+            id_col,
+            F.col(label_col).cast("int").alias(label_col),
+            F.col(features_col).cast("array<double>").alias("_v"),
+        )
+        .crossJoin(F.broadcast(packed))
+        .withColumn(prediction_col, best["y"])
+        .select(id_col, label_col, prediction_col)
+    )
+
+
 def linear_svc(train: DataFrame, test: DataFrame, features_col: str = "embedding",
                label_col: str = "label", max_iter: int = 50,
                prediction_col: str = "prediction"):

@@ -57,12 +57,17 @@ def kmeans_lloyd(
     exact-value oracle-checkable (unlike seeded k-means||, whose init is
     engine-internal).
 
-    Each iteration is: broadcast the k centroids → argmin squared distance
-    (ties toward the smaller centroid index) → groupBy centroid, element-wise
-    mean.  The shuffle per iteration carries only (cluster, 64 floats × n)
-    partial sums via map-side combine; centroids live in the plan as a
-    broadcast k-row table, never collected per-row.  Empty clusters keep
-    their previous centroid (no reseeding), matching the SQL oracle.
+    Each iteration is: broadcast the k centroids (as ONE row holding a
+    cid-sorted array of (cid, centroid) structs) → per-row argmin squared
+    distance via a reduce over that array (ties toward the smaller centroid
+    index — strict `<` while scanning cid-ascending) → groupBy centroid,
+    element-wise mean.  The assignment is a pure narrow expression: no
+    window, no exchange of the point×centroid table (the previous
+    formulation's `Window.partitionBy(_id)` hash-shuffled n×k rows per
+    iteration).  The only shuffle per iteration is the k×dim partial-sum
+    aggregate (map-side combine).  Centroids never touch the driver.  Empty
+    clusters keep their previous centroid (no reseeding), matching the SQL
+    oracle.
     """
     pts = df.select(F.col(id_col).alias("_id"), F.col(features_col).cast("array<double>").alias("_v"))
     cents = (
@@ -74,20 +79,43 @@ def kmeans_lloyd(
     mapping = F.create_map(*[F.lit(x) for kv in order.items() for x in kv])
     cents = cents.select(mapping[F.col("_cid0")].alias("_cid"), "_c")
 
-    d2 = F.aggregate(
-        F.zip_with("_v", "_c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("_id").orderBy("_d2", "_cid")
-    for _ in range(iters):
-        assigned = (
-            pts.crossJoin(F.broadcast(cents))
-            .withColumn("_d2", d2)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+    def packed(cents_df: DataFrame) -> DataFrame:
+        """k rows → 1 row: cid-ascending array<struct<_cid,_c>> (struct sort
+        orders by the first field, so array_sort yields the cid order the
+        tie-break below relies on)."""
+        return cents_df.agg(
+            F.array_sort(F.collect_list(F.struct("_cid", "_c"))).alias("_cs")
+        )
+
+    def assign(pts_df: DataFrame, cents_df: DataFrame) -> DataFrame:
+        """(_id, _v, _cid): nearest centroid as a reduce over the broadcast
+        one-row centroid array — zero exchange on the points side."""
+
+        def d2(c):
+            return F.aggregate(
+                F.zip_with("_v", c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        best = F.reduce(
+            F.col("_cs"),
+            F.struct(
+                F.lit(float("inf")).alias("d2"), F.lit(-1).cast("int").alias("cid")
+            ),
+            lambda acc, s: F.when(
+                d2(s["_c"]) < acc["d2"],
+                F.struct(d2(s["_c"]).alias("d2"), s["_cid"].cast("int").alias("cid")),
+            ).otherwise(acc),
+        )
+        return (
+            pts_df.crossJoin(F.broadcast(packed(cents_df)))
+            .withColumn("_cid", best["cid"])
             .select("_id", "_v", "_cid")
         )
+
+    for _ in range(iters):
+        assigned = assign(pts, cents)
         # Element-wise mean as `dim` avg aggregates (partial/final hash agg
         # with map-side combine — the shuffle carries k×dim doubles per map
         # partition, not the points).
@@ -100,14 +128,9 @@ def kmeans_lloyd(
             .join(new_cents, "_cid", "left")
             .select("_cid", F.coalesce("_c", "_c_old").alias("_c"))
         )
-    final = (
-        pts.crossJoin(F.broadcast(cents))
-        .withColumn("_d2", d2)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("_id").alias(id_col), F.col("_cid").alias(prediction_col))
+    return assign(pts, cents).select(
+        F.col("_id").alias(id_col), F.col("_cid").alias(prediction_col)
     )
-    return final
 
 
 # --- DBSCAN ----------------------------------------------------------------
@@ -190,6 +213,7 @@ def dbscan(
     min_pts: int,
     id_col: str = "point_id",
     cell_size: float | None = None,
+    include_core: bool = False,
 ) -> DataFrame:
     """Distributed DBSCAN [ref: ddf_library/functions/ml/clustering.py
     DBSCAN]: grid bucketing + per-cell local DBSCAN + border merge.
@@ -202,8 +226,20 @@ def dbscan(
        produces the global relabeling.
 
     Noise points get cluster −1, matching the reference.
+    ``include_core=True`` adds an ``is_core`` boolean column (global
+    core-ness = max over halo copies).
+
+    ``cell_size`` must be ≥ eps: the halo replicates into ±1 neighbor cells
+    only, so a cell smaller than eps would silently truncate
+    eps-neighborhoods (wrong core/cluster labels).
     """
     cell = cell_size or (2.0 * eps)
+    if cell < eps:
+        raise ValueError(
+            f"cell_size={cell} < eps={eps} breaks the single-ring halo "
+            "invariant (only ±1 neighbor cells are replicated); use "
+            "cell_size >= eps"
+        )
     cells = _grid_halo(
         df.select(id_col, *dims), dims, [cell] * len(dims), [eps] * len(dims)
     )
@@ -215,11 +251,14 @@ def dbscan(
         ],
         schema=schema,
     )
-    return _merge_cells(df, labeled, id_col)
+    return _merge_cells(df, labeled, id_col, include_core=include_core)
 
 
-def _merge_cells(df: DataFrame, labeled: DataFrame, id_col: str) -> DataFrame:
+def _merge_cells(
+    df: DataFrame, labeled: DataFrame, id_col: str, include_core: bool = False
+) -> DataFrame:
     """Union-find merge of per-cell cluster labels into global cluster ids."""
+    all_copies = labeled
     labeled = labeled.filter(F.col("local_label") >= 0).withColumn(
         "gl", F.concat_ws("#", "_cell", F.col("local_label").cast("string"))
     ).persist()
@@ -270,7 +309,13 @@ def _merge_cells(df: DataFrame, labeled: DataFrame, id_col: str) -> DataFrame:
         "cluster", F.row_number().over(Window.orderBy("root")) - 1
     )
     out = df.join(assign.join(F.broadcast(ids), "root").select(id_col, "cluster"), id_col, "left")
-    return out.withColumn("cluster", F.coalesce(F.col("cluster"), F.lit(-1)))
+    out = out.withColumn("cluster", F.coalesce(F.col("cluster"), F.lit(-1)))
+    if include_core:
+        core = all_copies.groupBy(id_col).agg(F.max("is_core").alias("is_core"))
+        out = out.join(core, id_col, "left").withColumn(
+            "is_core", F.coalesce(F.col("is_core"), F.lit(False))
+        )
+    return out
 
 
 # --- ST-DBSCAN -------------------------------------------------------------

@@ -37,26 +37,59 @@ def select_expression(df: DataFrame, *exprs: str) -> DataFrame:
     return df.selectExpr(*exprs)
 
 
+_QUOTED_SPAN = re.compile(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+_TERM = r"(?:\w+(?:\.\w+)*|\x00\d+\x00)"
+_CHAINED_CMP = re.compile(
+    rf"({_TERM})\s*(<=|>=|<|>)\s*({_TERM})\s*(<=|>=|<|>)\s*({_TERM})"
+)
 _PANDAS_QUERY_FIXES = (
+    (re.compile(r"\bnot\s+in\b"), "NOT IN"),
+    (re.compile(r"\bin\b"), "IN"),
     (re.compile(r"\band\b"), "AND"),
     (re.compile(r"\bor\b"), "OR"),
     (re.compile(r"\bnot\b"), "NOT"),
+    (re.compile(r"~"), " NOT "),
     (re.compile(r"=="), "="),
-    (re.compile(r"\.str\.contains\("), ".contains("),
+    (re.compile(r"(\w+(?:\.\w+)*)\.str\.contains\("), r"contains(\1, "),
 )
+_IN_LIST = re.compile(r"\bIN\s*\[([^\[\]]*)\]")
 
 
 def translate_pandas_query(expr: str) -> str:
     """Translate the reference's pandas-``query`` dialect to Spark SQL.
 
-    Handles the operators the reference's test corpus actually uses:
-    ``and/or/not`` keywords and ``==`` equality.  Anything already in SQL
-    form passes through unchanged.
+    Covers the operators the reference's documented filter examples use:
+    ``and/or/not`` keywords, ``==``, ``~`` negation, ``in``/``not in`` with
+    list literals (``x in ['a', 'b']`` → ``x IN ('a', 'b')``), chained
+    comparisons (``1 < x <= 5`` → ``1 < x AND x <= 5``) and
+    ``col.str.contains(pat)`` → ``contains(col, pat)``.  Quoted string
+    literals are masked out first so keywords/operators INSIDE a literal
+    (``name == 'rock and roll'``) are never rewritten.  Anything already in
+    SQL form passes through unchanged.
     """
-    out = expr
+    # 1. Mask quoted literals so no substitution touches their contents.
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    out = _QUOTED_SPAN.sub(_mask, expr)
+
+    # 2. Chained comparisons (left-to-right, pandas semantics a<b<c ≡ a<b and b<c).
+    while True:
+        new = _CHAINED_CMP.sub(r"\1 \2 \3 AND \3 \4 \5", out, count=1)
+        if new == out:
+            break
+        out = new
+
+    # 3. Keyword / operator substitutions.
     for pat, repl in _PANDAS_QUERY_FIXES:
         out = pat.sub(repl, out)
-    return out
+    out = _IN_LIST.sub(r"IN (\1)", out)
+
+    # 4. Restore string literals.
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)
 
 
 def filter_rows(df: DataFrame, expr: str | Column) -> DataFrame:

@@ -154,13 +154,25 @@ def range_join(
     this is the bucketed decomposition: intervals explode to the integer
     buckets they overlap (``bucket_width`` ≈ median interval length), points
     map to exactly one bucket, and the match becomes an equi-join on bucket
-    id + a residual filter.  Each (point, interval) pair meets in exactly one
-    bucket — no dedup needed.  Shuffles are hash-partitioned on bucket id;
-    at 100 TB pick the width so per-bucket fan-out stays bounded.
+    id + a residual range predicate IN the join condition (so outer-extended
+    rows survive rather than being discarded by a post-join filter).  Each
+    (point, interval) pair meets in exactly one bucket — no dedup needed.
+    Shuffles are hash-partitioned on bucket id; at 100 TB pick the width so
+    per-bucket fan-out stays bounded.
+
+    ``how`` ∈ {'inner', 'left'}: a left point maps to exactly ONE bucket, so
+    left-outer is exact (an unmatched point survives once).  Right/full are
+    rejected — the right side is replicated per overlapped bucket, so an
+    unmatched interval would surface once per bucket (wrong multiplicity).
     """
-    p = F.col(point_col)
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r}: the "
+            "bucket-exploded right side would emit unmatched intervals once "
+            "per overlapped bucket under right/full-outer semantics"
+        )
     r_buckets = right.withColumn(
-        "_bkt",
+        "_bkt_r",
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col) / bucket_width),
@@ -168,9 +180,14 @@ def range_join(
             )
         ),
     )
-    l_bucket = left.withColumn("_bkt", F.floor(p / bucket_width))
-    cond = (p >= F.col(start_col)) & (p < F.col(end_col))
-    return l_bucket.join(r_buckets, "_bkt", how).filter(cond).drop("_bkt")
+    l_bucket = left.withColumn("_bkt", F.floor(F.col(point_col) / bucket_width))
+    p = l_bucket[point_col]
+    cond = (
+        (l_bucket["_bkt"] == r_buckets["_bkt_r"])
+        & (p >= r_buckets[start_col])
+        & (p < r_buckets[end_col])
+    )
+    return l_bucket.join(r_buckets, cond, how).drop("_bkt", "_bkt_r")
 
 
 def salted_join(
@@ -188,7 +205,18 @@ def salted_join(
     Complements AQE's runtime skew splitting (spark.sql.adaptive.skewJoin):
     use this when the skew is known ahead of time and the right side is too
     large to broadcast but cheap to replicate ``n``×.
+
+    ``how`` ∈ {'inner', 'left'}: each left row carries one salt, so
+    left-outer multiplicity is exact.  Right/full are rejected — the right
+    side is replicated ``salt_buckets``×, so an unmatched right row would
+    surface once per salt.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "salt-replicated right side would emit unmatched right rows "
+            "once per salt bucket under right/full-outer semantics"
+        )
     on = [on] if isinstance(on, str) else list(on)
     l = left.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     r = right.withColumn(

@@ -188,6 +188,7 @@ def dedup_minhash_md5(spark, sf_dir):
 
 @query(
     "dedup_simhash_md5",
+    headline=True,
     sql=r"""
     WITH tok AS (
       SELECT doc_id, t.tok
@@ -264,7 +265,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def embedding_near_dup(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"), min_cosine=0.6
+        table(spark, sf_dir, "embeddings"), min_cosine=0.6, allow_full_scan=True
     )
 
 

@@ -49,7 +49,7 @@ def _kmeans_lloyd_sql(iters: int = 2, k: int = 8, dim: int = 64) -> str:
     return "".join(parts)
 
 
-@query("ml_kmeans_lloyd_fixed_init", sql=_kmeans_lloyd_sql())
+@query("ml_kmeans_lloyd_fixed_init", sql=_kmeans_lloyd_sql(), headline=True)
 def ml_kmeans_lloyd_fixed_init(spark, sf_dir):
     """DataFrame-native Lloyd's K-Means with fixed initial centroids
     (vec_id 0..7), 2 iterations — fully deterministic, exact assignment
@@ -386,7 +386,7 @@ def _dangling_pagerank_sql(iters: int = 8, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
-@query("graph_pagerank", sql=_dangling_pagerank_sql())
+@query("graph_pagerank", sql=_dangling_pagerank_sql(), headline=True)
 def graph_pagerank(spark, sf_dir):
     """PageRank on the directed customer→supplier graph (all suppliers are
     dangling → exercises dangling-mass redistribution).  Exact-value oracle

@@ -65,6 +65,16 @@ def test_shapefile_roundtrip(spark, tmp_path):
     assert [(p["x"], p["y"]) for p in rows[1]["points"]] == ELL
 
 
+def test_shapefile_dbf_count_mismatch(spark, tmp_path):
+    import pytest as _pytest
+
+    shp, dbf = str(tmp_path / "m.shp"), str(tmp_path / "m.dbf")
+    _write_shp(shp, [SQUARE, ELL])
+    _write_dbf(dbf, ["NAME"], [["only_one"]])  # 1 live record vs 2 shapes
+    with _pytest.raises(ValueError, match="cannot be aligned"):
+        read_shapefile(spark, shp, dbf)
+
+
 def _ray_cast(px, py, ring):
     inside = False
     n = len(ring)

@@ -140,10 +140,19 @@ def test_lsh_topk_recall(emb):
 
 
 def test_embedding_near_dup_symmetric_bound(emb):
-    out = dedup.embedding_near_dup_pairs(emb, min_cosine=0.5).collect()
+    out = dedup.embedding_near_dup_pairs(emb, min_cosine=0.5, allow_full_scan=True).collect()
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_unblocked_pair_ops_raise(emb, docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block_fn"):
+        dedup.embedding_near_dup_pairs(emb, min_cosine=0.5)
+    with _pytest.raises(ValueError, match="block_col"):
+        dedup.ngram_jaccard_pairs(docs)
 
 
 def test_ivf_topk_recall(emb):

@@ -133,6 +133,33 @@ def test_dbscan_cross_cell_merge(spark):
     assert clusters == {0}, f"expected single cluster, got {clusters}"
 
 
+def test_dbscan_cell_size_guard(spark):
+    from compss_python_spark.ml.clustering import dbscan
+
+    pdf = pd.DataFrame({"point_id": [0, 1], "x": [0.0, 1.0], "y": [0.0, 1.0]})
+    with pytest.raises(ValueError, match="halo"):
+        dbscan(spark.createDataFrame(pdf), ["x", "y"], eps=0.5, min_pts=2, cell_size=0.4)
+
+
+def test_gaussian_nb_exact_separated(spark):
+    """Two well-separated gaussian classes → exact NB recovers the labels."""
+    from compss_python_spark.ml.classification import gaussian_nb_exact
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(loc=-2.0, scale=0.3, size=(30, 4))
+    b = rng.normal(loc=2.0, scale=0.3, size=(30, 4))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(60),
+            "label": [0] * 30 + [1] * 30,
+            "embedding": [list(map(float, r)) for r in np.vstack([a, b])],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = gaussian_nb_exact(df, df, dim=4).collect()
+    assert all(r["prediction"] == r["label"] for r in out)
+
+
 def test_pagerank_sums_to_one(spark):
     from compss_python_spark.graph.pagerank import pagerank
 

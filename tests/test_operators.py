@@ -30,6 +30,29 @@ def test_translate_pandas_query():
     )
 
 
+def test_translate_pandas_query_extended():
+    t = etl.translate_pandas_query
+    # keywords inside string literals are never rewritten
+    assert t("name == 'rock and roll'") == "name = 'rock and roll'"
+    assert t("name.str.contains('or not')") == "contains(name, 'or not')"
+    # in / not in with list literals
+    assert t("x in ['a', 'b']") == "x IN ('a', 'b')"
+    assert t("x not in [1, 2]") == "x NOT IN (1, 2)"
+    # ~ negation and chained comparisons
+    assert t("~(a == 1)").strip() == "NOT (a = 1)"
+    assert t("1 < x <= 5") == "1 < x AND x <= 5"
+    assert t("0 <= a < b <= 10") == "0 <= a AND a < b AND b <= 10"
+
+
+def test_filter_pandas_dialect_extended(people):
+    assert sorted(
+        r["id"] for r in etl.filter_rows(people, "dept in ['x']").collect()
+    ) == [1, 3, 5]
+    assert sorted(
+        r["id"] for r in etl.filter_rows(people, "25 < age <= 40").collect()
+    ) == [1, 3, 6]
+
+
 def test_filter_pandas_dialect(people):
     out = etl.filter_rows(people, "(dept == 'x') and (age > 25)")
     assert sorted(r["id"] for r in out.collect()) == [1, 3]
@@ -180,6 +203,24 @@ def test_asof_join_edges(spark):
     assert out[(1, 20)] == 150.0   # latest prior
     assert out[(2, 5)] is None     # right row is later -> no match
     assert out[(3, 7)] is None     # key absent from right
+
+
+def test_range_join_left_outer_and_how_validation(spark):
+    from compss_python_spark.operators.joins import range_join, salted_join
+
+    points = spark.createDataFrame([(1, 5.0), (2, 25.0), (3, 99.0)], "pid long, t double")
+    ivals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 20.0, 30.0)], "iid long, w_start double, w_end double"
+    )
+    inner = range_join(points, ivals, "t", "w_start", "w_end", bucket_width=10.0)
+    assert sorted((r["pid"], r["iid"]) for r in inner.collect()) == [(1, 10), (2, 11)]
+    left = range_join(points, ivals, "t", "w_start", "w_end", bucket_width=10.0, how="left")
+    got = sorted((r["pid"], r["iid"]) for r in left.collect())
+    assert got == [(1, 10), (2, 11), (3, None)]  # unmatched point survives ONCE
+    with pytest.raises(ValueError, match="range_join"):
+        range_join(points, ivals, "t", "w_start", "w_end", 10.0, how="full")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(points, ivals, "pid", how="right")
 
 
 def test_salted_join_matches_plain(spark):
