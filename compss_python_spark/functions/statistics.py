@@ -74,6 +74,33 @@ def freq_items_exact(df: DataFrame, col: str, min_count: int) -> DataFrame:
     )
 
 
+def quantiles_exact(df: DataFrame, col: str, probs: Sequence[float]) -> DataFrame:
+    """EXACT quantiles (linear interpolation, type-7 — Spark ``percentile``,
+    DuckDB ``quantile_cont``): one row, one column per prob.
+
+    The exact aggregate shuffles per-group sorted buffers — fine for a
+    per-query scalar; at 100 TB prefer ``percentile_approx`` (t-digest,
+    bounded memory) when an ε-error is acceptable.
+    """
+    return df.agg(
+        *[
+            F.round(F.percentile(F.col(col), F.lit(p)), 4).alias(f"q{int(p * 100)}")
+            for p in probs
+        ]
+    )
+
+
+def histogram_fixed_width(df: DataFrame, col: str, width: float) -> DataFrame:
+    """Fixed-width histogram: (bucket, n) with bucket = floor(col/width) —
+    a single partial/final hash aggregate (map-side combine), the
+    scale-correct histogram shape."""
+    return (
+        df.withColumn("bucket", F.floor(F.col(col) / width).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _ks_d_statistic(df: DataFrame, col: str, cdf_of) -> tuple[float, int]:
     """Distributed KS D statistic: max deviation between the ECDF of ``col``
     and the theoretical CDF produced by ``cdf_of(value_column)``.

@@ -325,6 +325,26 @@ def sample_hash_n(df: DataFrame, n: int, key: str) -> DataFrame:
     )
 
 
+def stratified_sample_hash(
+    df: DataFrame, stratum_col: str, n_per_stratum: int, key: str
+) -> DataFrame:
+    """Deterministic stratified sample: per stratum, the ``n_per_stratum``
+    rows with the smallest md5(key) — the stratified companion of
+    :func:`sample_hash_n` (reproducible across engines/runs; hash order is
+    uniform, so within-stratum selection is unbiased).
+
+    Compiles to WindowGroupLimit: per-partition top-n per stratum before the
+    exchange, so the shuffle carries ≤ n·strata rows per map partition, not
+    the data.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(F.md5(F.col(key).cast("string")))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def split(df: DataFrame, percentage: float, seed: int = 42) -> tuple[DataFrame, DataFrame]:
     """Random two-way split [ref: ddf_library/functions/etl/split.py]."""
     a, b = df.randomSplit([percentage, 1.0 - percentage], seed=seed)

@@ -352,3 +352,55 @@ def multimodal_features(spark, sf_dir):
         "n_bytes",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
+
+
+@query(
+    "pipeline_corpus_curation",
+    headline=True,
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tok,
+             LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS non_space,
+             LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    q AS (
+      SELECT *, ROUND((LEAST(n_tok / 20.0, 1.0)
+                 + CASE WHEN non_space / GREATEST(n_tok, 1) BETWEEN 3 AND 12
+                        THEN 1.0 ELSE 0.0 END
+                 + alpha / GREATEST(non_space, 1)) / 3.0, 6) AS quality
+      FROM s
+    ),
+    f AS (SELECT * FROM q WHERE quality >= 0.5 AND n_chars BETWEEN 50 AND 5000),
+    surv AS (SELECT * FROM f QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp))
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(quality), 6) AS avg_quality
+    FROM surv GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation pipeline — the LLM-data flagship:
+    quality scoring → length/quality filter → exact near-copy removal →
+    per-language corpus stats, all composed from the public operator layer.
+
+    Scale shape: quality features are narrow JVM string expressions fused
+    into the scan stage; the dedup groupBy shuffles only (32-byte md5, id)
+    pairs for rows that SURVIVE the filters (filter-before-dedup ordering);
+    the final per-language rollup is a partial/final hash aggregate.  One
+    data-bearing shuffle end-to-end at any scale.
+    """
+    from compss_python_spark.llm.dedup import exact_dedup_by_hash
+    from compss_python_spark.llm.text import quality_score
+
+    docs = quality_score(table(spark, sf_dir, "documents"))
+    kept = docs.filter(
+        (F.col("quality") >= 0.5) & F.col("n_chars").between(50, 5000)
+    )
+    surv = exact_dedup_by_hash(kept, "text", "doc_id")
+    return surv.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )

@@ -119,3 +119,55 @@ def ks_test_normal(spark, sf_dir):
     return spark.createDataFrame(
         [(round(d, 6), round(p, 6))], "d_stat double, p_value double"
     )
+
+
+@query(
+    "quantiles_exact",
+    sql="""
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS q90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS q99
+    FROM lineitem
+    """,
+)
+def quantiles_exact(spark, sf_dir):
+    """Exact interpolated quantiles (median/p90/p99) — Spark `percentile`
+    and DuckDB `quantile_cont` share the type-7 linear-interpolation
+    definition, so the values hash-match exactly."""
+    from compss_python_spark.functions.statistics import quantiles_exact as q
+
+    return q(table(spark, sf_dir, "lineitem"), "l_extendedprice", [0.5, 0.9, 0.99])
+
+
+@query(
+    "stratified_sample_hash",
+    sql="""
+    SELECT event_id, event_type FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY MD5(CAST(event_id AS VARCHAR))) <= 20
+    """,
+)
+def stratified_sample_hash(spark, sf_dir):
+    """Deterministic stratified sampling: 20 rows per event_type by
+    smallest md5(event_id) — engine-portable (md5 hex ordering), unlike
+    seeded sampleBy.  WindowGroupLimit keeps the shuffle at ≤ n·strata rows
+    per map partition."""
+    from compss_python_spark.operators.etl import stratified_sample_hash as s
+
+    out = s(table(spark, sf_dir, "events"), "event_type", 20, "event_id")
+    return out.select("event_id", "event_type")
+
+
+@query(
+    "histogram_fixed_width",
+    sql="""
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def histogram_fixed_width(spark, sf_dir):
+    """Fixed-width histogram of events.value (width 25) — one hash
+    aggregate with map-side combine."""
+    from compss_python_spark.functions.statistics import histogram_fixed_width as h
+
+    return h(table(spark, sf_dir, "events"), "value", 25.0)
