@@ -809,3 +809,52 @@ def tpch_q19_disjunctive_pred(spark, sf_dir):
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "date_spine_gapfill",
+    sql="""
+    WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+    b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+    spine AS (
+      -- generate_series takes only constant bounds in DuckDB: enumerate a
+      -- fixed day-offset range and keep offsets inside [lo, hi].
+      SELECT CAST((SELECT lo FROM b) + g.i * INTERVAL 1 DAY AS DATE) AS day
+      FROM generate_series(0, 100000) AS g(i)
+      WHERE g.i <= (SELECT DATEDIFF('day', lo, hi) FROM b)
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    daily AS (SELECT day, event_type, COUNT(*)::BIGINT AS n FROM ev GROUP BY 1, 2)
+    SELECT STRFTIME(s.day, '%Y-%m-%d') AS day, t.event_type,
+           COALESCE(d.n, 0)::BIGINT AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+)
+def date_spine_gapfill(spark, sf_dir):
+    """Zero-filled daily counts per event type over a generated date spine —
+    the gap-filling shape time-series rollups need (days with no events
+    appear with n = 0).
+
+    Scale shape: the spine comes from a 1-row min/max aggregate exploded
+    with `sequence` (days × types is tiny and broadcast); the data-bearing
+    work is one partial/final hash aggregate of the events scan.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("day", "event_type").agg(F.count("*").alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )

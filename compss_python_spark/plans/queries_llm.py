@@ -3,6 +3,7 @@ dedup, text analysis, similarity search, multimodal plumbing."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from compss_python_spark.llm import dedup, multimodal, similarity, text
@@ -403,4 +404,48 @@ def pipeline_corpus_curation(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+@query(
+    "wordcount_top_terms",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, t.term
+      FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(term)
+    ),
+    tf AS (
+      SELECT term, COUNT(*)::BIGINT AS n_occurrences,
+             COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM tok GROUP BY term
+    )
+    SELECT term, n_occurrences, n_docs,
+           ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) AS rank
+    FROM tf
+    QUALIFY rank <= 30
+    """,
+)
+def wordcount_top_terms(spark, sf_dir):
+    """Corpus term-frequency top-30 (the explode → double-agg shape every
+    vocabulary/BPE build starts from): per-term occurrence + document
+    frequency, ranked under a total order.
+
+    Scale shape: explode is narrow; ONE hash aggregate computes both counts
+    (count_distinct rewritten to a two-level partial agg by Spark);
+    TakeOrderedAndProject caps result motion at 30 rows.
+    """
+    from compss_python_spark.llm.text import tokens
+
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 30)
+        .select("term", "n_occurrences", "n_docs", "rank")
     )
