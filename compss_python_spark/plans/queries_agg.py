@@ -858,3 +858,23 @@ def date_spine_gapfill(spark, sf_dir):
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+@query(
+    "sliding_window_agg",
+    sql="""
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300 - g.k * 300) AS TIMESTAMP)
+             AS w_start,
+           event_type, COUNT(*) AS n
+    FROM events CROSS JOIN generate_series(0, 1) AS g(k)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_agg(spark, sf_dir):
+    """10-minute window sliding by 5 minutes — each event lands in exactly
+    two windows (duration/slide = 2), which the oracle enumerates
+    explicitly.  Batch twin of `streaming.sliding_window_counts`; the same
+    expression runs under Structured Streaming with a watermark."""
+    from compss_python_spark.streaming.windows import sliding_window_counts
+
+    return sliding_window_counts(table(spark, sf_dir, "events"))
