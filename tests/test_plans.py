@@ -91,3 +91,33 @@ def test_asof_join_single_shuffle_on_key(spark, sf_dir):
 def test_hypertable_rollup_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hypertable_rollup_time")
     assert "Expand" in plan, "grouping sets should expand, not union N aggs"
+
+
+def test_kmeans_lloyd_assignment_has_no_window(spark, sf_dir):
+    # the argmin must be a per-row reduce over the broadcast centroid array,
+    # not a Window.partitionBy(point) over the n×k cross product
+    plan = _plan(spark, sf_dir, "ml_kmeans_lloyd_fixed_init")
+    assert "Window" not in plan, "centroid assignment must not plan a window"
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid table broadcast
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    # lineitem is the only fact: every dim (orders after the date filter at
+    # this SF may shuffle pre-AQE, but region/nation/supplier/customer must
+    # broadcast) — no sort-merge join anywhere
+    plan = _plan(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_partial_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stratified_sample_hash")
+    assert "WindowGroupLimit" in plan, "per-stratum top-n must push below the shuffle"
+
+
+def test_curation_pipeline_single_data_shuffle(spark, sf_dir):
+    # quality features fuse into the scan stage; dedup groupBy + final
+    # rollup are the only exchanges (plus AQE artifacts) — no join shuffle
+    plan = _plan(spark, sf_dir, "pipeline_corpus_curation")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
