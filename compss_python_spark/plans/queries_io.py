@@ -88,3 +88,163 @@ def io_json_roundtrip(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@query(
+    "parallelize_literal",
+    sql="""
+    SELECT g AS grp, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total
+    FROM (VALUES ('a', 1), ('a', 2), ('b', 3), ('b', 4), ('c', 5)) AS t(g, v)
+    GROUP BY g
+    """,
+)
+def parallelize_literal(spark, sf_dir):
+    """parallelize (#1): a local pandas frame becomes a distributed DDF;
+    the aggregate of the fixed literal data is the oracle (VALUES twin)."""
+    import pandas as pd
+
+    from compss_python_spark.ddf import Context
+
+    cc = Context(spark=spark)
+    ddf = cc.parallelize(
+        pd.DataFrame({"g": ["a", "a", "b", "b", "c"], "v": [1, 2, 3, 4, 5]}),
+        nfrag=3,
+    )
+    return ddf.df.groupBy(F.col("g").alias("grp")).agg(
+        F.count("*").alias("n"), F.sum("v").alias("total")
+    )
+
+
+@query(
+    "import_compss_data_union",
+    sql="""
+    SELECT CAST(SUM(v) AS BIGINT) AS total, COUNT(*) AS n,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM (VALUES (1), (2), (3), (10), (20), (30)) AS t(v)
+    """,
+)
+def import_compss_data_union(spark, sf_dir):
+    """import_compss_data (#7): a list of local pandas fragments unions into
+    one distributed frame — fragment boundaries must not affect results."""
+    import pandas as pd
+
+    from compss_python_spark.ddf import Context
+
+    cc = Context(spark=spark)
+    ddf = cc.import_compss_data(
+        [pd.DataFrame({"v": [1, 2, 3]}), pd.DataFrame({"v": [10, 20, 30]})]
+    )
+    return ddf.df.agg(
+        F.sum("v").alias("total"),
+        F.count("*").alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@query(
+    "partitioning_invariance",
+    sql="""
+    SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders
+    """,
+)
+def partitioning_invariance(spark, sf_dir):
+    """repartition/hash_partition/range_partition/balancer (#29–32) chained:
+    results must be invariant to physical partitioning — the oracle is the
+    plain aggregate.  (Partition COUNTS are asserted in the facade tests;
+    this proves no row is lost/duplicated through the partitioners.)"""
+    from compss_python_spark.operators.etl import (
+        balancer,
+        hash_partition,
+        range_partition,
+        repartition,
+    )
+
+    df = table(spark, sf_dir, "orders")
+    df = repartition(df, 16)
+    df = hash_partition(df, ["o_custkey"], 8)
+    df = range_partition(df, ["o_orderkey"], 8)
+    df = balancer(df)
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+def _write_fixture_shapefile(shp: str, dbf: str) -> None:
+    """Deterministic two-polygon .shp/.dbf fixture (pure-format writer, same
+    public ESRI/dBASE layouts the reader parses)."""
+    import struct as _s
+
+    rings = [
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+        [(20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0)],
+    ]
+    records = b""
+    for i, ring in enumerate(rings):
+        xs, ys = [p[0] for p in ring], [p[1] for p in ring]
+        payload = _s.pack("<i", 5)
+        payload += _s.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+        payload += _s.pack("<ii", 1, len(ring))
+        payload += _s.pack("<i", 0)
+        for x, y in ring:
+            payload += _s.pack("<dd", x, y)
+        records += _s.pack(">ii", i + 1, len(payload) // 2) + payload
+    header = _s.pack(">i", 9994) + b"\x00" * 20
+    header += _s.pack(">i", (100 + len(records)) // 2)
+    header += _s.pack("<ii", 1000, 5)
+    header += _s.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    with open(shp, "wb") as f:
+        f.write(header + records)
+
+    names, rows = ["NAME", "AREA"], [["low", 100.0], ["high", 100.0]]
+    flen = 16
+    fields = b""
+    for n, ftype in [("NAME", b"C"), ("AREA", b"N")]:
+        fields += n.encode().ljust(11, b"\x00") + ftype + b"\x00" * 4 + bytes([flen]) + b"\x00" * 15
+    header_len = 32 + len(fields) + 1
+    record_len = 1 + flen * len(names)
+    head = _s.pack("<BBBBIHH", 3, 24, 1, 1, len(rows), header_len, record_len)
+    head += b"\x00" * 20 + fields + b"\x0d"
+    recs = b""
+    for row in rows:
+        recs += b" " + b"".join(str(v).encode().ljust(flen)[:flen] for v in row)
+    with open(dbf, "wb") as f:
+        f.write(head + recs + b"\x1a")
+
+
+@query(
+    "shapefile_roundtrip_attrs",
+    sql="""
+    SELECT * FROM (VALUES
+      (0, 'low',  100.0, 4, 0.0,  10.0),
+      (1, 'high', 100.0, 4, 20.0, 30.0)
+    ) AS t(geom_id, name, area, n_points, min_x, max_x)
+    """,
+)
+def shapefile_roundtrip_attrs(spark, sf_dir):
+    """read.shapefile (#4): write a deterministic two-polygon .shp/.dbf pair,
+    read it back through the public reader, and project geometry + dbf
+    attributes (typed from the field descriptors: N → double).  The oracle
+    is the expected parse as a VALUES literal."""
+    import os as _os
+
+    from compss_python_spark.geo import read_shapefile
+
+    d = _scratch(sf_dir, "shapefile")
+    _os.makedirs(d, exist_ok=True)
+    shp, dbf = _os.path.join(d, "fx.shp"), _os.path.join(d, "fx.dbf")
+    _write_fixture_shapefile(shp, dbf)
+    df = read_shapefile(spark, shp, dbf)
+    xs = F.transform("points", lambda p: p.x)
+    return df.select(
+        F.col("geom_id").cast("int").alias("geom_id"),
+        F.col("NAME").alias("name"),
+        F.col("AREA").alias("area"),
+        F.size("points").alias("n_points"),
+        F.array_min(xs).alias("min_x"),
+        F.array_max(xs).alias("max_x"),
+    )
