@@ -221,6 +221,50 @@ class DDF:
             raise NotImplementedError("only 'norm' is supported (as in tests)")
         return statistics.ks_one_sample_normal(self.df, col)
 
+    # -- LLM-pipeline extensions (engine additions beyond the reference
+    # surface — SURVEY.md §2.12; same fluent style) --------------------------
+    def dedup_exact(self, cols, id_col: str) -> "DDF":
+        """Exact dedup on `cols`, min-id survivor (deterministic)."""
+        from compss_python_spark.llm.dedup import exact_dedup
+
+        return DDF(exact_dedup(self.df, cols, id_col))
+
+    def dedup_exact_by_hash(self, text_col: str, id_col: str) -> "DDF":
+        """Exact text dedup via md5 of normalized text (32-byte shuffle keys)."""
+        from compss_python_spark.llm.dedup import exact_dedup_by_hash
+
+        return DDF(exact_dedup_by_hash(self.df, text_col, id_col))
+
+    def minhash_lsh_pairs(self, id_col: str = "doc_id", text_col: str = "text",
+                          **kw) -> "DDF":
+        """MinHash+banded-LSH near-duplicate candidate pairs."""
+        from compss_python_spark.llm.dedup import minhash_lsh_pairs
+
+        return DDF(minhash_lsh_pairs(self.df, id_col=id_col, text_col=text_col, **kw))
+
+    def quality_score(self, text_col: str = "text") -> "DDF":
+        """Heuristic document-quality score column in [0, 1]."""
+        from compss_python_spark.llm.text import quality_score
+
+        return DDF(quality_score(self.df, text_col))
+
+    def language_id(self, text_col: str = "text") -> "DDF":
+        """Marker-word language-ID prediction column."""
+        from compss_python_spark.llm.text import language_id
+
+        return DDF(language_id(self.df, text_col))
+
+    def similarity_topk(self, queries: "DDF", k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> "DDF":
+        """Exact cosine top-k of `queries` (broadcast) against this corpus."""
+        from compss_python_spark.llm.similarity import brute_force_topk
+
+        return DDF(brute_force_topk(self.df, queries.df, k=k, id_col=id_col, vec_col=vec_col))
+
+    def sample_stratified(self, stratum_col: str, n_per_stratum: int, key: str) -> "DDF":
+        """Deterministic per-stratum sample by md5(key) order."""
+        return DDF(etl.stratified_sample_hash(self.df, stratum_col, n_per_stratum, key))
+
     # -- actions / misc [ref: ddf_library/ddf.py] ----------------------------
     def cache(self) -> "DDF":
         self.df.persist()

@@ -133,3 +133,43 @@ def test_map_with_python_lambda(cc):
         .to_df()
     )
     assert out["score"].tolist() == [11.0, 41.0, 91.0]
+
+
+def test_llm_extension_chains(cc, sf_dir):
+    docs = cc.read.parquet(f"{sf_dir}/documents.parquet")
+    # quality → filter → dedup → per-lang counts, fluent end-to-end
+    curated = (
+        docs.quality_score()
+        .filter("quality >= 0.5")
+        .dedup_exact_by_hash("text", "doc_id")
+        .group_by(["lang"])
+        .count()
+    )
+    rows = curated.df.collect()
+    assert rows and all(r["count"] > 0 for r in rows)
+
+    lang = docs.language_id().df.select("doc_id", "lang_pred").collect()
+    assert len(lang) == docs.count_rows()
+
+    emb = cc.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = emb.similarity_topk(DDF(emb.df.filter("vec_id < 3")), k=2)
+    got = topk.df.groupBy("query_id").count().collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(r["count"] == 2 for r in got)
+
+
+def test_stratified_sample_facade(cc, spark, sf_dir):
+    # events.ts is parquet TIMESTAMP(NANOS) — read as raw nanos (the ts
+    # column is unused here; plans/registry.table() is the full-fidelity path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = cc.read.parquet(f"{sf_dir}/events.parquet")
+    out = ev.sample_stratified("event_type", 5, "event_id").df
+    counts = out.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+    # deterministic: same call → same rows
+    a = sorted(r["event_id"] for r in out.collect())
+    b = sorted(
+        r["event_id"]
+        for r in ev.sample_stratified("event_type", 5, "event_id").df.collect()
+    )
+    assert a == b
