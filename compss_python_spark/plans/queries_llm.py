@@ -261,12 +261,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
                  / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 6) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE ROUND(LIST_DOT_PRODUCT(a.e, b.e)
-                / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 6) >= 0.6
+                / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 6) >= 0.35
     """,
 )
 def embedding_near_dup(spark, sf_dir):
+    """Exact all-pairs variant (bounded input → allow_full_scan); threshold
+    0.35 yields a few hundred pairs at sf0.01 (the corpus has no planted
+    duplicates, so higher cutoffs degenerate to empty results)."""
     return dedup.embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"), min_cosine=0.6, allow_full_scan=True
+        table(spark, sf_dir, "embeddings"), min_cosine=0.35, allow_full_scan=True
     )
 
 
@@ -448,4 +451,38 @@ def wordcount_top_terms(spark, sf_dir):
         tf.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 30)
         .select("term", "n_occurrences", "n_docs", "rank")
+    )
+
+
+@query("embedding_near_dup_lsh", sql=None)
+def embedding_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup via multi-table hyperplane-LSH blocking — the
+    SCALE path of `embedding_near_dup_pairs` (the oracled sibling runs the
+    exact all-pairs variant): candidates share a sign-random-projection
+    bucket in ANY of 3 tables (OR-amplification for recall), so the
+    self-join is bounded by bucket size instead of O(n²); the trailing
+    distinct() dedups pairs that meet in several tables.  Bucket membership
+    is hash-family-specific → rows-only; pair-subset-of-exact and recall
+    are asserted in tests."""
+    from compss_python_spark.llm.similarity import hyperplane_lsh_bucket
+
+    def block_fn(v):
+        for t in range(3):
+            v = hyperplane_lsh_bucket(v, "_v", num_planes=3, seed=42 + 1000 * t,
+                                      alias=f"_b{t}")
+        return v.select(
+            "_id",
+            "_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(":", F.lit(t), F.col(f"_b{t}").cast("string"))
+                        for t in range(3)
+                    ]
+                )
+            ).alias("_blk"),
+        )
+
+    return dedup.embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), min_cosine=0.35, block_fn=block_fn
     )

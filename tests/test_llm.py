@@ -146,6 +146,23 @@ def test_embedding_near_dup_symmetric_bound(emb):
         assert -1.0 <= r["cosine"] <= 1.0
 
 
+def test_embedding_near_dup_lsh_subset_and_recall(emb, spark, sf_dir):
+    from compss_python_spark.plans.registry import REGISTRY
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, min_cosine=0.35, allow_full_scan=True
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["embedding_near_dup_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert lsh <= exact, "LSH-blocked pairs must be a subset of exact pairs"
+    assert len(lsh) / len(exact) > 0.3, f"recall {len(lsh)/len(exact):.2f} too low"
+
+
 def test_unblocked_pair_ops_raise(emb, docs):
     import pytest as _pytest
 
