@@ -49,8 +49,9 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     sql="""
     SELECT user_id,
            COUNT(value) AS n,
-           ROUND(SUM(value), 2) AS total,
-           ROUND(AVG(value), 4) AS mean_v,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+             / COUNT(value) AS mean_v,
            ROUND(MIN(value), 2) AS min_v,
            ROUND(MAX(value), 2) AS max_v,
            COUNT(DISTINCT event_type) AS n_types
@@ -58,21 +59,31 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     """,
 )
 def groupby_agg_dict(spark, sf_dir):
-    """The reference's GroupedDDF.agg({col: funcs}) dict API."""
-    ev = table(spark, sf_dir, "events")
+    """The reference's GroupedDDF.agg({col: funcs}) dict API.
+
+    total/mean derive from the exact integer-cents sum (events.value is
+    2-dp by construction) with NO post-rounding: a double SUM/AVG rounded
+    to 2/4 dp sat on rounding boundaries at sf0.1 and flipped with
+    summation order — and ROUND itself is engine-divergent on inexact
+    doubles (Spark half-ups the shortest decimal string, DuckDB rounds the
+    binary value).  Identical integer sums + identical division order give
+    bit-identical doubles in both engines."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
     out = aggregation.agg(
         ev,
         ["user_id"],
         {
-            "value": [("count", "n"), ("sum", "total"), ("avg", "mean_v"),
-                      ("min", "min_v"), ("max", "max_v")],
+            "value": [("count", "n"), ("min", "min_v"), ("max", "max_v")],
+            "cents": [("sum", "_cents")],
             "event_type": [("count_distinct", "n_types")],
         },
     )
     return out.select(
         "user_id", "n",
-        F.round("total", 2).alias("total"),
-        F.round("mean_v", 4).alias("mean_v"),
+        (F.col("_cents") / 100.0).alias("total"),
+        (F.col("_cents") / 100.0 / F.col("n")).alias("mean_v"),
         F.round("min_v", 2).alias("min_v"),
         F.round("max_v", 2).alias("max_v"),
         "n_types",
