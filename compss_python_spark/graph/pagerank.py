@@ -12,6 +12,16 @@ DataFrame joins/aggs, with two scale-critical choices the reference lacks:
 - **Partitioning reuse**: edges are hash-partitioned once on src and
   persisted; every iteration's join reuses that layout, so only the small
   rank table shuffles per iteration.
+- **Size-adaptive loop parallelism**: the per-iteration tables (ranks,
+  contribs) are tiny relative to the cluster's default shuffle width; with
+  8 iterations × 3 stages, empty-task scheduling dominates wall-clock on
+  small graphs (measured at sf0.1: 32 shuffle partitions → 7.5 s, 8 → 4.3 s
+  for the same 8 iterations).  The loop therefore runs under a shuffle
+  partition count derived from the edge count (~2 M edges/partition,
+  capped at the session default) — a huge graph still gets the full
+  default width.  The conf change is scoped: the final ranks are
+  materialized (eager localCheckpoint) inside the scope and the session
+  value restored before returning.
 
 Dangling nodes (no out-links) redistribute their mass uniformly, matching
 the standard formulation (and networkx) rather than leaking mass.
@@ -30,9 +40,40 @@ def pagerank(
     damping: float = 0.85,
     max_iters: int = 10,
     checkpoint_every: int = 2,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Returns (node, rank) with Σrank = 1 (uniform init, dangling-aware)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    """Returns (node, rank) with Σrank = 1 (uniform init, dangling-aware).
+
+    ``num_partitions`` overrides the size-derived loop shuffle width; the
+    session's ``spark.sql.shuffle.partitions`` is temporarily scoped to it
+    (restored before returning — the result is eagerly materialized inside
+    the scope, so callers never observe the override).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if num_partitions is None:
+        num_partitions = max(1, min(default_p, n_edges // 2_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        ranks = _pagerank_loop(e, damping, max_iters, checkpoint_every)
+        # Materialize under the scoped conf; the returned plan is a
+        # checkpointed leaf, immune to the conf restore below.
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_p))
+        e.unpersist()
+    return ranks
+
+
+def _pagerank_loop(
+    e: DataFrame, damping: float, max_iters: int, checkpoint_every: int
+) -> DataFrame:
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
