@@ -374,6 +374,52 @@ def simhash_pairs(
 # --- embedding near-dup ----------------------------------------------------
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥ ``min_hits``
+    distinct word ``n``-grams with ANY benchmark document (the standard
+    train/test-overlap filter, cf. GPT-3 appx. C / PaLM §C: 8–13-gram
+    collision).
+
+    Plan shape: both sides explode to distinct n-gram keys, equi-join on the
+    key, count distinct hits per corpus doc.  The benchmark side is tiny
+    relative to the corpus (eval suites, not training data) → its distinct
+    gram set broadcasts; the corpus side is narrow-exploded and never
+    shuffled beyond the per-doc hit count.  ``use_hash`` joins on xxhash64
+    of the gram (8-byte keys) instead of raw strings — the scale default;
+    pass False for engine-portable exact string keys.
+
+    Returns ``corpus`` columns + ``n_hits`` (0 when clean) + ``contaminated``.
+    """
+    from compss_python_spark.llm.text import ngrams
+
+    def gram_keys(df):
+        g = F.array_distinct(ngrams(text_col, n))
+        if use_hash:
+            g = F.transform(g, lambda s: F.xxhash64(s))
+        return df.select(F.col(id_col), F.explode(g).alias("_gk"))
+
+    bench_keys = gram_keys(benchmark).select("_gk").distinct()
+    hits = (
+        gram_keys(corpus)
+        .join(F.broadcast(bench_keys), "_gk")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_gk").alias("n_hits"))
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") >= min_hits)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -122,6 +122,87 @@ def language_id(df: DataFrame, text_col: str = "text", alias: str = "lang_pred")
     return df.withColumn(alias, best["lang"])
 
 
+def ngrams(text_col, n: int = 2) -> Column:
+    """Word n-grams of a text column as an array (NON-distinct — callers
+    needing set semantics apply array_distinct).  Short docs (< n tokens)
+    yield one gram = the whole text, so no document silently disappears."""
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram_n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021 §A1.1):
+
+    - ``dup_token_frac``: 1 − distinct/total tokens (computed narrow, per row);
+    - ``dup_ngram_frac``: 1 − distinct/total word n-grams;
+    - ``top_ngram_frac``: occurrences of the most frequent n-gram / total.
+
+    The n-gram frequency mode needs per-(doc, gram) counts, so the gram
+    stats run distributed: explode → partial-aggregated groupBy(doc, gram)
+    → groupBy(doc).  Two hash shuffles keyed on (doc, gram) then doc — both
+    map-side combined, no skew (keys are per-document).  The per-row
+    alternative (aggregate over array_distinct) is O(grams²) per doc and
+    melts on long documents, so explode is the 100 TB shape.
+    """
+    toks = tokens(text_col)
+    narrow = df.select(
+        F.col(id_col),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("dup_token_frac"),
+        ngrams(text_col, ngram_n).alias("_g"),
+    )
+    gcnt = (
+        narrow.select(id_col, "dup_token_frac", F.explode("_g").alias("_gram"))
+        .groupBy(id_col, "dup_token_frac", "_gram")
+        .agg(F.count("*").alias("_c"))
+    )
+    return gcnt.groupBy(id_col, "dup_token_frac").agg(
+        F.round(F.lit(1.0) - F.count("*") / F.sum("_c"), 6).alias("dup_ngram_frac"),
+        F.round(F.max("_c") / F.sum("_c"), 6).alias("top_ngram_frac"),
+    )
+
+
+# PII patterns kept deliberately dialect-portable: valid and identical
+# semantics under Java regex (Spark) and RE2 (DuckDB oracle) — no
+# backreferences, no lookaround, no \b.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{7,15}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts (one ``n_<kind>`` column per pattern).
+    Pure regexp_count expressions — JVM-side, zero shuffle."""
+    return df.withColumns(
+        {
+            f"n_{kind}": F.regexp_count(F.col(text_col), F.lit(pat))
+            for kind, pat in PII_PATTERNS.items()
+        }
+    )
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", alias: str = "redacted"
+) -> DataFrame:
+    """Replace every PII match with ``[<KIND>]`` placeholders.  Chained
+    regexp_replace — order matters only across overlapping kinds (ipv4 runs
+    after phone so a '+1.2.3.4'-style string is consumed once); all three
+    patterns here are disjoint."""
+    out = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return df.withColumn(alias, out)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", alias: str = "fp") -> DataFrame:
     """Deterministic document fingerprint: md5 of case/whitespace-normalized
     text.  Used as the exact-dedup key; md5 keeps the DuckDB oracle

@@ -486,3 +486,148 @@ def embedding_near_dup_lsh(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(
         table(spark, sf_dir, "embeddings"), min_cosine=0.35, block_fn=block_fn
     )
+
+
+@query(
+    "text_repetition_stats",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             ROUND(1 - len(list_distinct(t)) / GREATEST(len(t), 1)::DOUBLE, 6)
+               AS dup_token_frac,
+             CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             END AS g
+      FROM tok
+    ),
+    gcnt AS (
+      SELECT doc_id, dup_token_frac, u.gram, COUNT(*) AS c
+      FROM grams, UNNEST(g) AS u(gram)
+      GROUP BY doc_id, dup_token_frac, u.gram
+    )
+    SELECT doc_id, dup_token_frac,
+           ROUND(1 - COUNT(*) / SUM(c)::DOUBLE, 6) AS dup_ngram_frac,
+           ROUND(MAX(c) / SUM(c)::DOUBLE, 6) AS top_ngram_frac
+    FROM gcnt GROUP BY doc_id, dup_token_frac
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (dup-token / dup-bigram / top-bigram
+    fractions) — exact parity with a DuckDB re-derivation of the same
+    tokenize → gram → frequency pipeline."""
+    return text.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+def _pii_injected_spark(docs):
+    """Deterministically splice PII into ~3/7 of docs (the corpus itself has
+    none) so detect/redact parity is exercised on real matches."""
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(did % 7 == 0, F.concat(F.lit(" contact user"), did, F.lit("@example.com now")))
+            .when(did % 7 == 3, F.concat(F.lit(" call +4915100"), did))
+            .when(did % 7 == 5, F.concat(F.lit(" host 10.0."), did % 256, F.lit(".7 up")))
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+_PII_INJECT_SQL = """
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now'
+             WHEN doc_id % 7 = 3 THEN ' call +4915100' || doc_id
+             WHEN doc_id % 7 = 5 THEN ' host 10.0.' || (doc_id % 256) || '.7 up'
+             ELSE '' END AS text
+      FROM documents
+"""
+
+
+@query(
+    "text_pii_redact",
+    sql=rf"""
+    WITH inj AS ({_PII_INJECT_SQL})
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+           len(regexp_extract_all(text, '\+[0-9]{{7,15}}')) AS n_phone,
+           len(regexp_extract_all(text, '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}')) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+                 '\+[0-9]{{7,15}}', '[PHONE]', 'g'),
+                 '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}', '[IPV4]', 'g')) AS red_md5
+    FROM inj
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII detection + redaction over deterministically-injected emails /
+    phone numbers / IPv4s; counts and the md5 of the redacted text both
+    hash-match the DuckDB regexp re-derivation (patterns are written to the
+    Java-regex ∩ RE2 common dialect)."""
+    out = text.pii_redact(text.pii_stats(_pii_injected_spark(table(spark, sf_dir, "documents"))))
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", F.md5("redacted").alias("red_md5")
+    )
+
+
+@query(
+    "decontaminate_corpus",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+             END AS gs
+      FROM tok
+    ),
+    bg AS (SELECT DISTINCT u.gram FROM g, UNNEST(gs) AS u(gram) WHERE doc_id % 37 = 0),
+    cg AS (SELECT doc_id, u.gram FROM g, UNNEST(gs) AS u(gram) WHERE doc_id % 37 != 0),
+    hits AS (
+      SELECT doc_id, COUNT(DISTINCT gram) AS n_hits
+      FROM cg JOIN bg USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 37 != 0
+    """,
+)
+def decontaminate_corpus(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any 5-gram with the
+    held-out 'benchmark' slice (doc_id % 37 = 0).  use_hash=False keeps the
+    join key an exact string so DuckDB reproduces it verbatim; production
+    defaults to xxhash64 keys (same hits, 8-byte shuffle keys)."""
+    docs = table(spark, sf_dir, "documents")
+    out = dedup.decontaminate(
+        docs.filter(F.col("doc_id") % 37 != 0),
+        docs.filter(F.col("doc_id") % 37 == 0),
+        n=5,
+        use_hash=False,
+    )
+    return out.select("doc_id", "n_hits", "contaminated")
+
+
+@query("dedup_lsh_cc_survivors", sql=None)
+def dedup_lsh_cc_survivors(spark, sf_dir):
+    """End-to-end near-dup dedup: MinHash-LSH candidate pairs → connected
+    components → min-id survivor per component.  The LSH stage is
+    xxhash-family-specific → rows-only; the CC stage has exact driver
+    parity via `graph_connected_components` and the survivor rule via
+    `dedup_exact_survivors`."""
+    from compss_python_spark.graph.components import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.min("node").alias("survivor"), F.count("*").alias("n_members"))
+        .select("component", "survivor", "n_members")
+    )

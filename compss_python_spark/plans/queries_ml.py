@@ -400,6 +400,43 @@ def graph_pagerank(spark, sf_dir):
 
 
 @query(
+    "graph_connected_components",
+    sql="""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity = 50
+    ),
+    edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components (min-label propagation) on the sparse
+    customer–supplier co-purchase graph (l_quantity = 50 keeps ~2% of
+    edges so the graph fragments into many components).  Exact parity with
+    a DuckDB recursive-CTE transitive closure taking MIN(reachable id)."""
+    from compss_python_spark.graph.components import connected_components
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 50)
+    orders = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(edges)
+
+
+@query(
     "graph_pagerank_symmetric",
     sql="""
     WITH RECURSIVE

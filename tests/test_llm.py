@@ -181,3 +181,66 @@ def test_ivf_topk_recall(emb):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall > 0.5, f"IVF recall {recall} too low for nprobe=4/8 cells"
+
+
+def test_repetition_stats_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w q r"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    # doc 1: 6 tokens 2 distinct; bigrams [a b, b a, a b, b a, a b] → top 3/5
+    assert abs(rows[1]["dup_token_frac"] - 4 / 6) < 1e-6
+    assert abs(rows[1]["dup_ngram_frac"] - 3 / 5) < 1e-6
+    assert abs(rows[1]["top_ngram_frac"] - 3 / 5) < 1e-6
+    assert rows[2]["dup_token_frac"] == 0.0 and rows[2]["dup_ngram_frac"] == 0.0
+    # short doc: one whole-text gram, no crash
+    assert rows[3]["top_ngram_frac"] == 1.0
+
+
+def test_pii_stats_and_redact(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.co and c@d.org call +123456789 host 10.0.0.1"),
+         (2, "clean text only")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.pii_redact(text.pii_stats(df)).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 1, 1)
+    assert out[1]["redacted"] == "mail [EMAIL] and [EMAIL] call [PHONE] host [IPV4]"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 0, 0)
+    assert out[2]["redacted"] == "clean text only"
+
+
+def test_decontaminate_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "zero one two three four five")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.decontaminate(corpus, bench, n=5).collect()}
+    # corpus doc 1 shares the 5-gram "one two three four five"
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    # string-key variant agrees with the hashed default
+    out_s = {
+        r["doc_id"]: r["n_hits"]
+        for r in dedup.decontaminate(corpus, bench, n=5, use_hash=False).collect()
+    }
+    assert out_s == {k: v["n_hits"] for k, v in out.items()}
+
+
+def test_connected_components_shapes(spark):
+    from compss_python_spark.graph.components import connected_components
+
+    # path graph (worst diameter), a clique, and an isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 21)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    comp = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert all(comp[n] == 1 for n in (1, 2, 3, 4, 5))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+    assert comp[20] == comp[21] == 20
+    # shuffle conf restored
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
