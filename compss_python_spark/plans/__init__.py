@@ -19,14 +19,27 @@ from compss_python_spark.plans import queries_io  # noqa: F401
 
 # The driver's CORRECTNESS check records only the first ~50 REGISTRY entries
 # per round (dict order).  Reorder so queries without a driver row from a
-# prior round come first — each round then proves a fresh batch.  Relative
-# order within each group is preserved (stable partition).
-from compss_python_spark.plans._proven import PROVEN  # noqa: E402
+# prior round come first — each round then proves a fresh batch.  Tiers:
+# r1-era queries the r1 file missed (VERDICT task #1), then round-2
+# additions answering verdict items, then other additions, then proven.
+# Relative order within each tier is preserved (stable partition).
+from compss_python_spark.plans._proven import (  # noqa: E402
+    PROVEN,
+    R1_UNPROVEN,
+    R2_PRIORITY,
+)
 
-_unproven = {k: v for k, v in REGISTRY.items() if k not in PROVEN}
-_proven = {k: v for k, v in REGISTRY.items() if k in PROVEN}
+_rank = {n: (0, i) for i, n in enumerate(R1_UNPROVEN)}
+_rank.update({n: (1, i) for i, n in enumerate(R2_PRIORITY)})
+_order = sorted(
+    REGISTRY,
+    key=lambda n, _i=iter(range(len(REGISTRY))): (
+        (3,) if n in PROVEN else _rank.get(n, (2,)),
+        next(_i),
+    ),
+)
+_entries = {n: REGISTRY[n] for n in _order}
 REGISTRY.clear()
-REGISTRY.update(_unproven)
-REGISTRY.update(_proven)
+REGISTRY.update(_entries)
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "table"]

@@ -60,3 +60,44 @@ PROVEN: frozenset[str] = frozenset({
     "union_by_name",
     "union_positional",
 })
+
+
+# Queries that existed in round 1 but got NO driver row (the file stopped at
+# 50 entries).  VERDICT.md round-1 task #1: prove these next — they outrank
+# round-2 additions for the ~50 per-round slots.
+R1_UNPROVEN: tuple[str, ...] = (
+    "math_functions", "json_functions", "window_running_sum",
+    "window_lag_lead", "tumbling_window_agg", "session_window_agg",
+    "interval_join_events", "hypertable_rollup_time",
+    "tpch_q3_unshipped_orders", "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customer", "stats_corr_cov", "crosstab_long",
+    "describe_column", "freq_items_exact", "ks_test_uniform",
+    "ks_test_normal", "dedup_exact_hash", "dedup_exact_survivors",
+    "text_token_stats", "text_quality_score", "text_lang_distribution",
+    "text_language_id", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_minhash_md5", "dedup_simhash_md5", "dedup_ngram_jaccard",
+    "embedding_near_dup", "similarity_topk_exact", "similarity_topk_lsh",
+    "similarity_topk_ivf", "multimodal_bytes", "multimodal_features",
+    "ml_kmeans_lloyd_fixed_init", "ml_kmeans_sizes", "ml_knn_predict",
+    "ml_logreg_gd", "ml_logreg_confusion", "ml_simple_linreg",
+    "ml_regression_metrics", "ml_classification_metrics", "ml_fpgrowth",
+    "ml_tfidf_norm", "ml_tfidf_norm_exact", "graph_pagerank",
+    "graph_pagerank_symmetric", "geo_within_rect", "stdbscan_events",
+)
+
+# Round-2 additions answering VERDICT.md tasks 2/3/7 (feature-op,
+# estimator, io/facade oracle queries) — second in line for driver slots;
+# remaining round-2 additions (extra TPC-H shapes, window/stats extras)
+# follow in registration order.
+R2_PRIORITY: tuple[str, ...] = (
+    "ml_tokenizer", "ml_stopwords_ngram", "ml_count_vectorizer",
+    "ml_string_indexer", "ml_onehot", "ml_binarizer", "ml_minmax_scaler",
+    "ml_maxabs_scaler", "ml_standard_scaler", "ml_poly_expansion",
+    "ml_pca_project", "ml_gaussian_nb", "ml_linear_svc_confusion",
+    "ml_assoc_rules", "ml_dbscan_core_sizes", "ml_dbscan_point_classes",
+    "io_csv_roundtrip", "io_json_roundtrip", "parallelize_literal",
+    "import_compss_data_union", "partitioning_invariance",
+    "shapefile_roundtrip_attrs", "graph_connected_components",
+    "text_repetition_stats", "text_pii_redact", "decontaminate_corpus",
+    "dedup_lsh_cc_survivors",
+)
