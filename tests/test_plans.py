@@ -121,3 +121,45 @@ def test_curation_pipeline_single_data_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_corpus_curation")
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    # Two tables bucketed on the join key with equal bucket counts must
+    # SortMergeJoin with ZERO Exchange (the whole point of bucketing at
+    # 100 TB: the shuffle is paid once at write time, not per join).
+    import contextlib, io
+    from pyspark.sql import functions as F
+    from compss_python_spark.sources.io import write_bucketed
+    from compss_python_spark.plans.registry import table
+
+    wh = str(tmp_path_factory.mktemp("bucketed_wh"))
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8,
+                   path=f"{wh}/b_orders")
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 8, path=f"{wh}/b_lineitem",
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        # the only allowed exchange is the final tiny groupBy one
+        join_part = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, "bucketed join must not shuffle"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
