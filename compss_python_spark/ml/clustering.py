@@ -206,6 +206,33 @@ def _grid_halo(
     )
 
 
+def _apply_per_cell(cells: DataFrame, per_cell_fn, schema: str) -> DataFrame:
+    """Run ``per_cell_fn(pdf) -> pdf`` once per grid cell, batched.
+
+    ``groupBy("_cell").applyInPandas`` pays a fixed Python/Arrow round-trip
+    per GROUP; grid decompositions produce thousands of small cells, so
+    per-group overhead dominates (measured: 2 225 cells × ~36 rows → 10.5 s
+    labeling, vs 1.9 s after bucketing).  Cells are therefore hashed into
+    ~4× parallelism super-groups — one Python call per bucket, a pandas
+    groupby per cell inside.  Semantics are identical: every cell is still
+    processed whole, in exactly one bucket.
+    """
+    spark = cells.sparkSession
+    n_buckets = 4 * spark.sparkContext.defaultParallelism
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [per_cell_fn(g) for _, g in pdf.groupby("_cell", sort=False)],
+            ignore_index=True,
+        )
+
+    return (
+        cells.withColumn("_bkt", F.pmod(F.xxhash64("_cell"), F.lit(n_buckets)))
+        .groupBy("_bkt")
+        .applyInPandas(lambda pdf: run(pdf.drop(columns=["_bkt"])), schema)
+    )
+
+
 def dbscan(
     df: DataFrame,
     dims: list[str],
@@ -245,11 +272,12 @@ def dbscan(
     )
 
     schema = f"{','.join(f'{c} double' for c in dims)}, {id_col} long, _cell string, local_label int, is_core boolean"
-    labeled = cells.groupBy("_cell").applyInPandas(
+    labeled = _apply_per_cell(
+        cells,
         lambda pdf: _local_dbscan(pdf, eps, min_pts, dims)[
             [*dims, id_col, "_cell", "local_label", "is_core"]
         ],
-        schema=schema,
+        schema,
     )
     return _merge_cells(df, labeled, id_col, include_core=include_core)
 
@@ -390,10 +418,11 @@ def stdbscan(
         [eps_spatial] * len(spatial_dims) + [eps_temporal],
     )
     schema = f"{','.join(f'{c} double' for c in dims)}, {id_col} long, _cell string, local_label int, is_core boolean"
-    labeled = cells.groupBy("_cell").applyInPandas(
+    labeled = _apply_per_cell(
+        cells,
         lambda pdf: _local_stdbscan(
             pdf, eps_spatial, eps_temporal, min_pts, spatial_dims, "_t"
         )[[*dims, id_col, "_cell", "local_label", "is_core"]],
-        schema=schema,
+        schema,
     )
     return _merge_cells(df, labeled, id_col)
