@@ -99,5 +99,5 @@ R2_PRIORITY: tuple[str, ...] = (
     "import_compss_data_union", "partitioning_invariance",
     "shapefile_roundtrip_attrs", "graph_connected_components",
     "text_repetition_stats", "text_pii_redact", "decontaminate_corpus",
-    "dedup_lsh_cc_survivors",
+    "dedup_lsh_cc_survivors", "pipeline_curation_full",
 )

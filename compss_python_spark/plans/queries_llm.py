@@ -631,3 +631,115 @@ def dedup_lsh_cc_survivors(spark, sf_dir):
         .agg(F.min("node").alias("survivor"), F.count("*").alias("n_members"))
         .select("component", "survivor", "n_members")
     )
+
+
+_CURATION_FULL_SQL = r"""
+    WITH inj AS (
+      SELECT doc_id, lang, n_chars, text ||
+        CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now'
+             WHEN doc_id % 7 = 3 THEN ' call +4915100' || doc_id
+             WHEN doc_id % 7 = 5 THEN ' host 10.0.' || (doc_id % 256) || '.7 up'
+             ELSE '' END AS text
+      FROM documents
+    ),
+    s AS (
+      SELECT *, string_split_regex(trim(text), '\s+') AS t,
+             LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS non_space,
+             LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha
+      FROM inj
+    ),
+    q AS (
+      SELECT doc_id, lang, n_chars, text, t,
+             ROUND((LEAST(len(t) / 20.0, 1.0)
+                    + CASE WHEN non_space / GREATEST(len(t), 1) BETWEEN 3 AND 12
+                           THEN 1.0 ELSE 0.0 END
+                    + alpha / GREATEST(non_space, 1)) / 3.0, 6) AS quality,
+             ROUND(1 - len(list_distinct(t)) / GREATEST(len(t), 1)::DOUBLE, 6)
+               AS dup_token_frac
+      FROM s
+    ),
+    kept AS (
+      SELECT * FROM q
+      WHERE quality >= 0.5 AND dup_token_frac <= 0.95 AND n_chars BETWEEN 50 AND 5000
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+             END AS gs
+      FROM kept
+    ),
+    bg AS (SELECT DISTINCT u.gram FROM g, UNNEST(gs) AS u(gram) WHERE doc_id % 37 = 0),
+    hits AS (
+      SELECT g.doc_id FROM g, UNNEST(gs) AS u(gram) JOIN bg USING (gram)
+      WHERE g.doc_id % 37 != 0 GROUP BY g.doc_id
+    ),
+    clean AS (
+      SELECT k.* FROM kept k LEFT JOIN hits h ON k.doc_id = h.doc_id
+      WHERE k.doc_id % 37 != 0 AND h.doc_id IS NULL
+    ),
+    red AS (
+      SELECT *, regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\+[0-9]{7,15}', '[PHONE]', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IPV4]', 'g') AS redacted
+      FROM clean
+    ),
+    fp AS (
+      SELECT *, MD5(LOWER(REGEXP_REPLACE(TRIM(redacted), '\s+', ' ', 'g'))) AS _fp
+      FROM red
+    ),
+    surv AS (SELECT * FROM fp QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY _fp))
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(quality), 6) AS avg_quality,
+           CAST(SUM(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted
+    FROM surv GROUP BY lang
+"""
+
+
+@query("pipeline_curation_full", sql=_CURATION_FULL_SQL)
+def pipeline_curation_full(spark, sf_dir):
+    """The complete training-corpus curation pipeline, every stage from the
+    public operator layer: PII-splice (synthetic — the corpus ships clean)
+    → quality + repetition scoring → filters → benchmark decontamination
+    (5-gram overlap vs the doc_id%37 held-out slice) → PII redaction →
+    exact dedup on the redacted fingerprint → per-language rollup.
+
+    Scale shape: scoring/redaction are narrow JVM expressions fused into
+    the scan; decontamination broadcasts the benchmark gram set; the dedup
+    groupBy ships (md5, id) pairs only for docs surviving the filters; one
+    partial/final hash agg closes.  The data-bearing shuffles are the
+    per-doc gram-hit count and the dedup groupBy — both on filtered data.
+    """
+    from compss_python_spark.llm.text import tokens
+
+    docs = _pii_injected_spark(table(spark, sf_dir, "documents"))
+    docs = text.quality_score(docs)
+    toks = tokens("text")
+    docs = docs.withColumn(
+        "dup_token_frac",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ),
+    )
+    kept = docs.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("dup_token_frac") <= 0.95)
+        & F.col("n_chars").between(50, 5000)
+    )
+    clean = dedup.decontaminate(
+        kept.filter(F.col("doc_id") % 37 != 0),
+        kept.filter(F.col("doc_id") % 37 == 0),
+        n=5,
+        use_hash=False,
+    ).filter(~F.col("contaminated"))
+    red = text.pii_redact(clean, "text")
+    surv = dedup.exact_dedup_by_hash(red, "redacted", "doc_id")
+    return surv.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum((F.col("redacted") != F.col("text")).cast("long")).alias("n_redacted"),
+    )
