@@ -889,3 +889,345 @@ def sliding_window_agg(spark, sf_dir):
     from compss_python_spark.streaming.windows import sliding_window_counts
 
     return sliding_window_counts(table(spark, sf_dir, "events"))
+
+
+_CENTS = "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))::BIGINT"
+
+
+def _net_cents():
+    return F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+            "long"
+        )
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    sql=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+           {_CENTS} AS revenue_cents
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bilateral trade volume between two nations by ship year —
+    disjunctive nation-pair predicate spanning BOTH sides of the fact join.
+
+    Scale shape: both nation dims broadcast; the disjunction runs after the
+    (broadcast) nation lookups so the only fact shuffle is
+    lineitem⋈orders on orderkey; integer-cents revenue (order-exact sum).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_net_cents().alias("revenue_cents"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    sql="""
+    WITH x AS (
+      SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS vol_cents,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents ELSE 0 END)::DOUBLE
+                 / SUM(vol_cents), 6) AS mkt_share
+    FROM x GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8: one nation's share of PROMO-part revenue sold into a
+    region, per order year — conditional-sum ratio after a 7-table join
+    (every dim broadcast; cents ints make numerator/denominator exact)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    x = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("vol_cents"), "supp_nation")
+    )
+    return x.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol_cents")).otherwise(0)).cast("double")
+            / F.sum("vol_cents"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    sql="""
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity) * 100, 0) AS BIGINT))::BIGINT
+             AS profit_cents
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (synthetic 0.6·retailprice·qty standing in for
+    ps_supplycost — the testdata has no partsupp table): profit by supplier
+    nation × year over a LIKE-filtered part class."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    profit = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100,
+        0,
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_cents"))
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    sql="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*)::BIGINT AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: order-count histogram over customers INCLUDING the
+    zero-order tail (left-outer join + count of the nullable side — the
+    classic outer-join-then-double-aggregate shape)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    sql=f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_CENTS} AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_cents
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — scalar
+    max over a derived revenue view joined back (ties all surface; cents
+    ints make the max well-defined across engines)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(_net_cents().alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("_mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_cents") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    sql="""
+    WITH avgq AS (
+      SELECT l_partkey AS pk, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avgq ON pk = l_partkey
+    WHERE p_brand = 'Brand#4' AND l_quantity < 0.5 * aq
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue lost to small-quantity orders — per-part average
+    threshold (aggregate → rejoin on the SAME key: co-partitioned, AQE
+    turns the threshold side into a broadcast at this cardinality)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    avgq = li.groupBy(F.col("l_partkey").alias("pk")).agg(F.avg("l_quantity").alias("aq"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avgq, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    sql="""
+    WITH f_orders AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ),
+    lines AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN f_orders ON o_orderkey = l_orderkey
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM lines GROUP BY l_orderkey
+    ),
+    waiters AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lines l JOIN per_order p ON p.l_orderkey = l.l_orderkey
+      WHERE l.late AND p.n_supp >= 2 AND p.n_late = 1
+    )
+    SELECT s_name, COUNT(*)::BIGINT AS numwait
+    FROM waiters JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (ship > orderdate+90d standing in for the missing
+    receipt/commit dates): suppliers who were the ONLY late shipper on a
+    multi-supplier finished order.  The exists / not-exists pair is
+    expressed as per-order distinct counts (n_supp ≥ 2, n_late = 1) — one
+    aggregation instead of two correlated self-joins."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiters = (
+        lines.filter("late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        waiters.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    sql="""
+    WITH avg_bal AS (
+      SELECT ROUND(AVG(c_acctbal), 4) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_custkey % 10 AS seg, COUNT(*)::BIGINT AS numcust,
+           SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))::BIGINT AS totacctbal_cents
+    FROM customer
+    WHERE c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '2001-01-01')
+    GROUP BY seg
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (custkey%10 segment standing in for the missing
+    phone country code; 'no orders' tightened to 'no 2001 orders' — the
+    testdata gives every customer SOME order): lapsed rich customers —
+    scalar-subquery threshold (rounded to 4 dp so the cross-engine
+    comparison is on a deterministic boundary) + anti-join, by segment."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
+    ab = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).alias("seg"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias("totacctbal_cents"),
+        )
+    )
