@@ -265,6 +265,38 @@ class DDF:
         """Deterministic per-stratum sample by md5(key) order."""
         return DDF(etl.stratified_sample_hash(self.df, stratum_col, n_per_stratum, key))
 
+    def repetition_stats(self, id_col: str = "doc_id", text_col: str = "text",
+                         ngram_n: int = 2) -> "DDF":
+        """Gopher-style dup-token / dup-n-gram / top-n-gram fractions."""
+        from compss_python_spark.llm.text import repetition_stats
+
+        return DDF(repetition_stats(self.df, id_col, text_col, ngram_n))
+
+    def pii_stats(self, text_col: str = "text") -> "DDF":
+        """Per-document PII match counts (email / phone / ipv4)."""
+        from compss_python_spark.llm.text import pii_stats
+
+        return DDF(pii_stats(self.df, text_col))
+
+    def pii_redact(self, text_col: str = "text", alias: str = "redacted") -> "DDF":
+        """Replace PII matches with [KIND] placeholders."""
+        from compss_python_spark.llm.text import pii_redact
+
+        return DDF(pii_redact(self.df, text_col, alias))
+
+    def decontaminate(self, benchmark: "DDF", id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 8, min_hits: int = 1) -> "DDF":
+        """Flag rows sharing ≥ min_hits word n-grams with the benchmark set."""
+        from compss_python_spark.llm.dedup import decontaminate
+
+        return DDF(decontaminate(self.df, benchmark.df, id_col, text_col, n, min_hits))
+
+    def connected_components(self, src: str = "src", dst: str = "dst") -> "DDF":
+        """(node, component) labels of this edge table's undirected graph."""
+        from compss_python_spark.graph.components import connected_components
+
+        return DDF(connected_components(self.df, src, dst))
+
     # -- actions / misc [ref: ddf_library/ddf.py] ----------------------------
     def cache(self) -> "DDF":
         self.df.persist()

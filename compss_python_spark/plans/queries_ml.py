@@ -437,6 +437,39 @@ def graph_connected_components(spark, sf_dir):
 
 
 @query(
+    "graph_triangle_count",
+    sql="""
+    WITH pairs AS (
+      SELECT DISTINCT LEAST(x.l_partkey % 50, y.l_partkey % 50) AS a,
+                      GREATEST(x.l_partkey % 50, y.l_partkey % 50) AS b
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey % 50 != y.l_partkey % 50
+        AND x.l_quantity >= 48 AND y.l_quantity >= 48
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.a = e1.b
+    JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count on the part-class co-purchase graph (classes
+    co-occurring in an order at high quantity) — low-id orientation makes
+    each triangle one (a<b<c) path, reproduced verbatim in the oracle."""
+    from compss_python_spark.graph.triangles import triangle_count
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    x = li.select("l_orderkey", (F.col("l_partkey") % 50).alias("pa"))
+    y = li.select("l_orderkey", (F.col("l_partkey") % 50).alias("pb"))
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+@query(
     "graph_pagerank_symmetric",
     sql="""
     WITH RECURSIVE

@@ -173,3 +173,26 @@ def test_stratified_sample_facade(cc, spark, sf_dir):
         for r in ev.sample_stratified("event_type", 5, "event_id").df.collect()
     )
     assert a == b
+
+
+def test_facade_llm_pipeline_wrappers(spark):
+    from compss_python_spark.ddf import DDF
+
+    docs = DDF(spark.createDataFrame(
+        [(1, "a b a b e f"), (2, "x y z w one@x.co")], "doc_id long, text string"
+    ))
+    rep = rows_by(docs.repetition_stats(), "doc_id")
+    assert abs(rep[1]["dup_token_frac"] - 2 / 6) < 1e-6
+    assert rows_by(docs.pii_stats(), "doc_id")[2]["n_email"] == 1
+    red = rows_by(docs.pii_redact(), "doc_id")
+    assert red[2]["redacted"].endswith("[EMAIL]")
+    bench = DDF(spark.createDataFrame([(9, "x y z w q")], "doc_id long, text string"))
+    dec = rows_by(docs.decontaminate(bench, n=4), "doc_id")
+    assert dec[2]["contaminated"] and not dec[1]["contaminated"]
+    edges = DDF(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"))
+    cc = {r["node"]: r["component"] for r in edges.connected_components().df.collect()}
+    assert cc == {1: 1, 2: 1, 3: 1}
+
+
+def rows_by(ddf, key):
+    return {r[key]: r for r in ddf.df.collect()}

@@ -301,3 +301,14 @@ def test_kmeans_lloyd_fixed_init_partitions_all_points(spark, sf_dir):
     assert ra == rb
     assert len(ra) == emb.count()
     assert len(set(ra.values())) == 8
+
+
+def test_triangle_count_exact(spark):
+    from compss_python_spark.graph.triangles import triangle_count
+
+    # K4 (4 triangles) + one pendant edge + duplicate/reversed edges
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (2, 1), (3, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(e).first()["n_triangles"] == 4
+    assert triangle_count(e, orient_by_degree=True).first()["n_triangles"] == 4
