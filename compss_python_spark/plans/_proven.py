@@ -100,4 +100,5 @@ R2_PRIORITY: tuple[str, ...] = (
     "shapefile_roundtrip_attrs", "graph_connected_components",
     "text_repetition_stats", "text_pii_redact", "decontaminate_corpus",
     "dedup_lsh_cc_survivors", "pipeline_curation_full",
+    "io_partitioned_pruning",
 )

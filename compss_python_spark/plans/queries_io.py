@@ -248,3 +248,31 @@ def shapefile_roundtrip_attrs(spark, sf_dir):
         F.array_min(xs).alias("min_x"),
         F.array_max(xs).alias("max_x"),
     )
+
+
+@query(
+    "io_partitioned_pruning",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def io_partitioned_pruning(spark, sf_dir):
+    """orders → hive-partitioned parquet (partitionBy o_orderstatus) →
+    filtered read-back.  The o_orderstatus predicate becomes a PARTITION
+    filter (directory pruning, no data read outside 'F'/ — asserted in
+    tests/test_plans.py::test_partitioned_write_prunes); the oracle
+    aggregates the original parquet with the same predicate."""
+    from compss_python_spark.sources.io import read_parquet, write_parquet
+
+    path = _scratch(sf_dir, "part_orders")
+    write_parquet(
+        table(spark, sf_dir, "orders"), path, partition_by=["o_orderstatus"]
+    )
+    back = read_parquet(spark, path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -163,3 +163,23 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path_factory):
+    # A filter on the hive partition column must become a PartitionFilters
+    # entry (directory pruning) — not a row-level PushedFilter over all data.
+    import contextlib, io
+    from pyspark.sql import functions as F
+    from compss_python_spark.sources.io import read_parquet, write_parquet
+    from compss_python_spark.plans.registry import table
+
+    path = str(tmp_path_factory.mktemp("partp") / "orders")
+    write_parquet(table(spark, sf_dir, "orders"), path, partition_by=["o_orderstatus"])
+    back = read_parquet(spark, path).filter(F.col("o_orderstatus") == "F")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_orderstatus" in pf_line
