@@ -20,17 +20,15 @@ from compss_python_spark.plans import queries_io  # noqa: F401
 # The driver's CORRECTNESS check records only the first ~50 REGISTRY entries
 # per round (dict order).  Reorder so queries without a driver row from a
 # prior round come first — each round then proves a fresh batch.  Tiers:
-# r1-era queries the r1 file missed (VERDICT task #1), then round-2
-# additions answering verdict items, then other additions, then proven.
+# the fixed round-2 red row + never-slotted round-2 additions (VERDICT
+# round-2 task #1), then any other unproven additions, then proven.
 # Relative order within each tier is preserved (stable partition).
 from compss_python_spark.plans._proven import (  # noqa: E402
     PROVEN,
-    R1_UNPROVEN,
-    R2_PRIORITY,
+    R3_PRIORITY,
 )
 
-_rank = {n: (0, i) for i, n in enumerate(R1_UNPROVEN)}
-_rank.update({n: (1, i) for i, n in enumerate(R2_PRIORITY)})
+_rank = {n: (0, i) for i, n in enumerate(R3_PRIORITY)}
 _order = sorted(
     REGISTRY,
     key=lambda n, _i=iter(range(len(REGISTRY))): (

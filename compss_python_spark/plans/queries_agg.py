@@ -293,13 +293,19 @@ def date_functions(spark, sf_dir):
 
 @query(
     "math_functions",
+    # Float outputs are scaled to integer BIGINTs (the repo's integer-cents
+    # pattern) so the cross-engine comparison never depends on low-order
+    # double bits: ROUND(double, n) is representation-sensitive between
+    # Spark and DuckDB (round-2 driver red row), while ROUND(x * 10^n) to
+    # an integer only diverges if a value sits within one ulp of a .5
+    # boundary.  4-dp scaling keeps that window ~1e6× wider than the ulp.
     sql="""
     SELECT o_orderkey,
-           ROUND(ABS(o_totalprice - 250000), 2) AS dist_mid,
-           FLOOR(o_totalprice / 1000) AS price_k,
-           CEIL(o_totalprice / 1000) AS price_k_up,
-           ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
-           ROUND(LN(o_totalprice), 6) AS price_ln,
+           CAST(ROUND(ABS(o_totalprice - 250000) * 100) AS BIGINT) AS dist_mid_cents,
+           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
+           CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS price_k_up,
+           CAST(ROUND(SQRT(o_totalprice) * 1e4) AS BIGINT) AS price_sqrt_e4,
+           CAST(ROUND(LN(o_totalprice) * 1e4) AS BIGINT) AS price_ln_e4,
            MOD(o_orderkey, 7) AS key_mod
     FROM orders
     """,
@@ -308,11 +314,11 @@ def math_functions(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.round(F.abs(F.col("o_totalprice") - 250000), 2).alias("dist_mid"),
+        F.round(F.abs(F.col("o_totalprice") - 250000) * 100).cast("bigint").alias("dist_mid_cents"),
         F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
         F.ceil(F.col("o_totalprice") / 1000).alias("price_k_up"),
-        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
-        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.round(F.sqrt("o_totalprice") * 1e4).cast("bigint").alias("price_sqrt_e4"),
+        F.round(F.log("o_totalprice") * 1e4).cast("bigint").alias("price_ln_e4"),
         (F.col("o_orderkey") % 7).alias("key_mod"),
     )
 

@@ -40,7 +40,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return f"{v:.9g}"
+            # Full round-trip precision: the driver's hash sees every bit
+            # of a double, so the local gate must too (a lax %.9g here let
+            # the round-2 math_functions ulp mismatch through locally).
+            return repr(v)
         return str(v)
 
     out = df.copy()
