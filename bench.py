@@ -37,14 +37,20 @@ def main() -> None:
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
 
     # Warm-up pass: JVM JIT + codegen + parquet footer / page caches.
+    # clearCache between queries: operators that persist internally release
+    # their own blocks, but any stray cached/checkpointed block must not
+    # bleed into the next query's measurement (round-2 lesson: leaked
+    # persists degraded every query timed after pagerank by 40-100%).
     for spec in headline.values():
         spec.fn(spark, sf_dir).count()
+        spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     for name, spec in headline.items():
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -291,11 +291,17 @@ class DDF:
 
         return DDF(decontaminate(self.df, benchmark.df, id_col, text_col, n, min_hits))
 
-    def connected_components(self, src: str = "src", dst: str = "dst") -> "DDF":
-        """(node, component) labels of this edge table's undirected graph."""
+    def connected_components(
+        self, src: str = "src", dst: str = "dst", max_iters: int = 20
+    ) -> "DDF":
+        """(node, component) labels of this edge table's undirected graph.
+
+        Raises if propagation needs more than ``max_iters`` rounds (graph
+        diameter bound) rather than returning unconverged labels.
+        """
         from compss_python_spark.graph.components import connected_components
 
-        return DDF(connected_components(self.df, src, dst))
+        return DDF(connected_components(self.df, src, dst, max_iters=max_iters))
 
     # -- actions / misc [ref: ddf_library/ddf.py] ----------------------------
     def cache(self) -> "DDF":

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from compss_python_spark.graph._scoped_conf import scoped_shuffle_partitions
+
 
 def connected_components(
     edges: DataFrame,
@@ -38,8 +40,13 @@ def connected_components(
     """Returns (node, component) where component = min node id reachable.
 
     Scopes ``spark.sql.shuffle.partitions`` to a size-derived loop width
-    (restored before returning; the result is materialized inside the
-    scope, same contract as :func:`pagerank.pagerank`).
+    (lock-serialized, restored before returning; the result is materialized
+    inside the scope, same contract as :func:`pagerank.pagerank`).
+
+    Raises ``RuntimeError`` if propagation has not converged after
+    ``max_iters`` iterations (labels would be silently wrong for any
+    component whose diameter exceeds the budget) — raise ``max_iters`` for
+    long-path graphs; near-dup candidate graphs converge in 2–4 rounds.
     """
     spark = edges.sparkSession
     d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -50,14 +57,13 @@ def connected_components(
         .persist()
     )
     n_edges = e.count()
-    default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     if num_partitions is None:
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         num_partitions = max(1, min(default_p, n_edges // 2_000_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
     try:
-        labels = _cc_loop(e, max_iters)
+        with scoped_shuffle_partitions(spark, num_partitions):
+            labels = _cc_loop(e, max_iters)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(default_p))
         e.unpersist()
     return labels
 
@@ -70,6 +76,7 @@ def _cc_loop(e: DataFrame, max_iters: int) -> DataFrame:
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges_p.join(
@@ -96,4 +103,13 @@ def _cc_loop(e: DataFrame, max_iters: int) -> DataFrame:
         if not changed:
             break
     edges_p.unpersist()
+    if changed:
+        # The last iteration still moved labels: some component's diameter
+        # exceeds max_iters and its labels are NOT final.  Returning them
+        # would silently merge/split clusters downstream (dedup survivors).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters} ({changed} labels still changing); increase "
+            "max_iters for long-diameter graphs"
+        )
     return labels

@@ -5,7 +5,7 @@ rank ⋈ edge joins until max_iters.  Spark-first: the same dataflow as
 DataFrame joins/aggs, with two scale-critical choices the reference lacks:
 
 - **Plan-growth control**: each iteration extends the logical plan; a LAZY
-  `localCheckpoint` every 2 iterations truncates lineage so Catalyst/AQE
+  `localCheckpoint` every few iterations truncates lineage so Catalyst/AQE
   re-planning cost stays constant (SURVEY.md §7 hard part 3).  Measured at
   sf0.1: checkpoint_every=5 → 17 s for 8 iterations, =2 → 4.6 s — the
   accumulated-plan AQE re-optimization, not data volume, dominates.
@@ -19,18 +19,27 @@ DataFrame joins/aggs, with two scale-critical choices the reference lacks:
   for the same 8 iterations).  The loop therefore runs under a shuffle
   partition count derived from the edge count (~2 M edges/partition,
   capped at the session default) — a huge graph still gets the full
-  default width.  The conf change is scoped: the final ranks are
-  materialized (eager localCheckpoint) inside the scope and the session
-  value restored before returning.
+  default width.  The conf scope is lock-serialized and the final ranks
+  are materialized (eager localCheckpoint) inside it; see
+  graph/_scoped_conf.py for the concurrency contract.
+- **One setup job**: edge count (for the width formula) and node count
+  (for the uniform init and dangling redistribution) come from a single
+  aggregate over the src∪dst id stream, not two separate blocking counts.
 
 Dangling nodes (no out-links) redistribute their mass uniformly, matching
 the standard formulation (and networkx) rather than leaking mass.
+
+All persisted helpers (distinct edges, node list, weighted edges) are
+released before returning; the returned DataFrame is a checkpointed leaf
+with no cache footprint left behind.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from compss_python_spark.graph._scoped_conf import scoped_shuffle_partitions
 
 
 def pagerank(
@@ -55,25 +64,49 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n_edges = e.count()
-    default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Single setup job: 2·|E| rows stream through one agg that yields both
+    # the edge count (width formula) and the node count (init + dangling),
+    # and materializes the persisted edge table as a side effect.
+    stats = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .agg(
+            (F.count("*") / 2).cast("long").alias("two_e"),
+            F.count_distinct("node").alias("nn"),
+        )
+        .first()
+    )
+    n_edges, n_nodes = int(stats["two_e"]), int(stats["nn"])
     if num_partitions is None:
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         num_partitions = max(1, min(default_p, n_edges // 2_000_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    helpers: list[DataFrame] = [e]
     try:
-        ranks = _pagerank_loop(e, damping, max_iters, checkpoint_every)
-        # Materialize under the scoped conf; the returned plan is a
-        # checkpointed leaf, immune to the conf restore below.
-        ranks = ranks.localCheckpoint(eager=True)
+        with scoped_shuffle_partitions(spark, num_partitions):
+            ranks, nodes, edges_w = _pagerank_loop(
+                e, n_nodes, damping, max_iters, checkpoint_every
+            )
+            helpers += [nodes, edges_w]
+            # Materialize under the scoped conf; the returned plan is a
+            # checkpointed leaf, immune to the conf restore and to the
+            # helper unpersists below.
+            ranks = ranks.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(default_p))
-        e.unpersist()
+        for h in helpers:
+            h.unpersist()
     return ranks
 
 
 def _pagerank_loop(
-    e: DataFrame, damping: float, max_iters: int, checkpoint_every: int
-) -> DataFrame:
+    e: DataFrame,
+    n_nodes: int,
+    damping: float,
+    max_iters: int,
+    checkpoint_every: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Runs the iteration; returns (ranks, nodes, edges_w) — the latter two
+    are persisted helpers the caller must unpersist after materializing
+    ranks."""
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -81,7 +114,6 @@ def _pagerank_loop(
         .repartition("node")
         .persist()
     )
-    n_nodes = nodes.count()
 
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     edges_w = (
@@ -128,4 +160,4 @@ def _pagerank_loop(
             # across iterations without running a blocking job per
             # checkpoint (eager=False materializes at the next action).
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks, nodes, edges_w

@@ -197,13 +197,20 @@ def minhash_lsh_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return (
+    # Eager: the pair table (candidates only — tiny vs the corpus) is
+    # materialized here so the persisted signature cache can be released
+    # before returning; the result is a checkpointed leaf with no cache
+    # footprint left behind on the session.
+    result = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .localCheckpoint(eager=True)
     )
+    sig.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(

@@ -285,11 +285,19 @@ def dbscan(
 def _merge_cells(
     df: DataFrame, labeled: DataFrame, id_col: str, include_core: bool = False
 ) -> DataFrame:
-    """Union-find merge of per-cell cluster labels into global cluster ids."""
-    all_copies = labeled
-    labeled = labeled.filter(F.col("local_label") >= 0).withColumn(
+    """Union-find merge of per-cell cluster labels into global cluster ids.
+
+    The raw per-cell output (``all_copies``) is persisted once — it feeds
+    both the merge-edge extraction and the global core-ness aggregate, so
+    the expensive applyInPandas never re-runs — and released before
+    returning: the per-point (id, cluster) / (id, is_core) maps are eagerly
+    checkpointed (2 narrow columns per point), so the returned plan holds
+    no reference to the cache.
+    """
+    all_copies = labeled.persist()
+    labeled = all_copies.filter(F.col("local_label") >= 0).withColumn(
         "gl", F.concat_ws("#", "_cell", F.col("local_label").cast("string"))
-    ).persist()
+    )
 
     # Merge edges: a point that is core in its OWN cell (complete
     # eps-neighborhood there ⇒ globally core) and assigned in ≥2 cells links
@@ -336,10 +344,22 @@ def _merge_cells(
     ids = assign.select("root").distinct().withColumn(
         "cluster", F.row_number().over(Window.orderBy("root")) - 1
     )
-    out = df.join(assign.join(F.broadcast(ids), "root").select(id_col, "cluster"), id_col, "left")
-    out = out.withColumn("cluster", F.coalesce(F.col("cluster"), F.lit(-1)))
+    cluster_map = (
+        assign.join(F.broadcast(ids), "root")
+        .select(id_col, "cluster")
+        .localCheckpoint(eager=True)
+    )
+    core = None
     if include_core:
-        core = all_copies.groupBy(id_col).agg(F.max("is_core").alias("is_core"))
+        core = (
+            all_copies.groupBy(id_col)
+            .agg(F.max("is_core").alias("is_core"))
+            .localCheckpoint(eager=True)
+        )
+    all_copies.unpersist()
+    out = df.join(cluster_map, id_col, "left")
+    out = out.withColumn("cluster", F.coalesce(F.col("cluster"), F.lit(-1)))
+    if core is not None:
         out = out.join(core, id_col, "left").withColumn(
             "is_core", F.coalesce(F.col("is_core"), F.lit(False))
         )

@@ -254,7 +254,7 @@ def shapefile_roundtrip_attrs(spark, sf_dir):
     "io_partitioned_pruning",
     sql="""
     SELECT o_orderpriority, COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
     """,
@@ -272,7 +272,9 @@ def io_partitioned_pruning(spark, sf_dir):
         table(spark, sf_dir, "orders"), path, partition_by=["o_orderstatus"]
     )
     back = read_parquet(spark, path).filter(F.col("o_orderstatus") == "F")
+    # Integer-cents sum (the repo's TPC-H oracle pattern): a double SUM
+    # rounded post-hoc can differ across engines near a half-cent boundary.
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
     )

@@ -614,7 +614,7 @@ def decontaminate_corpus(spark, sf_dir):
     return out.select("doc_id", "n_hits", "contaminated")
 
 
-@query("dedup_lsh_cc_survivors", sql=None)
+@query("dedup_lsh_cc_survivors", sql=None, headline=True)
 def dedup_lsh_cc_survivors(spark, sf_dir):
     """End-to-end near-dup dedup: MinHash-LSH candidate pairs → connected
     components → min-id survivor per component.  The LSH stage is
@@ -698,7 +698,7 @@ _CURATION_FULL_SQL = r"""
 """
 
 
-@query("pipeline_curation_full", sql=_CURATION_FULL_SQL)
+@query("pipeline_curation_full", sql=_CURATION_FULL_SQL, headline=True)
 def pipeline_curation_full(spark, sf_dir):
     """The complete training-corpus curation pipeline, every stage from the
     public operator layer: PII-splice (synthetic — the corpus ships clean)

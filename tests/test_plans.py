@@ -154,10 +154,18 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         with contextlib.redirect_stdout(buf):
             j.explain("formatted")
         plan = buf.getvalue()
-        # the only allowed exchange is the final tiny groupBy one
-        join_part = plan.split("HashAggregate")[0]
+        # The whole plan may contain exactly ONE Exchange — the final tiny
+        # groupBy one.  (Formatted explain prints root-first, so slicing the
+        # text before "HashAggregate" would inspect only the header and
+        # vacuously pass even for a fully-shuffling join.)
+        import re
+
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
         assert "SortMergeJoin" in plan
-        assert "Exchange" not in join_part, "bucketed join must not shuffle"
+        assert len(exchanges) == 1, (
+            f"bucketed join must not shuffle (want only the final groupBy "
+            f"exchange, got {len(exchanges)}):\n{plan}"
+        )
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
