@@ -32,7 +32,7 @@ _rank = {n: (0, i) for i, n in enumerate(R3_PRIORITY)}
 _order = sorted(
     REGISTRY,
     key=lambda n, _i=iter(range(len(REGISTRY))): (
-        (3,) if n in PROVEN else _rank.get(n, (2,)),
+        _rank.get(n, (3,) if n in PROVEN else (2,)),
         next(_i),
     ),
 )

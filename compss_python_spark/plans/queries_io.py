@@ -254,7 +254,7 @@ def shapefile_roundtrip_attrs(spark, sf_dir):
     "io_partitioned_pruning",
     sql="""
     SELECT o_orderpriority, COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
     """,
