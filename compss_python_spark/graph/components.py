@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from compss_python_spark.graph._scoped_conf import scoped_shuffle_partitions
 
@@ -36,23 +37,43 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 20,
     num_partitions: int | None = None,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Returns (node, component) where component = min node id reachable.
 
-    Scopes ``spark.sql.shuffle.partitions`` to a size-derived loop width
-    (lock-serialized, restored before returning; the result is materialized
-    inside the scope, same contract as :func:`pagerank.pagerank`).
+    Two physical strategies, chosen by measured edge count — the same
+    bounded-small-side adaptivity as Spark's broadcast-join threshold:
 
+    - ``distinct edges ≤ local_threshold`` → union-find on the driver over
+      the collected (src, dst) longs and re-parallelize the labels.  A
+      candidate-pair graph that fits in a few MB gains nothing from a
+      multi-job label-propagation loop (per-iteration scheduling dominates
+      by 10–100×); the collect is explicitly bounded, like a broadcast.
+    - larger → distributed min-label propagation (the 100 TB path): edges
+      symmetrized + hash-partitioned once, only the label table moves per
+      iteration, eager localCheckpoint truncates lineage and carries the
+      convergence count.  Scopes ``spark.sql.shuffle.partitions`` to a
+      size-derived loop width (restored before returning).
+
+    Pass ``local_threshold=0`` to force the distributed loop (tests do).
     Raises ``RuntimeError`` if propagation has not converged after
     ``max_iters`` iterations (labels would be silently wrong for any
     component whose diameter exceeds the budget) — raise ``max_iters`` for
     long-path graphs; near-dup candidate graphs converge in 2–4 rounds.
     """
     spark = edges.sparkSession
-    d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    if local_threshold:
+        # Raw-pair count is a narrow aggregate (no shuffle); the local path
+        # also needs no symmetrize/distinct — union-find is direction- and
+        # duplicate-insensitive — so a small graph runs zero shuffles total.
+        n_raw = d.count()
+        if 2 * n_raw <= local_threshold:
+            return _cc_local(d)
     e = (
         d.union(d.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .persist()
     )
@@ -66,6 +87,46 @@ def connected_components(
     finally:
         e.unpersist()
     return labels
+
+
+def _cc_local(e: DataFrame) -> DataFrame:
+    """Driver-side union-find over a bounded raw edge set (self-loops
+    filtered upstream; duplicates and edge direction are harmless to
+    union-find).  Exact same output contract as the distributed loop:
+    (node, component=min reachable id), one row per node that appears in
+    any non-self-loop edge."""
+    spark = e.sparkSession
+    node_type = e.schema["src"].dataType
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    pdf = e.select("src", "dst").toPandas()  # one Arrow-batched job
+    for s, t in zip(pdf["src"].to_list(), pdf["dst"].to_list()):
+        if s not in parent:
+            parent[s] = s
+        if t not in parent:
+            parent[t] = t
+        rs, rt = find(s), find(t)
+        if rs != rt:
+            # union by min root so the final find IS the min reachable id
+            if rt < rs:
+                rs, rt = rt, rs
+            parent[rt] = rs
+    rows = [(n, find(n)) for n in parent]
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("component", node_type, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _cc_loop(e: DataFrame, max_iters: int) -> DataFrame:

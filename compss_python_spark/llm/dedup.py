@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from compss_python_spark.llm.text import tokens
+from compss_python_spark.width import ensure_min_partitions
 
 
 # --- exact ----------------------------------------------------------------
@@ -93,6 +94,10 @@ def minhash_signatures(
     # Shingle identity = xxhash64 of the n token hashes (each token string is
     # hashed exactly once; no shingle strings are ever built — at scale this
     # removes the dominant string-concat/GC cost of signature computation).
+    # Signature cost is num_hashes × |shingles| hash evaluations per row —
+    # dense enough that a one-split local input must be widened first
+    # (no-op when the scan is already ≥ session parallelism).
+    df = ensure_min_partitions(df)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.transform(tokens(text_col), lambda s: F.xxhash64(s)).alias("_th"),
@@ -306,6 +311,9 @@ def simhashes(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
     """
     token_hash = token_hash or F.xxhash64
     masks = _bit_masks(bits)
+    # Tokenize+explode+hash is the dense stage; widen a one-split local
+    # input before it (no-op at scale — see width.ensure_min_partitions).
+    df = ensure_min_partitions(df)
     exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
     ).withColumn("_h", token_hash(F.col("_t")))

@@ -1,0 +1,35 @@
+"""Partition-width guard for CPU-heavy narrow stages.
+
+A small parquet file (one row group) arrives as ONE input split, so a
+compute-dense narrow stage downstream — MinHash signatures, SimHash,
+quality scoring, regex redaction — runs on a single core no matter how
+many the session has.  At production scale inputs are already hundreds of
+splits wide and this helper is a no-op; it only pays a (cheap, input-sized)
+round-robin shuffle when the scan is narrower than the session's
+parallelism AND the caller declares the downstream stage is expensive
+enough to amortize it.  This mirrors Spark's own
+``spark.sql.files.minPartitionNum`` intent, which cannot help here because
+a single parquet row group is not splittable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` up to ``target`` partitions (default:
+    the session's scheduler parallelism) iff it is currently narrower.
+
+    Plan-only inspection — ``df.rdd.getNumPartitions()`` triggers physical
+    planning but no job.  Returns ``df`` unchanged when already wide enough,
+    so at-scale inputs never pay a shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    if target <= 1:
+        return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

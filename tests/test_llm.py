@@ -244,3 +244,12 @@ def test_connected_components_shapes(spark):
     assert comp[20] == comp[21] == 20
     # shuffle conf restored
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # distributed label-propagation loop (local_threshold=0 forces it)
+    # must agree exactly with the driver union-find fast path
+    comp_d = {
+        r["node"]: r["component"]
+        for r in connected_components(e, local_threshold=0).collect()
+    }
+    assert comp_d == comp
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
