@@ -69,15 +69,22 @@ def connected_components(
         # Raw-pair count is a narrow aggregate (no shuffle); the local path
         # also needs no symmetrize/distinct — union-find is direction- and
         # duplicate-insensitive — so a small graph runs zero shuffles total.
-        n_raw = d.count()
-        if 2 * n_raw <= local_threshold:
-            return _cc_local(d)
+        # The persist keeps a join-built edge plan from running twice
+        # across count + collect (or count + distinct).
+        d = d.persist()
+        if 2 * d.count() <= local_threshold:
+            try:
+                return _cc_local(d)
+            finally:
+                d.unpersist()
     e = (
         d.union(d.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
     n_edges = e.count()
+    if local_threshold:
+        d.unpersist()  # e is materialized; the raw-edge cache is done
     if num_partitions is None:
         default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         num_partitions = max(1, min(default_p, n_edges // 2_000_000 + 1))

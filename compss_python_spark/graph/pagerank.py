@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from compss_python_spark.graph._scoped_conf import scoped_shuffle_partitions
 
@@ -50,8 +51,22 @@ def pagerank(
     max_iters: int = 10,
     checkpoint_every: int = 2,
     num_partitions: int | None = None,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Returns (node, rank) with Σrank = 1 (uniform init, dangling-aware).
+
+    Two physical strategies, chosen by measured edge count (the same
+    bounded-small-side adaptivity as Spark's broadcast-join threshold and
+    :func:`components.connected_components`):
+
+    - ``2·raw edges ≤ local_threshold`` → vectorized numpy power iteration
+      on the driver over the collected (src, dst) pairs, identical update
+      formula, zero shuffles.  A graph that fits in a few MB gains nothing
+      from a multi-stage-per-iteration distributed loop (scheduling
+      dominates by 10–100×).  ``local_threshold=0`` forces the loop.
+    - larger → the distributed loop (the 100 TB path): edges
+      hash-partitioned once, one rank shuffle per iteration, dangling mass
+      via the broadcast aggregate identity.
 
     ``num_partitions`` overrides the size-derived loop shuffle width; the
     session's ``spark.sql.shuffle.partitions`` is temporarily scoped to it
@@ -59,14 +74,24 @@ def pagerank(
     the scope, so callers never observe the override).
     """
     spark = edges.sparkSession
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .persist()
-    )
+    d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if local_threshold:
+        # Narrow count (no shuffle); dedup happens driver-side on the
+        # local path, so the distinct exchange is skipped entirely.  The
+        # persist keeps the (possibly join-built) edge plan from running
+        # twice across count + collect (or count + distinct).
+        d = d.persist()
+        take_local = 2 * d.count() <= local_threshold
+        if take_local:
+            try:
+                return _pagerank_local(d, damping, max_iters)
+            finally:
+                d.unpersist()
+    e = d.distinct().persist()
     # Single setup job: 2·|E| rows stream through one agg that yields both
     # the edge count (width formula) and the node count (init + dangling),
-    # and materializes the persisted edge table as a side effect.
+    # and materializes the persisted edge table as a side effect (reading
+    # d's cached blocks when the local-path probe left them behind).
     stats = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -76,6 +101,8 @@ def pagerank(
         )
         .first()
     )
+    if local_threshold:
+        d.unpersist()  # e is materialized; the raw-edge cache is done
     n_edges, n_nodes = int(stats["two_e"]), int(stats["nn"])
     if num_partitions is None:
         default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -95,6 +122,45 @@ def pagerank(
         for h in helpers:
             h.unpersist()
     return ranks
+
+
+def _pagerank_local(d: DataFrame, damping: float, max_iters: int) -> DataFrame:
+    """Driver-side power iteration over a bounded raw edge set.  Same
+    update as the distributed loop — rank' = (1−d)/n + d·(contrib +
+    (1−Σcontrib)/n), contrib = Σ_{(s→t)} rank_s/outdeg_s — on
+    driver-deduplicated edges; numpy accumulation order differs from the
+    distributed sum only in low-order float bits (callers round results to
+    ≤8 dp before hashing, same tolerance the distributed path relies on).
+    """
+    import numpy as np
+
+    spark = d.sparkSession
+    node_type = d.schema["src"].dataType
+    pdf = d.toPandas()  # one Arrow-batched job, bounded by local_threshold
+    pairs = np.unique(
+        np.stack([pdf["src"].to_numpy(), pdf["dst"].to_numpy()], axis=1), axis=0
+    )
+    nodes, idx_flat = np.unique(pairs.reshape(-1), return_inverse=True)
+    si, ti = idx_flat[0::2], idx_flat[1::2]
+    n = len(nodes)
+    deg = np.bincount(si, minlength=n)
+    w = 1.0 / deg[si]
+    rank = np.full(n, 1.0 / n)
+    for _ in range(max_iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, ti, rank[si] * w)
+        rank = (1.0 - damping) / n + damping * (
+            contrib + (1.0 - contrib.sum()) / n
+        )
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("rank", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(v.item(), r.item()) for v, r in zip(nodes, rank)], schema
+    )
 
 
 def _pagerank_loop(

@@ -397,8 +397,11 @@ def pipeline_corpus_curation(spark, sf_dir):
     """
     from compss_python_spark.llm.dedup import exact_dedup_by_hash
     from compss_python_spark.llm.text import quality_score
+    from compss_python_spark.width import ensure_min_partitions
 
-    docs = quality_score(table(spark, sf_dir, "documents"))
+    # The scoring stage is regex/tokenize-dense: widen a one-split local
+    # scan so it uses every core (no-op when the scan is already wide).
+    docs = quality_score(ensure_min_partitions(table(spark, sf_dir, "documents")))
     kept = docs.filter(
         (F.col("quality") >= 0.5) & F.col("n_chars").between(50, 5000)
     )
@@ -713,8 +716,11 @@ def pipeline_curation_full(spark, sf_dir):
     per-doc gram-hit count and the dedup groupBy — both on filtered data.
     """
     from compss_python_spark.llm.text import tokens
+    from compss_python_spark.width import ensure_min_partitions
 
-    docs = _pii_injected_spark(table(spark, sf_dir, "documents"))
+    # Widen the one-split local scan before the tokenize/regex-dense
+    # scoring + redaction stages (no-op when the scan is already wide).
+    docs = _pii_injected_spark(ensure_min_partitions(table(spark, sf_dir, "documents")))
     docs = text.quality_score(docs)
     toks = tokens("text")
     docs = docs.withColumn(

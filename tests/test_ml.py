@@ -183,6 +183,27 @@ def test_pagerank_matches_networkx_star(spark):
     assert ranks[2] == pytest.approx(ranks[3], abs=1e-9)
 
 
+def test_pagerank_local_matches_distributed(spark):
+    """The bounded-size driver fast path and the distributed loop are the
+    same algorithm — ranks must agree to float tolerance (duplicate edges
+    exercise the driver-side dedup)."""
+    from compss_python_spark.graph.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": [1, 2, 3, 4, 1, 5, 1], "dst": [2, 3, 1, 1, 3, 2, 2]}
+        )
+    )
+    local = {r["node"]: r["rank"] for r in pagerank(edges, max_iters=12).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, max_iters=12, local_threshold=0).collect()
+    }
+    assert set(local) == set(dist)
+    for n in local:
+        assert local[n] == pytest.approx(dist[n], abs=1e-12)
+
+
 def test_ks_statistic_matches_reference(spark):
     """KS d-statistic vs a pure-python ECDF computation on the same data."""
     from compss_python_spark.functions.statistics import ks_one_sample_normal
