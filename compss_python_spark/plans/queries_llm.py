@@ -327,6 +327,36 @@ def multimodal_bytes(spark, sf_dir):
 
 
 @query(
+    "multimodal_probe_headers",
+    sql="""
+    SELECT doc_id AS media_id,
+           (['png','jpeg','wav'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN CAST(16 + doc_id % 241 AS INT) END AS width,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN CAST(16 + doc_id % 181 AS INT) END AS height,
+           CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 3
+                     ELSE 1 + doc_id % 2 END AS INT) AS channels,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(8000 + 4000 * (doc_id % 8) AS INT) END AS sample_rate
+    FROM documents
+    """,
+)
+def multimodal_probe_headers(spark, sf_dir):
+    """REAL header decode, end-to-end: deterministic PNG/JPEG/WAV container
+    bytes are built from doc_id (llm/multimodal.py synthesize_real_media),
+    then parsed back by the byte-level header parsers (PNG IHDR, JPEG SOFn
+    marker walk, WAV fmt chunk — no codec libraries).  The oracle recomputes
+    the generation formula, so a hash match proves the parsers recover
+    exactly what was encoded."""
+    media = multimodal.synthesize_real_media(table(spark, sf_dir, "documents"))
+    probed = multimodal.probe_media(media)
+    return probed.select(
+        "media_id", "format", "width", "height", "channels", "sample_rate"
+    )
+
+
+@query(
     "multimodal_features",
     sql="""
     SELECT doc_id AS media_id,

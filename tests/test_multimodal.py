@@ -42,3 +42,46 @@ def test_resize_and_frame_sample(spark, sf_dir):
     assert resized.first()["meta"]["width"] == 32
     frames = mm.frame_sample_stub(media, every_n=1)
     assert frames.filter("frame_idx >= 0").count() == frames.count()
+
+
+def test_header_parsers_roundtrip_pure():
+    """Byte-level parsers recover exactly what the builders encoded."""
+    assert mm.parse_media_header(mm._build_png(800, 600)) == ("png", 800, 600, 3, None)
+    assert mm.parse_media_header(mm._build_jpeg(1920, 1080)) == ("jpeg", 1920, 1080, 3, None)
+    assert mm.parse_media_header(mm._build_wav(44100, 2)) == ("wav", None, None, 2, 44100)
+    assert mm.parse_media_header(b"\x00garbage") == (None, None, None, None, None)
+    assert mm.parse_media_header(None) == (None, None, None, None, None)
+    # JPEG parser must skip leading segments (APP0 walk, not fixed offset)
+    j = mm._build_jpeg(33, 44)
+    assert mm.parse_media_header(j[:2] + b"\xff\xfe\x00\x04ab" + j[2:])[1:3] == (33, 44)
+
+
+def test_probe_media_spark_and_jvm_png_path(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from compss_python_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(60)
+    media = mm.synthesize_real_media(docs)
+    probed = {r["media_id"]: r for r in mm.probe_media(media).collect()}
+    for mid, r in probed.items():
+        kind = mid % 3
+        if kind in (0, 1):
+            assert r["format"] == ("png" if kind == 0 else "jpeg")
+            assert r["width"] == 16 + mid % 241
+            assert r["height"] == 16 + mid % 181
+            assert r["channels"] == 3
+        else:
+            assert r["format"] == "wav"
+            assert r["sample_rate"] == 8000 + 4000 * (mid % 8)
+            assert r["channels"] == 1 + mid % 2
+
+    # zero-UDF JVM expression path agrees with the Python parser on PNGs
+    w, h = mm.png_dims_expr("payload")
+    jvm = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in media.select("media_id", w, h).collect()
+        if r["media_id"] % 3 == 0
+    }
+    for mid, (jw, jh) in jvm.items():
+        assert (jw, jh) == (probed[mid]["width"], probed[mid]["height"])
