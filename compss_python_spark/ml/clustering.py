@@ -429,7 +429,16 @@ def stdbscan(
     work is vectorized numpy; the cross-cell merge moves only (cell, label)
     edges to the driver.
     """
-    t = df.withColumn("_t", F.col(ts_col).cast("double"))
+    from pyspark.sql import types as T
+
+    ts_type = df.schema[ts_col].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ cannot cast straight to double under ANSI; go through
+        # epoch micros (NTZ → TIMESTAMP uses the session tz, pinned UTC).
+        t_expr = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    else:
+        t_expr = F.col(ts_col).cast("double")
+    t = df.withColumn("_t", t_expr)
     dims = [*spatial_dims, "_t"]
     cells = _grid_halo(
         t.select(id_col, *dims),
