@@ -37,7 +37,7 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 20,
     num_partitions: int | None = None,
-    local_threshold: int = 1_000_000,
+    local_threshold: int = 4_000_000,
 ) -> DataFrame:
     """Returns (node, component) where component = min node id reachable.
 

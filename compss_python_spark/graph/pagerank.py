@@ -51,7 +51,7 @@ def pagerank(
     max_iters: int = 10,
     checkpoint_every: int = 2,
     num_partitions: int | None = None,
-    local_threshold: int = 1_000_000,
+    local_threshold: int = 4_000_000,
 ) -> DataFrame:
     """Returns (node, rank) with Σrank = 1 (uniform init, dangling-aware).
 
@@ -59,7 +59,8 @@ def pagerank(
     bounded-small-side adaptivity as Spark's broadcast-join threshold and
     :func:`components.connected_components`):
 
-    - ``2·raw edges ≤ local_threshold`` → vectorized numpy power iteration
+    - ``2·raw edges ≤ local_threshold`` (default 4M edges ≈ 64 MB at 16 B/edge,
+      the session's broadcast-join threshold) → vectorized numpy power iteration
       on the driver over the collected (src, dst) pairs, identical update
       formula, zero shuffles.  A graph that fits in a few MB gains nothing
       from a multi-stage-per-iteration distributed loop (scheduling
