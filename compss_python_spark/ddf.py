@@ -304,6 +304,23 @@ class DDF:
         return DDF(connected_components(self.df, src, dst, max_iters=max_iters))
 
     # -- actions / misc [ref: ddf_library/ddf.py] ----------------------------
+    def probe_media(self, id_col: str = "media_id",
+                    payload_col: str = "payload") -> "DDF":
+        """Typed container-header metadata (format/width/height/channels/
+        sample_rate) parsed from opaque binary payloads — real byte-level
+        PNG/JPEG/WAV header decode, no codec libraries."""
+        from compss_python_spark.llm.multimodal import probe_media
+
+        return DDF(probe_media(self.df, id_col, payload_col))
+
+    def extract_media_features(self) -> "DDF":
+        """mapInPandas featurizer over binary payloads (pixel decode is a
+        deterministic stub — no codecs in-container; header decode is real,
+        see probe_media)."""
+        from compss_python_spark.llm.multimodal import extract_features
+
+        return DDF(extract_features(self.df))
+
     def cache(self) -> "DDF":
         self.df.persist()
         return self

@@ -262,3 +262,18 @@ def test_hypertable_rollup_grains_consistent(spark):
     for grain in ("hour", "day", "month"):
         s = out.filter(F.col("grain") == grain).agg(F.sum("n")).first()[0]
         assert s == total, grain
+
+
+def test_ensure_min_partitions_guard(spark):
+    from compss_python_spark.width import ensure_min_partitions
+
+    narrow = spark.range(1000).coalesce(1)
+    widened = ensure_min_partitions(narrow)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widened.count() == 1000
+
+    # already-wide input returns the SAME plan — no shuffle added
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism + 4)
+    assert ensure_min_partitions(wide) is wide
+    # explicit small target is a no-op too
+    assert ensure_min_partitions(narrow, target=1) is narrow
