@@ -1237,3 +1237,260 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
             F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias("totacctbal_cents"),
         )
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    sql="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT))
+               AS unit_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    pc AS (
+      SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, unit_cents
+      FROM part
+      JOIN cost ON l_partkey = p_partkey
+      JOIN eu ON s_suppkey = l_suppkey
+      WHERE p_size = 25 AND p_type = 'STANDARD'
+    ),
+    mn AS (SELECT p_partkey AS mk, MIN(unit_cents) AS min_cents FROM pc GROUP BY p_partkey)
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+           unit_cents
+    FROM pc JOIN mn ON mk = p_partkey AND unit_cents = min_cents
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (lineitem unit price standing in for the absent
+    partsupp.supplycost): for each STANDARD size-25 part, the EUROPE
+    supplier(s) offering the minimum observed unit cost.  The correlated
+    min-subquery is a per-part aggregate joined back on the SAME key
+    (co-partitioned; ties all surface, integer cents keep the min exact
+    cross-engine); region/nation/supplier dims broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100, 0).cast("long")
+        ).alias("unit_cents")
+    )
+    eu = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "STANDARD")
+    )
+    pc = (
+        cost.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "unit_cents")
+    )
+    mn = pc.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("unit_cents").alias("min_cents")
+    )
+    return (
+        pc.join(
+            mn,
+            (F.col("mk") == F.col("p_partkey"))
+            & (F.col("unit_cents") == F.col("min_cents")),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("acctbal_cents"),
+            "unit_cents",
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    sql="""
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS value_cents
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = 3
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(value_cents) AS t, COUNT(*) AS np FROM val)
+    SELECT l_partkey AS partkey, CAST(value_cents AS BIGINT) AS value_cents
+    FROM val, tot
+    WHERE value_cents * np > 2 * t
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (lineitem value standing in for partsupp stock
+    value): parts whose NATION_3-supplied value exceeds 2× the mean part
+    share.  Global threshold = one-row aggregate broadcast back (no second
+    scan); all-integer math so the cut is exact cross-engine."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    val = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * F.round(F.col("l_quantity"), 0).cast("long")
+            ).alias("value_cents")
+        )
+    )
+    tot = val.agg(F.sum("value_cents").alias("t"), F.count("*").alias("np"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("np") > 2 * F.col("t"))
+        .select(F.col("l_partkey").alias("partkey"), "value_cents")
+    )
+
+
+@query(
+    "tpch_q12_late_lines_by_priority",
+    sql="""
+    SELECT l_returnflag AS flag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_late_lines_by_priority(spark, sf_dir):
+    """TPC-H Q12 shape (returnflag standing in for the absent shipmode;
+    ship > order+60d for the absent receipt/commit dates): late lines per
+    class split by order priority — join + two conditional counts, one
+    partial/final agg."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    sql="""
+    WITH links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN links ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (distinct lineitem links standing in for partsupp;
+    negative balance standing in for the complaints filter): supplier count
+    per surviving (brand, type, size) — anti-join the excluded suppliers,
+    distinct-count agg (Spark plans it as a two-level partial agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    links = li.select("l_partkey", "l_suppkey").distinct()
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        links.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_part_promotion",
+    sql="""
+    WITH h1 AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS q1
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    yr AS (
+      SELECT l_partkey AS yk, SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS qt
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM h1
+    JOIN yr ON yk = l_partkey
+    JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_2'
+    WHERE 2 * q1 > qt
+    """,
+)
+def tpch_q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (H1 shipped volume standing in for partsupp
+    availqty): NATION_2 suppliers who moved more than half a part's annual
+    ECONOMY volume in the first half of 1996 — two same-key aggregates
+    joined (co-partitioned on l_partkey), dims broadcast, integer
+    quantities so the half-volume cut is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity"), 0).cast("long")
+    h1 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(q).alias("q1"))
+    )
+    yr = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(F.col("l_partkey").alias("yk"))
+        .agg(F.sum(q).alias("qt"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        h1.join(yr, F.col("yk") == F.col("l_partkey"))
+        .filter(2 * F.col("q1") > F.col("qt"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
