@@ -1494,3 +1494,52 @@ def tpch_q20_part_promotion(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+@query(
+    "window_ntile_percent_rank",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_ntile_percent_rank(spark, sf_dir):
+    """Ranking-window family (ntile/percent_rank/cume_dist) under a total
+    order (ts, event_id tiebreak) — per-key partitions, no global window,
+    so the sort is partition-local after one hash exchange."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    sql="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`).  Scale note: exact percentile materializes
+    the group's values on one reducer — right for bounded-cardinality
+    groups like these; unbounded groups should use approx_percentile
+    (t-digest, mergeable map-side) instead, cf. `describe_column`."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+    )
