@@ -144,6 +144,8 @@ def _pagerank_local(d: DataFrame, damping: float, max_iters: int) -> DataFrame:
     nodes, idx_flat = np.unique(pairs.reshape(-1), return_inverse=True)
     si, ti = idx_flat[0::2], idx_flat[1::2]
     n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], schema=_rank_schema(node_type))
     deg = np.bincount(si, minlength=n)
     w = 1.0 / deg[si]
     rank = np.full(n, 1.0 / n)
@@ -153,14 +155,18 @@ def _pagerank_local(d: DataFrame, damping: float, max_iters: int) -> DataFrame:
         rank = (1.0 - damping) / n + damping * (
             contrib + (1.0 - contrib.sum()) / n
         )
-    schema = T.StructType(
+    return spark.createDataFrame(
+        [(v.item(), r.item()) for v, r in zip(nodes, rank)],
+        _rank_schema(node_type),
+    )
+
+
+def _rank_schema(node_type) -> "T.StructType":
+    return T.StructType(
         [
             T.StructField("node", node_type, False),
             T.StructField("rank", T.DoubleType(), False),
         ]
-    )
-    return spark.createDataFrame(
-        [(v.item(), r.item()) for v, r in zip(nodes, rank)], schema
     )
 
 

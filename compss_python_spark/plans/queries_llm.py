@@ -328,6 +328,7 @@ def multimodal_bytes(spark, sf_dir):
 
 @query(
     "multimodal_probe_headers",
+    headline=True,
     sql="""
     SELECT doc_id AS media_id,
            (['png','jpeg','wav'])[CAST(doc_id % 3 + 1 AS INT)] AS format,

@@ -48,10 +48,14 @@ def query(name: str, sql: str | None = None, headline: bool = False):
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table.
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects — read it as raw nanos (legacy.parquet.nanosAsLong) and convert
-    to a microsecond TimestampType with integer arithmetic (`div`, not
-    double division — int64 nanos exceed double mantissa precision).
+    events.ts arrives as parquet TIMESTAMP(NANOS) in some fixture
+    generations (Spark's vectorized reader rejects it — read as raw nanos
+    via legacy.parquet.nanosAsLong and convert with integer arithmetic:
+    `div`, not double division, since int64 nanos exceed double mantissa
+    precision) and as TIMESTAMP_NTZ in others.  Both normalize to a
+    microsecond TimestampType (session tz pinned UTC, so wall-clock values
+    match the DuckDB oracle's naive timestamps): NTZ would reject
+    streaming watermarks and double casts downstream.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -62,5 +66,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
