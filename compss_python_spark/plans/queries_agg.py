@@ -1543,3 +1543,73 @@ def agg_exact_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
     )
+
+
+@query(
+    "grouping_sets_mixed",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_mixed(spark, sf_dir):
+    """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary subset
+    of grouping combinations in ONE pass — Spark expands sets inside a
+    single Expand+HashAggregate, no per-set rescan) with GROUPING() ids to
+    disambiguate NULL-as-total from NULL-as-value."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum(qty).alias("sum_qty"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
+    )
+
+
+@query(
+    "array_map_functions",
+    sql="""
+    WITH t AS (
+      SELECT o_orderkey,
+             string_split(o_orderpriority, '-') AS parts,
+             [o_orderkey % 7, o_orderkey % 11, o_orderkey % 13] AS nums
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(len(parts) AS INT) AS n_parts,
+           array_to_string(list_sort(parts), '|') AS sorted_parts,
+           CAST(list_sum(list_transform(nums, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(list_max(nums) AS BIGINT) AS mx,
+           CAST(len(list_filter(nums, x -> x % 2 = 0)) AS INT) AS n_even
+    FROM t
+    """,
+)
+def array_map_functions(spark, sf_dir):
+    """Higher-order array functions (transform/filter/aggregate/sort) —
+    all per-row JVM expressions, zero shuffle, the building blocks the
+    MinHash/embedding paths compose."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    t = o.select(
+        "o_orderkey",
+        F.split("o_orderpriority", "-").alias("parts"),
+        F.array(k % 7, k % 11, k % 13).alias("nums"),
+    )
+    return t.select(
+        "o_orderkey",
+        F.size("parts").alias("n_parts"),
+        F.array_join(F.array_sort("parts"), "|").alias("sorted_parts"),
+        F.aggregate(
+            F.transform("nums", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_sq"),
+        F.array_max("nums").alias("mx"),
+        F.size(F.filter("nums", lambda x: x % 2 == 0)).alias("n_even"),
+    )
