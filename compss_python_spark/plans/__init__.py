@@ -25,10 +25,10 @@ from compss_python_spark.plans import queries_io  # noqa: F401
 # Relative order within each tier is preserved (stable partition).
 from compss_python_spark.plans._proven import (  # noqa: E402
     PROVEN,
-    R3_PRIORITY,
+    SLOT_PRIORITY,
 )
 
-_rank = {n: (0, i) for i, n in enumerate(R3_PRIORITY)}
+_rank = {n: (0, i) for i, n in enumerate(SLOT_PRIORITY)}
 _order = sorted(
     REGISTRY,
     key=lambda n, _i=iter(range(len(REGISTRY))): (
