@@ -303,6 +303,21 @@ class DDF:
 
         return DDF(connected_components(self.df, src, dst, max_iters=max_iters))
 
+    def pagerank(self, src: str = "src", dst: str = "dst",
+                 damping: float = 0.85, max_iters: int = 10) -> "DDF":
+        """(node, rank) over this edge table, Σrank = 1, dangling-aware
+        (bounded small graphs route to the driver kernel; larger graphs run
+        the distributed loop — see graph/pagerank.py)."""
+        from compss_python_spark.graph.pagerank import pagerank
+
+        return DDF(pagerank(self.df, src, dst, damping=damping, max_iters=max_iters))
+
+    def triangle_count(self, src: str = "src", dst: str = "dst") -> "DDF":
+        """Single-row (n_triangles) via low-id degree orientation."""
+        from compss_python_spark.graph.triangles import triangle_count
+
+        return DDF(triangle_count(self.df, src, dst))
+
     # -- actions / misc [ref: ddf_library/ddf.py] ----------------------------
     def probe_media(self, id_col: str = "media_id",
                     payload_col: str = "payload") -> "DDF":

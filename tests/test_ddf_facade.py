@@ -196,3 +196,16 @@ def test_facade_llm_pipeline_wrappers(spark):
 
 def rows_by(ddf, key):
     return {r[key]: r for r in ddf.df.collect()}
+
+
+def test_facade_pagerank_and_triangles(spark):
+    import pandas as pd
+
+    from compss_python_spark.ddf import DDF
+
+    edges = DDF(spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 3, 1], "dst": [2, 3, 1, 3]})
+    ))
+    ranks = {r["node"]: r["rank"] for r in edges.pagerank().df.collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert edges.triangle_count().df.first()["n_triangles"] == 1
