@@ -319,6 +319,14 @@ class DDF:
         return DDF(triangle_count(self.df, src, dst))
 
     # -- actions / misc [ref: ddf_library/ddf.py] ----------------------------
+    def duplicate_spans(self, id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 5, min_docs: int = 2, **kw) -> "DDF":
+        """Per-doc duplicate-span stats + cleaned-text fingerprint (C4 /
+        Lee et al. passage dedup)."""
+        from compss_python_spark.llm.dedup import duplicate_spans
+
+        return DDF(duplicate_spans(self.df, id_col, text_col, n, min_docs, **kw))
+
     def probe_media(self, id_col: str = "media_id",
                     payload_col: str = "payload") -> "DDF":
         """Typed container-header metadata (format/width/height/channels/

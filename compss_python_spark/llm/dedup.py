@@ -482,3 +482,79 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .distinct()
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN detection and removal (the
+    training-corpus stage popularized by C4 / "Deduplicating Training Data
+    Makes Language Models Better": drop repeated passages, keep the rest of
+    the document).
+
+    A token position is "covered" when any n-gram starting at or spanning
+    it occurs in ≥ ``min_docs`` distinct documents.  Returns one row per
+    input document:
+    (doc_id, n_tokens, n_dup_grams, n_covered, clean_fp) where clean_fp is
+    md5 of the text with covered positions removed — the downstream join
+    key for materializing cleaned corpora.
+
+    Plan shape at scale: gram keys are per-row expressions (narrow); ONE
+    groupBy(gram) finds cross-doc grams (map-side combined count-distinct);
+    the hit join carries only (id, start) pairs for DUPLICATED grams (the
+    minority); the per-doc position explode is bounded by n × dup-gram
+    hits, not corpus size.  ``use_hash=True`` keys grams by xxhash64
+    (8-byte shuffle keys); ``False`` uses md5 strings for engine-portable
+    oracle parity.
+    """
+    hash_fn = (lambda c: F.xxhash64(c)) if use_hash else (lambda c: F.md5(c))
+    toks = ensure_min_partitions(df).select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
+    )
+    t = F.col("_t")
+    gram_at = lambda i: hash_fn(F.concat_ws(" ", F.slice(t, i + 1, n)))  # noqa: E731
+    grams = toks.filter(F.size(t) >= n).select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.struct(i.alias("i"), gram_at(i).alias("gk")),
+            )
+        ).alias("g"),
+    ).select("_id", F.col("g.i").alias("i"), F.col("g.gk").alias("gk"))
+    dupg = (
+        grams.groupBy("gk")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gk")
+    )
+    hits = grams.join(dupg, "gk").select("_id", "i")
+    cov = (
+        hits.select("_id", "i", F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("p"))
+        .groupBy("_id")
+        .agg(
+            F.count_distinct("i").alias("n_dup_grams"),
+            F.array_sort(F.collect_set("p")).alias("_cov"),
+        )
+    )
+    empty = F.array().cast("array<int>")
+    covc = F.coalesce(F.col("_cov"), empty)
+    return (
+        toks.join(cov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size(t).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.size(covc).cast("long").alias("n_covered"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.filter(t, lambda x, i: ~F.array_contains(covc, i.cast("int")))
+                )
+            ).alias("clean_fp"),
+        )
+    )

@@ -780,3 +780,51 @@ def pipeline_curation_full(spark, sf_dir):
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.sum((F.col("redacted") != F.col("text")).cast("long")).alias("n_redacted"),
     )
+
+
+@query(
+    "dedup_duplicate_spans",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS gk
+      FROM tok, UNNEST(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ),
+    dup AS (SELECT gk FROM g GROUP BY gk HAVING COUNT(DISTINCT doc_id) >= 2),
+    hit AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gk)),
+    cov AS (SELECT DISTINCT doc_id, p FROM hit, UNNEST(range(i, i + 5)) AS v(p)),
+    agg AS (SELECT doc_id, COUNT(DISTINCT i) AS n_dup_grams FROM hit GROUP BY doc_id),
+    covn AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov GROUP BY doc_id),
+    pos AS (
+      SELECT tok.doc_id, r.p, t[CAST(r.p AS INT)] AS w
+      FROM tok, UNNEST(range(1, len(t) + 1)) AS r(p)
+    ),
+    clean AS (
+      SELECT pos.doc_id,
+             md5(COALESCE(string_agg(w, ' ' ORDER BY pos.p), '')) AS clean_fp
+      FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+      WHERE cov.p IS NULL
+      GROUP BY pos.doc_id
+    )
+    SELECT tok.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(agg.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(covn.n_covered, 0) AS BIGINT) AS n_covered,
+           COALESCE(clean.clean_fp, md5('')) AS clean_fp
+    FROM tok
+    LEFT JOIN agg ON agg.doc_id = tok.doc_id
+    LEFT JOIN covn ON covn.doc_id = tok.doc_id
+    LEFT JOIN clean ON clean.doc_id = tok.doc_id
+    """,
+)
+def dedup_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicate-SPAN removal (C4 / Lee et al. style): token
+    positions covered by any 5-gram shared across ≥2 docs, plus the md5 of
+    the text with those positions cut.  md5 gram keys for exact DuckDB
+    parity; the xxhash64 fast path (`use_hash=True`) is the 8-byte-key
+    production default."""
+    return dedup.duplicate_spans(
+        table(spark, sf_dir, "documents"), n=5, min_docs=2, use_hash=False
+    )

@@ -253,3 +253,32 @@ def test_connected_components_shapes(spark):
     }
     assert comp_d == comp
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_duplicate_spans_planted(spark):
+    """A 5-gram shared by two docs covers exactly its positions in both;
+    the xxhash64 fast path and the md5 oracle path agree on everything."""
+    import pandas as pd
+
+    from compss_python_spark.llm import dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "alpha beta gamma delta epsilon zeta eta",
+            "one two alpha beta gamma delta epsilon done",
+            "completely different content with no overlap at all",
+        ],
+    }))
+    for use_hash in (False, True):
+        out = {r["doc_id"]: r for r in
+               dedup.duplicate_spans(docs, use_hash=use_hash).collect()}
+        # the one shared 5-gram "alpha beta gamma delta epsilon":
+        # doc1 start 0 -> positions 0..4; doc2 start 2 -> positions 2..6
+        assert out[1]["n_dup_grams"] == 1 and out[1]["n_covered"] == 5
+        assert out[2]["n_dup_grams"] == 1 and out[2]["n_covered"] == 5
+        assert out[3]["n_dup_grams"] == 0 and out[3]["n_covered"] == 0
+    # cleaned text of doc3 is unchanged -> fp equals md5 of original
+    import hashlib
+    orig = "completely different content with no overlap at all"
+    assert out[3]["clean_fp"] == hashlib.md5(orig.encode()).hexdigest()
