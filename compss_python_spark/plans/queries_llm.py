@@ -784,6 +784,7 @@ def pipeline_curation_full(spark, sf_dir):
 
 @query(
     "dedup_duplicate_spans",
+    headline=True,
     sql=r"""
     WITH tok AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

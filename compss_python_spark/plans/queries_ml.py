@@ -331,13 +331,12 @@ def _cust_supp_edges(spark, sf_dir):
     ids offset by 1e6 so the two key spaces can't collide."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 1000000).alias("dst"),
-        )
-        .distinct()
+    # No .distinct() here: pagerank dedups internally (driver-side on the
+    # bounded local path — skipping the exchange entirely; .distinct() in
+    # the loop path), so a pre-distinct would only add a shuffle.
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
     )
 
 
@@ -425,14 +424,10 @@ def graph_connected_components(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 50)
     orders = table(spark, sf_dir, "orders")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 1000000).alias("dst"),
-        )
-        .distinct()
-    )
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )  # no pre-distinct: union-find/label-propagation dedup internally
     return connected_components(edges)
 
 
@@ -498,8 +493,9 @@ def graph_pagerank_symmetric(spark, sf_dir):
     from compss_python_spark.graph.pagerank import pagerank
 
     base = _cust_supp_edges(spark, sf_dir)
+    # union only — pagerank dedups internally (see _cust_supp_edges note)
     edges = base.union(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     ranks = pagerank(edges, max_iters=8)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
