@@ -278,3 +278,34 @@ def io_partitioned_pruning(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
     )
+
+
+@query(
+    "io_orc_roundtrip",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS price_cents,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def io_orc_roundtrip(spark, sf_dir):
+    """lineitem → ORC (Spark's second native columnar format: pushdown and
+    pruning apply as with parquet) → read-back → aggregate.  The oracle
+    aggregates the ORIGINAL parquet, so a hash match proves the ORC writer/
+    reader preserve every value exactly."""
+    from compss_python_spark.sources.io import read_orc, write_orc
+
+    path = _scratch(sf_dir, "orc_lineitem")
+    write_orc(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_quantity"
+        ),
+        path,
+    )
+    back = read_orc(spark, path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("price_cents"),
+        F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("qty"),
+    )

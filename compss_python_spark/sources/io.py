@@ -90,6 +90,19 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     writer.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    """ORC sink — the second columnar interchange format Spark supports
+    natively (predicate pushdown + column pruning apply as with parquet)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink [ref: ddf_library/functions/etl/save_data.py] — the
     reference writes one file per fragment; Spark writes one per partition."""
