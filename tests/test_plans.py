@@ -191,3 +191,27 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path_factory):
     assert "PartitionFilters" in plan
     pf_line = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "o_orderstatus" in pf_line
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """All grouping sets come from ONE Expand + one partial/final agg pair —
+    no per-set rescan of the fact table."""
+    plan = _plan(spark, sf_dir, "grouping_sets_mixed")
+    tree = plan.split("(1) ")[0]  # operator tree only (details repeat names)
+    assert tree.count("Expand") == 1
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("HashAggregate") == 2
+
+
+def test_q16_anti_join_broadcasts(spark, sf_dir):
+    """The excluded-supplier anti-join must broadcast the (tiny) bad-supplier
+    side, never shuffle the link table for it."""
+    plan = _plan(spark, sf_dir, "tpch_q16_supplier_cnt")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q2_min_cost_broadcasts_dims(spark, sf_dir):
+    """part/supplier/nation/region sides of Q2 are dim-sized → broadcast;
+    the lineitem aggregate is the only shuffled input."""
+    plan = _plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2
