@@ -430,6 +430,9 @@ class Saver:
     def parquet(self, path: str, mode: str = "overwrite", partition_by=None) -> None:
         io_mod.write_parquet(self._df, path, mode, partition_by)
 
+    def orc(self, path: str, mode: str = "overwrite", partition_by=None) -> None:
+        io_mod.write_orc(self._df, path, mode, partition_by)
+
 
 class Reader:
     """[ref: ddf_library/bases/data_reader.py] — ``cc.read.csv(...)``."""
@@ -446,6 +449,9 @@ class Reader:
 
     def parquet(self, path: str) -> DDF:
         return DDF(io_mod.read_parquet(self._spark, path))
+
+    def orc(self, path: str) -> DDF:
+        return DDF(io_mod.read_orc(self._spark, path))
 
 
 class Context:

@@ -81,3 +81,32 @@ def test_take_bounded(spark, rows, frac_n):
     assert len(out) == min(frac_n, len(rows))
     got = [(r["k"], r["v"]) for r in out]
     assert got == sorted(rows)[:frac_n]
+
+
+def test_duplicate_spans_invariants(spark):
+    """Random corpora: coverage is bounded by doc length; docs with globally
+    unique tokens are never touched; fp of untouched docs == md5(original)."""
+    import hashlib
+
+    import pandas as pd
+
+    from compss_python_spark.llm.dedup import duplicate_spans
+
+    # deterministic pseudo-random corpus with a planted shared passage
+    shared = "s0 s1 s2 s3 s4 s5"
+    texts = []
+    for i in range(30):
+        words = [f"w{i}_{j}" for j in range(10)]  # unique per doc
+        if i % 5 == 0:
+            words[3:3] = shared.split()  # plant the passage in every 5th doc
+        texts.append(" ".join(words))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(30), "text": texts}))
+    out = {r["doc_id"]: r for r in duplicate_spans(df, n=5).collect()}
+    for i in range(30):
+        r = out[i]
+        assert 0 <= r["n_covered"] <= r["n_tokens"]
+        if i % 5 == 0:
+            assert r["n_covered"] >= 6, "planted shared passage must be covered"
+        else:
+            assert r["n_covered"] == 0
+            assert r["clean_fp"] == hashlib.md5(texts[i].encode()).hexdigest()
