@@ -829,3 +829,72 @@ def dedup_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(
         table(spark, sf_dir, "documents"), n=5, min_docs=2, use_hash=False
     )
+
+
+@query(
+    "pipeline_span_dedup_curation",
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars, text,
+             string_split_regex(trim(text), '\s+') AS t,
+             LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS non_space,
+             LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha
+      FROM documents
+    ),
+    q AS (
+      SELECT *, ROUND((LEAST(len(t) / 20.0, 1.0)
+                 + CASE WHEN non_space / GREATEST(len(t), 1) BETWEEN 3 AND 12
+                        THEN 1.0 ELSE 0.0 END
+                 + alpha / GREATEST(non_space, 1)) / 3.0, 6) AS quality
+      FROM s
+    ),
+    kept AS (SELECT * FROM q WHERE quality >= 0.5 AND n_chars BETWEEN 50 AND 5000),
+    g AS (
+      SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS gk
+      FROM kept, UNNEST(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ),
+    dup AS (SELECT gk FROM g GROUP BY gk HAVING COUNT(DISTINCT doc_id) >= 2),
+    hit AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gk)),
+    cov AS (SELECT DISTINCT doc_id, p FROM hit, UNNEST(range(i, i + 5)) AS v(p)),
+    covn AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov GROUP BY doc_id)
+    SELECT kept.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN COALESCE(covn.n_covered, 0) * 2 > len(kept.t)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN COALESCE(covn.n_covered, 0) * 2 <= len(kept.t)
+                         THEN len(kept.t) - COALESCE(covn.n_covered, 0)
+                         ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(SUM(COALESCE(covn.n_covered, 0)) AS BIGINT) AS total_covered
+    FROM kept LEFT JOIN covn ON covn.doc_id = kept.doc_id
+    GROUP BY kept.lang
+    """,
+)
+def pipeline_span_dedup_curation(spark, sf_dir):
+    """Second end-to-end curation flagship: quality/length filter →
+    cross-document duplicate-SPAN analysis among the SURVIVORS (dup grams
+    are counted post-filter, the filter-before-dedup ordering that keeps
+    the gram shuffle small) → per-language rollup with the majority-covered
+    docs dropped and covered tokens subtracted from the rest.  Every stage
+    from the public operator layer; full SQL twin."""
+    from compss_python_spark.llm.dedup import duplicate_spans
+    from compss_python_spark.llm.text import quality_score
+    from compss_python_spark.width import ensure_min_partitions
+
+    docs = quality_score(ensure_min_partitions(table(spark, sf_dir, "documents")))
+    kept = docs.filter(
+        (F.col("quality") >= 0.5) & F.col("n_chars").between(50, 5000)
+    )
+    spans = duplicate_spans(kept, use_hash=False).select(
+        "doc_id", "n_tokens", "n_covered"
+    )
+    joined = kept.select("doc_id", "lang").join(spans, "doc_id")
+    dropped = F.col("n_covered") * 2 > F.col("n_tokens")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(dropped.cast("long")).alias("n_dropped"),
+        F.sum(
+            F.when(~dropped, F.col("n_tokens") - F.col("n_covered")).otherwise(0)
+        ).alias("kept_tokens"),
+        F.sum("n_covered").alias("total_covered"),
+    )
