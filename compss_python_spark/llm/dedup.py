@@ -511,6 +511,13 @@ def duplicate_spans(
     hits, not corpus size.  ``use_hash=True`` keys grams by xxhash64
     (8-byte shuffle keys); ``False`` uses md5 strings for engine-portable
     oracle parity.
+
+    Bounds: the per-doc covered-position array is ≤ doc length, and the
+    cleaned-text rebuild is O(tokens × covered) per doc — fine for
+    web-scale docs (≤ ~10⁴ tokens).  Book-length documents with massive
+    coverage should instead drop the doc on the (cheap) ``n_covered``
+    ratio before materializing cleaned text — the rollup queries do
+    exactly that.
     """
     hash_fn = (lambda c: F.xxhash64(c)) if use_hash else (lambda c: F.md5(c))
     toks = ensure_min_partitions(df).select(

@@ -1613,3 +1613,29 @@ def array_map_functions(spark, sf_dir):
         F.array_max("nums").alias("mx"),
         F.size(F.filter("nums", lambda x: x % 2 == 0)).alias("n_even"),
     )
+
+
+@query(
+    "regexp_functions",
+    sql=r"""
+    SELECT doc_id,
+           regexp_extract(text, '[0-9]+') AS first_num,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+ed\b')) AS INT) AS n_ed_words,
+           regexp_replace(text, '[aeiou]', '', 'g')[1:20] AS devoweled20
+    FROM documents
+    """,
+)
+def regexp_functions(spark, sf_dir):
+    """Regex workhorse functions (extract / extract_all / count-via-len /
+    global replace) on free text — Java and RE2 agree on this conservative
+    pattern subset (no lookaround, no backrefs), which is exactly the
+    subset a portable pipeline should stick to."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_num"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_nums"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+ed\b"))).alias("n_ed_words"),
+        F.substring(F.regexp_replace("text", "[aeiou]", ""), 1, 20).alias("devoweled20"),
+    )
