@@ -1639,3 +1639,47 @@ def regexp_functions(spark, sf_dir):
         F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+ed\b"))).alias("n_ed_words"),
         F.substring(F.regexp_replace("text", "[aeiou]", ""), 1, 20).alias("devoweled20"),
     )
+
+
+@query(
+    "null_semantics",
+    sql="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS p
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(v) AS n_nonnull,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           ROUND(SUM(COALESCE(v, 0)), 2) AS sum_coalesced,
+           CAST(SUM(CASE WHEN p IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_p_null_safe,
+           CAST(COUNT(NULLIF(p, '1-URGENT')) AS BIGINT) AS n_not_urgent
+    FROM t
+    """,
+)
+def null_semantics(spark, sf_dir):
+    """NULL semantics end-to-end: aggregate null-skipping (COUNT(col) vs
+    COUNT(*)), COALESCE, null-safe equality (<=> / IS NOT DISTINCT FROM),
+    NULLIF — the exact behaviors that silently diverge between engines if
+    not pinned down."""
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p"),
+    )
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+        F.round(F.sum(F.coalesce(F.col("v"), F.lit(0))), 2).alias("sum_coalesced"),
+        F.sum(F.col("p").eqNullSafe(F.lit(None)).cast("long")).alias("n_p_null_safe"),
+        F.count(F.nullif(F.col("p"), F.lit("1-URGENT"))).alias("n_not_urgent"),
+    )
