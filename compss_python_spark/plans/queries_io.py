@@ -309,3 +309,44 @@ def io_orc_roundtrip(spark, sf_dir):
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("price_cents"),
         F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("qty"),
     )
+
+
+@query(
+    "io_schema_merge",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS newcol_cents,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_legacy
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def io_schema_merge(spark, sf_dir):
+    """Schema evolution on read: two parquet batches — a legacy batch
+    without `price_cents` and a new batch with it — land in one directory;
+    `mergeSchema` unions the schemas and nulls the missing column for
+    legacy rows.  The 100 TB reality: layouts drift across years of
+    batches; the oracle recomputes both generations from the original
+    table, so the hash proves null-fill and column alignment exactly."""
+    from compss_python_spark.sources.io import write_parquet
+
+    o = table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "evolving_orders")
+    legacy = o.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    newer = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    write_parquet(legacy, os.path.join(path, "batch=legacy"), mode="overwrite")
+    write_parquet(newer, os.path.join(path, "batch=v2"), mode="overwrite")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("price_cents").alias("newcol_cents"),
+        F.sum(F.col("price_cents").isNull().cast("long")).alias("n_legacy"),
+    )
