@@ -90,9 +90,12 @@ def asof_join(
     by: Sequence[str] | None = None,
     value_cols: Sequence[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the right row with the
-    largest ``on`` ≤ left.``on`` within the same ``by`` group.
+    """As-of join: for each left row, the right row with the largest
+    ``on`` ≤ left.``on`` (``direction="backward"``, default) or the
+    smallest ``on`` ≥ left.``on`` (``"forward"``) within the same ``by``
+    group.
 
     Engine extension (the reference has equi/cross joins only; Spark has no
     built-in as-of).  Scale-safe formulation — union the two sides tagged,
@@ -104,6 +107,8 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by or [])
     value_cols = list(value_cols or [c for c in right.columns if c != on and c not in by])
     l_tag = left.select(
@@ -118,9 +123,12 @@ def asof_join(
           for c in left.columns if c != on and c not in by],
     )
     unioned = l_tag.unionByName(r_tag)
+    # forward = the same carry trick scanned in reverse time order (right
+    # still sorts before left at equal ts, keeping ties inclusive)
+    ts_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_tag").asc())
+        .orderBy(ts_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -610,6 +610,41 @@ def asof_join_events(spark, sf_dir):
 
 
 @query(
+    "asof_join_forward",
+    sql="""
+    WITH err AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT user_id, ts, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value, p.pval AS next_purchase
+    FROM err e ASOF LEFT JOIN pur p
+      ON e.user_id = p.user_id AND p.ts >= e.ts
+    """,
+)
+def asof_join_forward(spark, sf_dir):
+    """Forward as-of join (direction="forward"): each error event picks up
+    the EARLIEST purchase at or after it — the same one-shuffle union +
+    carry window scanned in reverse time order; DuckDB's native forward
+    ASOF (p.ts >= e.ts) is the oracle."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts", "value")
+    pur = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = joins.asof_join(
+        err, pur, on="ts", by=["user_id"], value_cols=["pval"], direction="forward"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", F.col("pval").alias("next_purchase")
+    )
+
+
+@query(
     "range_join_incidents",
     sql="""
     WITH hourly AS (
