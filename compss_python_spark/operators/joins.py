@@ -91,6 +91,7 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     suffix: str = "_r",
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the right row with the largest
     ``on`` ≤ left.``on`` (``direction="backward"``, default) or the
@@ -131,13 +132,33 @@ def asof_join(
         .orderBy(ts_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    match_ts = F.when(F.col("_tag") == 0, F.col(on))
     carried = unioned.select(
         "*",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
             for c in value_cols
         ],
+        F.last(match_ts, ignorenulls=True).over(w).alias("__match_ts"),
     )
+    if tolerance is not None:
+        from pyspark.sql import types as T
+
+        if isinstance(left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)):
+            gap = F.abs(
+                F.unix_micros(F.col(on).cast("timestamp"))
+                - F.unix_micros(F.col("__match_ts").cast("timestamp"))
+            ) / F.lit(1e6)
+        else:
+            gap = F.abs(F.col(on) - F.col("__match_ts"))
+        ok = F.col("__match_ts").isNotNull() & (gap <= tolerance)
+        carried = carried.select(
+            *[c for c in carried.columns if not c.startswith("__c_")],
+            *[
+                F.when(ok, F.col(f"__c_{c}")).alias(f"__c_{c}")
+                for c in value_cols
+            ],
+        )
     out_cols = (
         [*by, on]
         + [c for c in left.columns if c != on and c not in by]

@@ -679,3 +679,39 @@ def range_join_incidents(spark, sf_dir):
     )
     out = joins.range_join(err, windows, "t", "w_start", "w_end", bucket_width=3600.0)
     return out.select("event_id", F.col("w_start").cast("long").alias("w_start"))
+
+
+@query(
+    "asof_join_tolerance",
+    sql="""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT user_id, ts, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN p.ts IS NOT NULL AND EPOCH(e.ts) - EPOCH(p.ts) <= 3600
+                THEN p.pval END AS prev_purchase_1h
+    FROM err e ASOF LEFT JOIN pur p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """Bounded-gap as-of join (pandas merge_asof tolerance semantics):
+    matches farther than 1 hour back are nulled — the matched timestamp
+    rides the same carry window, so the bound costs no extra join."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    pur = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = joins.asof_join(
+        err, pur, on="ts", by=["user_id"], value_cols=["pval"], tolerance=3600.0
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("pval").alias("prev_purchase_1h")
+    )

@@ -277,3 +277,28 @@ def test_ensure_min_partitions_guard(spark):
     assert ensure_min_partitions(wide) is wide
     # explicit small target is a no-op too
     assert ensure_min_partitions(narrow, target=1) is narrow
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    import pandas as pd
+
+    from compss_python_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 4, "ts": [1.0, 5.0, 10.0, 20.0], "lv": [1, 2, 3, 4]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 2, "ts": [4.0, 9.0], "rv": [40, 90]})
+    )
+    back = {r["ts"]: r["rv"] for r in asof_join(
+        left, right, on="ts", by=["k"], value_cols=["rv"]).collect()}
+    assert back == {1.0: None, 5.0: 40, 10.0: 90, 20.0: 90}
+    fwd = {r["ts"]: r["rv"] for r in asof_join(
+        left, right, on="ts", by=["k"], value_cols=["rv"], direction="forward").collect()}
+    assert fwd == {1.0: 40, 5.0: 90, 10.0: None, 20.0: None}
+    tol = {r["ts"]: r["rv"] for r in asof_join(
+        left, right, on="ts", by=["k"], value_cols=["rv"], tolerance=2.0).collect()}
+    assert tol == {1.0: None, 5.0: 40, 10.0: 90, 20.0: None}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="ts", by=["k"], direction="nearest")
