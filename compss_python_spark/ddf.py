@@ -101,6 +101,25 @@ class DDF:
     def cross_join(self, other: "DDF") -> "DDF":
         return DDF(joins.cross_join(self.df, other.df))
 
+    def asof_join(self, other: "DDF", on: str = "ts", by=None,
+                  value_cols=None, direction: str = "backward",
+                  tolerance: float | None = None) -> "DDF":
+        """Nearest-prior (or nearest-following) match per key — one shuffle,
+        no range self-join; see operators/joins.asof_join."""
+        return DDF(joins.asof_join(self.df, other.df, on, by, value_cols,
+                                   direction=direction, tolerance=tolerance))
+
+    def range_join(self, other: "DDF", point_col: str, start_col: str,
+                   end_col: str, bucket_width: float, how: str = "inner") -> "DDF":
+        """Point-in-interval join via bucket explode + equi-join."""
+        return DDF(joins.range_join(self.df, other.df, point_col, start_col,
+                                    end_col, bucket_width, how))
+
+    def salted_join(self, other: "DDF", on, how: str = "inner",
+                    salt_buckets: int = 16) -> "DDF":
+        """Skew-resistant equi-join: hot keys spread over salt_buckets reducers."""
+        return DDF(joins.salted_join(self.df, other.df, on, how, salt_buckets))
+
     def semi_join(self, other: "DDF", on) -> "DDF":
         return DDF(joins.semi_join(self.df, other.df, on))
 
