@@ -1683,3 +1683,35 @@ def null_semantics(spark, sf_dir):
         F.sum(F.col("p").eqNullSafe(F.lit(None)).cast("long")).alias("n_p_null_safe"),
         F.count(F.nullif(F.col("p"), F.lit("1-URGENT"))).alias("n_not_urgent"),
     )
+
+
+@query(
+    "unpivot_measures",
+    sql="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+             COUNT(*) AS n_orders,
+             COUNT(DISTINCT o_custkey) AS n_custs
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, CAST(value AS BIGINT) AS value
+    FROM m UNPIVOT (value FOR metric IN (price_cents, n_orders, n_custs))
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Wide→long reshaping (unpivot/melt, the inverse of pivot): per-priority
+    measures unpivot to (priority, metric, value) rows — a pure Expand
+    node, no shuffle beyond the source aggregate."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("price_cents"),
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+    )
+    return m.unpivot(
+        ["o_orderpriority"],
+        ["price_cents", "n_orders", "n_custs"],
+        "metric",
+        "value",
+    )
