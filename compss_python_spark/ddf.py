@@ -126,6 +126,11 @@ class DDF:
     def anti_join(self, other: "DDF", on) -> "DDF":
         return DDF(joins.anti_join(self.df, other.df, on))
 
+    def unpivot(self, ids: Sequence[str], values: Sequence[str],
+                var_name: str = "metric", value_name: str = "value") -> "DDF":
+        """Wide→long melt (inverse of pivot) — a pure Expand, no shuffle."""
+        return DDF(self.df.unpivot(list(ids), list(values), var_name, value_name))
+
     # -- §2.4 aggregation ----------------------------------------------------
     def group_by(self, cols: Sequence[str]) -> "GroupedDDF":
         return GroupedDDF(self, list(cols))
