@@ -20,9 +20,10 @@ from compss_python_spark.plans import queries_io  # noqa: F401
 # The driver's CORRECTNESS check records only the first ~50 REGISTRY entries
 # per round (dict order).  Reorder so queries without a driver row from a
 # prior round come first — each round then proves a fresh batch.  Tiers:
-# the fixed round-2 red row + never-slotted round-2 additions (VERDICT
-# round-2 task #1), then any other unproven additions, then proven.
-# Relative order within each tier is preserved (stable partition).
+# SLOT_PRIORITY (fixed red rows, never-slotted queries, and queries whose
+# implementations changed this round), then any other unproven additions
+# (new queries land here automatically), then proven.  Relative order
+# within each tier is preserved (stable partition).
 from compss_python_spark.plans._proven import (  # noqa: E402
     PROVEN,
     SLOT_PRIORITY,
