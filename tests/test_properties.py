@@ -110,3 +110,30 @@ def test_duplicate_spans_invariants(spark):
         else:
             assert r["n_covered"] == 0
             assert r["clean_fp"] == hashlib.md5(texts[i].encode()).hexdigest()
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_media_header_parser_total(payload):
+    """parse_media_header never raises on arbitrary bytes (pure function,
+    no Spark) and always returns the 5-tuple contract."""
+    from compss_python_spark.llm.multimodal import parse_media_header
+
+    out = parse_media_header(payload)
+    assert isinstance(out, tuple) and len(out) == 5
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_media_header_parser_prefix_robust(junk):
+    """Truncating or prefix-corrupting a real container must parse as the
+    right format or None — never a wrong-format misparse, never a raise."""
+    from compss_python_spark.llm.multimodal import (
+        _build_png,
+        parse_media_header,
+    )
+
+    real = _build_png(33, 44)
+    for cut in (0, 8, 12, 20, len(real)):
+        out = parse_media_header(junk + real[:cut])
+        assert out[0] in (None, "png", "jpeg", "wav")
