@@ -28,20 +28,37 @@ from compss_python_spark.width import ensure_min_partitions
 
 def exact_dedup(df: DataFrame, cols, id_col: str) -> DataFrame:
     """Exact dedup on `cols`: keep the min-id row per key (deterministic,
-    unlike dropDuplicates).  One hash aggregate — same plan at any scale."""
+    unlike dropDuplicates).
+
+    ONE shuffle: row_number over (key ORDER BY id) plans a PARTIAL
+    WindowGroupLimit — each map partition pre-filters to its own min-id row
+    per key before the exchange, so the shuffle carries ≤ one row per
+    (key, map partition), then the final limit picks the global min.
+    (The previous groupBy-keys + semi-join formulation shuffled the table
+    AND the key set.)"""
     if isinstance(cols, str):
         cols = [cols]
-    keep = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=[*cols, id_col], how="left_semi")
+    w = Window.partitionBy(*cols).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def exact_dedup_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact text dedup via md5 of normalized text — hash-groupBy shuffles
-    32-byte keys instead of full documents (the point at 100 TB)."""
+    """Exact text dedup via md5 of normalized text, min-id survivor.  Same
+    single-shuffle WindowGroupLimit shape as :func:`exact_dedup`, keyed by
+    the 32-byte hash (the shuffle never carries more than one document per
+    distinct text per map partition)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    with_h = df.withColumn("_h", F.md5(norm))
-    keep = with_h.groupBy("_h").agg(F.min(id_col).alias(id_col))
-    return with_h.join(keep, ["_h", id_col], "left_semi").drop("_h")
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        df.withColumn("_h", F.md5(norm))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_h")
+    )
 
 
 # --- shingles / MinHash ----------------------------------------------------
