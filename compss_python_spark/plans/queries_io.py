@@ -350,3 +350,32 @@ def io_schema_merge(spark, sf_dir):
         F.sum("price_cents").alias("newcol_cents"),
         F.sum(F.col("price_cents").isNull().cast("long")).alias("n_legacy"),
     )
+
+
+@query(
+    "io_compaction",
+    sql="""
+    SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    """,
+)
+def io_compaction(spark, sf_dir):
+    """Small-file compaction: lineitem deliberately splattered into 64 tiny
+    files, compacted back to size-matched files, read and aggregated.  The
+    oracle is the plain aggregate of the original table — a hash match
+    proves compaction preserves every row exactly (file-count behavior is
+    asserted in tests/test_operators.py)."""
+    from compss_python_spark.sources.io import compact_parquet
+
+    frag = _scratch(sf_dir, "fragmented_lineitem")
+    compacted = _scratch(sf_dir, "compacted_lineitem")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, compacted, target_file_bytes=32 * 1024 * 1024)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("l_orderkey").alias("key_sum"),
+        F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("qty"),
+    )

@@ -103,6 +103,34 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=No
     writer.orc(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files (≥1).  The small-files
+    problem is THE operational failure mode of long-lived ingestion at
+    scale (every file costs a task + footer read + namenode entry); a
+    periodic compaction pass keeps scan parallelism matched to data size.
+    Returns the output file count.  Uses coalesce (no shuffle) when
+    shrinking file count; repartition only when growing it."""
+    import glob
+    import math
+    import os as _os
+
+    df = spark.read.parquet(src_path)
+    total = sum(
+        _os.path.getsize(p) for p in glob.glob(_os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files < cur else df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink [ref: ddf_library/functions/etl/save_data.py] — the
     reference writes one file per fragment; Spark writes one per partition."""

@@ -302,3 +302,21 @@ def test_asof_join_directions_and_tolerance(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="ts", by=["k"], direction="nearest")
+
+
+def test_compact_parquet_file_counts(spark, sf_dir, tmp_path_factory):
+    import glob
+    import os
+
+    from compss_python_spark.plans.registry import table
+    from compss_python_spark.sources.io import compact_parquet
+
+    base = str(tmp_path_factory.mktemp("compact"))
+    frag, packed = os.path.join(base, "frag"), os.path.join(base, "packed")
+    table(spark, sf_dir, "orders").repartition(16).write.parquet(frag)
+    assert len(glob.glob(frag + "/*.parquet")) == 16
+    n = compact_parquet(spark, frag, packed, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(packed + "/*.parquet")) == 1
+    a = spark.read.parquet(packed).count()
+    assert a == table(spark, sf_dir, "orders").count()
