@@ -147,3 +147,13 @@ def replay_as_stream(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def stream_static_enrich(stream: DataFrame, static_dim: DataFrame, on: str) -> DataFrame:
+    """Stream–static enrichment join: every micro-batch joins against the
+    (broadcast) static dimension — no state, no watermark needed; the
+    planner re-resolves the static side per batch, so a refreshed dim
+    table is picked up on the next trigger.  The standard shape for
+    attaching user/document metadata to an event stream at any scale:
+    the stream never shuffles when the dim broadcasts."""
+    return stream.join(F.broadcast(static_dim), on, "left")

@@ -114,3 +114,27 @@ def test_stateful_running_totals_equals_batch(spark, events, events_us_parquet):
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
     assert _canon(final) == _canon(batch)
+
+
+def test_stream_static_enrich_equals_batch(spark, events, events_us_parquet):
+    """Stream–static broadcast enrichment + tumbling agg == batch result."""
+    from pyspark.sql import functions as F
+
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 3).cast("string").alias("segment"),
+    )
+
+    def build(src):
+        enriched = W.stream_static_enrich(src, dim, "user_id")
+        s = enriched.withWatermark("ts", "20 minutes") if enriched.isStreaming else enriched
+        return s.groupBy(
+            F.window("ts", "1 hour").alias("w"), "segment"
+        ).agg(F.count("*").alias("n"))
+
+    batch = {(r["w"]["start"], r["segment"]): r["n"] for r in build(events).collect()}
+    streamed = W.replay_as_stream(
+        spark, events_us_parquet, events.schema, build, "t_enrich"
+    )
+    got = {(r["w"]["start"], r["segment"]): r["n"] for r in streamed.collect()}
+    assert got == batch
