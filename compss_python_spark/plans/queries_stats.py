@@ -171,3 +171,32 @@ def histogram_fixed_width(spark, sf_dir):
     from compss_python_spark.functions.statistics import histogram_fixed_width as h
 
     return h(table(spark, sf_dir, "events"), "value", 25.0)
+
+
+@query(
+    "agg_moments",
+    sql="""
+    SELECT event_type,
+           ROUND(VAR_SAMP(value), 4) AS var_s,
+           ROUND(STDDEV_SAMP(value), 4) AS std_s,
+           ROUND(VAR_POP(value), 4) AS var_p,
+           ROUND(SKEWNESS(value) * (COUNT(*) - 2)
+                 / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 4) AS skew,
+           ROUND(kurtosis_pop(value), 4) AS kurt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_moments(spark, sf_dir):
+    """Higher statistical moments per group (sample/population variance,
+    skewness, excess kurtosis) — single-pass partial/final aggregates in
+    both engines.  Spark reports POPULATION skewness/kurtosis; DuckDB's
+    SKEWNESS is sample-adjusted (the oracle undoes the (n-2)/√(n(n-1))
+    correction) and kurtosis_pop is the population form directly."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.var_samp("value"), 4).alias("var_s"),
+        F.round(F.stddev_samp("value"), 4).alias("std_s"),
+        F.round(F.var_pop("value"), 4).alias("var_p"),
+        F.round(F.skewness("value"), 4).alias("skew"),
+        F.round(F.kurtosis("value"), 4).alias("kurt"),
+    )
