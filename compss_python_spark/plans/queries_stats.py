@@ -200,3 +200,33 @@ def agg_moments(spark, sf_dir):
         F.round(F.skewness("value"), 4).alias("skew"),
         F.round(F.kurtosis("value"), 4).alias("kurt"),
     )
+
+
+@query(
+    "agg_regression_family",
+    sql="""
+    SELECT event_type,
+           ROUND(REGR_SLOPE(value, EPOCH(ts)), 6) AS slope,
+           ROUND(REGR_INTERCEPT(value, EPOCH(ts)), 4) AS intercept,
+           ROUND(REGR_R2(value, EPOCH(ts)), 6) AS r2,
+           CAST(REGR_COUNT(value, EPOCH(ts)) AS BIGINT) AS n,
+           ROUND(REGR_AVGX(value, EPOCH(ts)), 4) AS avg_x,
+           ROUND(REGR_AVGY(value, EPOCH(ts)), 4) AS avg_y
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_regression_family(spark, sf_dir):
+    """SQL:2003 linear-regression aggregates (slope/intercept/R²/avgs) per
+    group — one-pass partial/final aggregation in both engines, the
+    declarative cousin of ml_simple_linreg's closed form."""
+    ev = table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    y = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )
