@@ -44,8 +44,11 @@ def connected_components(
     Two physical strategies, chosen by measured edge count — the same
     bounded-small-side adaptivity as Spark's broadcast-join threshold:
 
-    - ``distinct edges ≤ local_threshold`` → union-find on the driver over
-      the collected (src, dst) longs and re-parallelize the labels.  A
+    - ``2·raw (pre-dedup) edge rows ≤ local_threshold`` → union-find on the
+      driver over the collected (src, dst) pairs and re-parallelize the
+      labels (the gate uses the raw count — measurable without a distinct
+      shuffle — so duplication-heavy pair tables may take the distributed
+      loop even when their DISTINCT edge set would fit).  A
       candidate-pair graph that fits in a few MB gains nothing from a
       multi-job label-propagation loop (per-iteration scheduling dominates
       by 10–100×); the collect is explicitly bounded, like a broadcast.

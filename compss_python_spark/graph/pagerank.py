@@ -134,15 +134,22 @@ def _pagerank_local(d: DataFrame, damping: float, max_iters: int) -> DataFrame:
     ≤8 dp before hashing, same tolerance the distributed path relies on).
     """
     import numpy as np
+    import pandas as pd
 
     spark = d.sparkSession
     node_type = d.schema["src"].dataType
     pdf = d.toPandas()  # one Arrow-batched job, bounded by local_threshold
-    pairs = np.unique(
-        np.stack([pdf["src"].to_numpy(), pdf["dst"].to_numpy()], axis=1), axis=0
-    )
-    nodes, idx_flat = np.unique(pairs.reshape(-1), return_inverse=True)
-    si, ti = idx_flat[0::2], idx_flat[1::2]
+    # Null-keyed edges match nothing in the distributed join path; drop
+    # them here for parity.  factorize (not np.unique(axis=0)) so STRING
+    # and other object-dtype node ids work on the local path too.
+    pdf = pdf.dropna(subset=["src", "dst"]).drop_duplicates(["src", "dst"])
+    both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    codes, nodes = pd.factorize(both)
+    m = len(pdf)
+    si, ti = codes[:m].copy(), codes[m:].copy()
+    # deterministic accumulation order regardless of input partition order
+    order = np.lexsort((ti, si))
+    si, ti = si[order], ti[order]
     n = len(nodes)
     if n == 0:
         return spark.createDataFrame([], schema=_rank_schema(node_type))
@@ -155,8 +162,11 @@ def _pagerank_local(d: DataFrame, damping: float, max_iters: int) -> DataFrame:
         rank = (1.0 - damping) / n + damping * (
             contrib + (1.0 - contrib.sum()) / n
         )
+    def _py(v):
+        return v.item() if hasattr(v, "item") else v
+
     return spark.createDataFrame(
-        [(v.item(), r.item()) for v, r in zip(nodes, rank)],
+        [(_py(v), float(r)) for v, r in zip(nodes, rank)],
         _rank_schema(node_type),
     )
 

@@ -38,7 +38,9 @@ def exact_dedup(df: DataFrame, cols, id_col: str) -> DataFrame:
     AND the key set.)"""
     if isinstance(cols, str):
         cols = [cols]
-    w = Window.partitionBy(*cols).orderBy(id_col)
+    # nulls LAST: a null id must never beat a real min id to survivor
+    # (the old groupBy-min + semi-join formulation could not pick one)
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col).asc_nulls_last())
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -52,7 +54,7 @@ def exact_dedup_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the 32-byte hash (the shuffle never carries more than one document per
     distinct text per map partition)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    w = Window.partitionBy("_h").orderBy(id_col)
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc_nulls_last())
     return (
         df.withColumn("_h", F.md5(norm))
         .withColumn("_rn", F.row_number().over(w))

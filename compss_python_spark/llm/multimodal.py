@@ -163,25 +163,46 @@ def parse_media_header(payload: bytes | None):
         return ("png", w, h, channels, None)
     if b[:2] == b"\xff\xd8":  # JPEG SOI; walk marker segments to SOFn
         i = 2
-        while i + 9 <= len(b):
+        while i + 1 < len(b):
             if b[i] != 0xFF:
                 break
+            # 0xFF fill bytes may pad between segments (spec B.1.1.2):
+            # skip them one at a time rather than reading a bogus length
+            if b[i + 1] == 0xFF:
+                i += 1
+                continue
             marker = b[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i += 2  # standalone markers carry no length
                 continue
+            if marker in (0xD9, 0xDA):
+                break  # EOI / SOS: entropy-coded data follows, stop walking
+            if i + 4 > len(b):
+                break
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(b):
+                    break
                 h = int.from_bytes(b[i + 5 : i + 7], "big")
                 w = int.from_bytes(b[i + 7 : i + 9], "big")
                 channels = b[i + 9] if i + 9 < len(b) else None
                 return ("jpeg", w, h, channels, None)
             i += 2 + seg_len
         return ("jpeg", None, None, None, None)
-    if b[:4] == b"RIFF" and len(b) >= 36 and b[8:12] == b"WAVE":
-        channels = int.from_bytes(b[22:24], "little")
-        rate = int.from_bytes(b[24:28], "little")
-        return ("wav", None, None, channels, rate)
+    if b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"WAVE":
+        # Walk RIFF chunks to the 'fmt ' chunk — bext/LIST/JUNK chunks
+        # commonly precede it in broadcast-WAV files; fixed offsets would
+        # read garbage there.
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            csize = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 16 <= len(b):
+                channels = int.from_bytes(b[i + 10 : i + 12], "little")
+                rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                return ("wav", None, None, channels, rate)
+            i += 8 + csize + (csize & 1)  # chunks are word-aligned
+        return ("wav", None, None, None, None)
     return (None, None, None, None, None)
 
 
@@ -194,18 +215,21 @@ def probe_media(media: DataFrame, id_col: str = "media_id",
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = pdf[payload_col].map(parse_media_header)
+            # single pass over the batch: parse + byte length together
+            rows = [
+                (*parse_media_header(p), 0 if p is None else len(p))
+                for p in pdf[payload_col]
+            ]
+            fmt, w, h, ch, sr, nb = zip(*rows) if rows else ((),) * 6
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col],
-                    "format": parsed.map(lambda t: t[0]),
-                    "width": parsed.map(lambda t: t[1]),
-                    "height": parsed.map(lambda t: t[2]),
-                    "channels": parsed.map(lambda t: t[3]),
-                    "sample_rate": parsed.map(lambda t: t[4]),
-                    "n_bytes": pdf[payload_col].map(
-                        lambda p: 0 if p is None else len(p)
-                    ),
+                    "media_id": pdf[id_col].to_numpy(),
+                    "format": fmt,
+                    "width": w,
+                    "height": h,
+                    "channels": ch,
+                    "sample_rate": sr,
+                    "n_bytes": nb,
                 }
             )
 

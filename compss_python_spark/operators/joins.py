@@ -132,14 +132,20 @@ def asof_join(
         .orderBy(ts_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    match_ts = F.when(F.col("_tag") == 0, F.col(on))
-    carried = unioned.select(
+    # Carry the nearest right ROW atomically (one struct, non-null exactly
+    # on right rows) — per-column last(ignorenulls) would smear an OLDER
+    # row's value into a match whose nearest row has NULL in that column
+    # (pandas merge_asof / DuckDB ASOF are row-wise, not column-wise).
+    match_row = F.when(
+        F.col("_tag") == 0,
+        F.struct(F.col(on).alias("__ts"), *[F.col(f"__r_{c}").alias(c) for c in value_cols]),
+    )
+    carried = unioned.withColumn(
+        "__m", F.last(match_row, ignorenulls=True).over(w)
+    ).select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in value_cols
-        ],
-        F.last(match_ts, ignorenulls=True).over(w).alias("__match_ts"),
+        *[F.col("__m")[c].alias(f"__c_{c}") for c in value_cols],
+        F.col("__m")["__ts"].alias("__match_ts"),
     )
     if tolerance is not None:
         from pyspark.sql import types as T

@@ -116,14 +116,18 @@ def compact_parquet(
     periodic compaction pass keeps scan parallelism matched to data size.
     Returns the output file count.  Uses coalesce (no shuffle) when
     shrinking file count; repartition only when growing it."""
-    import glob
     import math
-    import os as _os
 
     df = spark.read.parquet(src_path)
-    total = sum(
-        _os.path.getsize(p) for p in glob.glob(_os.path.join(src_path, "**", "*.parquet"), recursive=True)
-    )
+    # Size via the Hadoop FileSystem API so hdfs:// and s3a:// paths work —
+    # a driver-local glob would see 0 bytes there and silently coalesce
+    # everything into one task.  df.inputFiles() is the scan's own listing.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for uri in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
     n_files = max(1, math.ceil(total / target_file_bytes))
     cur = df.rdd.getNumPartitions()
     out = df.coalesce(n_files) if n_files < cur else df.repartition(n_files)

@@ -333,3 +333,18 @@ def test_triangle_count_exact(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     assert triangle_count(e).first()["n_triangles"] == 4
     assert triangle_count(e, orient_by_degree=True).first()["n_triangles"] == 4
+
+
+def test_pagerank_local_string_nodes(spark):
+    """The bounded local path must handle non-integer node ids (URLs,
+    usernames) — regression: np.unique(axis=0) rejects object dtype."""
+    from compss_python_spark.graph.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": ["a", "b", "c"], "dst": ["b", "c", "a"]})
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, max_iters=15).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    # symmetric ring -> equal ranks
+    assert max(ranks.values()) - min(ranks.values()) < 1e-9
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)

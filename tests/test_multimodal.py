@@ -85,3 +85,19 @@ def test_probe_media_spark_and_jvm_png_path(spark, sf_dir):
     }
     for mid, (jw, jh) in jvm.items():
         assert (jw, jh) == (probed[mid]["width"], probed[mid]["height"])
+
+
+def test_wav_chunk_walk_and_jpeg_fill_bytes():
+    """Regression: fmt chunk found behind a JUNK chunk; JPEG fill bytes
+    (0xFF padding) skipped; parser stops at SOS."""
+    junk = b"JUNK" + (6).to_bytes(4, "little") + b"\x00" * 6
+    wav = mm._build_wav(22050, 2)
+    bwf = wav[:12] + junk + wav[12:]
+    assert mm.parse_media_header(bwf) == ("wav", None, None, 2, 22050)
+
+    j = mm._build_jpeg(55, 66)
+    padded = j[:2] + b"\xff\xff\xff" + j[2:]
+    assert mm.parse_media_header(padded)[1:3] == (55, 66)
+    # SOS before any SOF -> no dimensions, but no crash/overshoot
+    sos_first = b"\xff\xd8" + b"\xff\xda" + (4).to_bytes(2, "big") + b"\x00\x00"
+    assert mm.parse_media_header(sos_first) == ("jpeg", None, None, None, None)

@@ -320,3 +320,23 @@ def test_compact_parquet_file_counts(spark, sf_dir, tmp_path_factory):
     assert len(glob.glob(packed + "/*.parquet")) == 1
     a = spark.read.parquet(packed).count()
     assert a == table(spark, sf_dir, "orders").count()
+
+
+def test_asof_join_tolerance_null_value_rows(spark):
+    """Regression: the match is the nearest right ROW — a NULL value on the
+    nearest row must NOT resurrect an out-of-tolerance older value."""
+    import pandas as pd
+
+    from compss_python_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [10.0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "ts": [1.0, 9.0], "rv": [100.0, None]})
+    )
+    out = asof_join(
+        left, right, on="ts", by=["k"], value_cols=["rv"], tolerance=2.0
+    ).collect()
+    assert out[0]["rv"] is None  # nearest row (ts=9) has NULL, gap 9 > 2 for rv=100
+    # and without tolerance: row-wise semantics still pick the nearest ROW's null
+    out2 = asof_join(left, right, on="ts", by=["k"], value_cols=["rv"]).collect()
+    assert out2[0]["rv"] is None
