@@ -1715,3 +1715,31 @@ def unpivot_measures(spark, sf_dir):
         "metric",
         "value",
     )
+
+
+@query(
+    "agg_bitwise_boolean",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(BIT_AND(o_orderkey % 4096) AS BIGINT) AS key_and,
+           CAST(BIT_OR(o_orderkey % 4096) AS BIGINT) AS key_or,
+           CAST(BIT_XOR(o_orderkey % 4096) AS BIGINT) AS key_xor,
+           BOOL_AND(o_totalprice > 1000) AS all_big,
+           BOOL_OR(o_orderstatus = 'F') AS any_finished,
+           CAST(COUNT_IF(o_totalprice > 100000) AS BIGINT) AS n_large
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitwise_boolean(spark, sf_dir):
+    """Bitwise (AND/OR/XOR) and boolean (every/any/count_if) aggregates —
+    all partial/final combinable, hence map-side combined at any scale."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 4096
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(k).alias("key_and"),
+        F.bit_or(k).alias("key_or"),
+        F.bit_xor(k).alias("key_xor"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+    )
