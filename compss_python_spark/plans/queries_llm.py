@@ -305,7 +305,7 @@ def similarity_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter("vec_id < 10"), k=5, num_planes=4)
 
 
-@query("similarity_topk_ivf", sql=None)
+@query("similarity_topk_ivf", sql=None, headline=True)
 def similarity_topk_ivf(spark, sf_dir):
     """IVF ANN (KMeans coarse quantizer, nprobe=3 of 16 cells) — centroid
     init is engine-specific → rows-only; recall asserted in tests."""
