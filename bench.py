@@ -7,7 +7,8 @@ Each query is executed to completion (collect-to-count of the result) —
 wall-clock includes scan, shuffle and result materialization.
 
 Methodology: one un-timed warm-up pass of every headline query first, then
-the timed pass.  This measures steady-state throughput (the 100 TB-relevant
+TWO timed passes with the per-query minimum reported (noise-robust on a
+multi-tenant host).  This measures steady-state throughput (the 100 TB-relevant
 metric): a single-JVM first run otherwise charges C2-JIT compilation of
 whichever expression interpreter paths (higher-order functions, hash
 kernels) a query touches first — noise that no long-running cluster job
@@ -45,12 +46,19 @@ def main() -> None:
         spec.fn(spark, sf_dir).count()
         spark.catalog.clearCache()
 
+    # Two timed passes, per-query MINIMUM: the host is multi-tenant and
+    # ambient load spikes inflate a single pass arbitrarily (observed 3×+
+    # uniform inflation across identical code); min-of-k is the standard
+    # estimator of the noise-free cost and k=2 bounds total runtime.
     times: dict[str, float] = {}
-    for name, spec in headline.items():
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+    for _pass in range(2):
+        for name, spec in headline.items():
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+            spark.catalog.clearCache()
 
     print(
         json.dumps(
