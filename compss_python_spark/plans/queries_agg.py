@@ -1743,3 +1743,28 @@ def agg_bitwise_boolean(spark, sf_dir):
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
     )
+
+
+@query(
+    "ansi_safe_functions",
+    sql="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice / NULLIF(o_orderkey % 7, 0), 4) AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS lead_digit
+    FROM orders
+    """,
+)
+def ansi_safe_functions(spark, sf_dir):
+    """ANSI-mode error-safe functions: try_divide (NULL on zero denominator
+    instead of DIVIDE_BY_ZERO), try_cast (NULL on malformed input instead
+    of CAST_INVALID_INPUT).  Spark 4 runs ANSI-on by default — every
+    pipeline ingesting dirty data needs these, and the engine must make
+    them behave identically to NULLIF/TRY_CAST SQL semantics."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 7), 4).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("lead_digit"),
+    )
