@@ -1768,3 +1768,32 @@ def ansi_safe_functions(spark, sf_dir):
         F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("lead_digit"),
     )
+
+
+@query(
+    "string_distance_functions",
+    sql="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_type) AS INT) AS lev,
+           reverse(p_brand) AS brand_rev,
+           repeat(SUBSTRING(p_brand, 1, 2), 3) AS b2x3,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           rpad(p_brand, 12, '.') AS brand_pad,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_lowvowel
+    FROM part
+    """,
+)
+def string_distance_functions(spark, sf_dir):
+    """Edit-distance + padding/translate string kernels (fuzzy matching and
+    normalization primitives for entity resolution) — all JVM codegen'd
+    expressions, zero shuffle."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("lev"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_brand", 1, 2), 3).alias("b2x3"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.rpad("p_brand", 12, ".").alias("brand_pad"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lowvowel"),
+    )
