@@ -136,6 +136,41 @@ def lsh_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def _train_quantizer_sample(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    train_sample: int = 65536,
+    iters: int = 25,
+) -> list[list[float]]:
+    """Seeded numpy Lloyd on a bounded corpus sample — the FAISS-style
+    coarse-quantizer training path (quantizer quality needs coverage, not
+    the full corpus; the collect is explicitly bounded like a broadcast)."""
+    import numpy as np
+
+    pdf = corpus.select(vec_col).limit(train_sample).toPandas()
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(X))
+    centers = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.array(
+            [
+                X[assign == j].mean(axis=0) if (assign == j).any() else centers[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    if k < n_cells:  # degenerate tiny corpus: pad with copies
+        centers = np.vstack([centers] + [centers[:1]] * (n_cells - k))
+    return [c.tolist() for c in centers]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -152,46 +187,60 @@ def ivf_topk(
 
     The scale path when both sides are large: the corpus is hash-partitioned
     once on cell id; per query only ``nprobe/n_cells`` of the corpus is
-    scanned.  Centroids are trained with spark.ml KMeans (k-means||) and
-    embedded in the plan as literals — the assignment join is a plain
-    equi-join on cell id, no UDFs.
+    scanned.  The coarse quantizer trains on a BOUNDED in-memory sample of
+    the corpus (the standard IVF design — FAISS trains quantizers on ≤ a
+    few hundred k sampled vectors however big the index is): a seeded
+    numpy Lloyd loop on ≤ ``train_sample`` rows replaces a multi-job
+    distributed fit whose per-iteration scheduling dominated at every
+    scale.  Centroids are embedded in the plan as literals — the
+    assignment join is a plain equi-join on cell id, no UDFs.
     """
-    from pyspark.ml.clustering import KMeans as MLKMeans
-    from pyspark.ml.functions import array_to_vector
+    centroids = _train_quantizer_sample(corpus, vec_col, n_cells, seed)
 
-    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"))
-    model = MLKMeans(k=n_cells, seed=seed, featuresCol="_v", maxIter=10).fit(train)
-    centroids = [c.tolist() for c in model.clusterCenters()]
+    # Centroids ride in ONE broadcast row (same pattern as kmeans_lloyd's
+    # model packing) instead of n_cells × dim plan literals — a 16×64
+    # quantizer as literals made Catalyst analysis the dominant cost.
+    spark = corpus.sparkSession
+    cent_row = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, cvec array<double>",
+        ).agg(F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("_cents"))
+    )
 
     def cell_dists(vcol: Column) -> Column:
         v = vcol.cast("array<double>")
-        return F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(v, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d2"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        return F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(v, s.cvec, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                s.cell.alias("cell"),
+            ),
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("cell", F.array_min(cell_dists(F.col("_cv"))).cell)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(cell_dists(F.col("_qv"))), 1, nprobe),
-                lambda s: s.cell,
-            )
-        ),
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .crossJoin(cent_row)
+        .withColumn("cell", F.array_min(cell_dists(F.col("_cv"))).cell)
+        .drop("_cents")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .crossJoin(cent_row)
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cell_dists(F.col("_qv"))), 1, nprobe),
+                    lambda s: s.cell,
+                )
+            ),
+        )
+        .drop("_cents")
     )
     scored = (
         c.join(q, "cell")
