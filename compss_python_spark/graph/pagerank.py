@@ -75,7 +75,12 @@ def pagerank(
     the scope, so callers never observe the override).
     """
     spark = edges.sparkSession
-    d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Null-keyed edges are excluded by contract on BOTH paths (a null
+    # endpoint would otherwise survive as a meaningless node on the
+    # distributed path but not the local one).
+    d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
     if local_threshold:
         # Narrow count (no shuffle); dedup happens driver-side on the
         # local path, so the distinct exchange is skipped entirely.  The
@@ -139,10 +144,13 @@ def _pagerank_local(d: DataFrame, damping: float, max_iters: int) -> DataFrame:
     spark = d.sparkSession
     node_type = d.schema["src"].dataType
     pdf = d.toPandas()  # one Arrow-batched job, bounded by local_threshold
-    # Null-keyed edges match nothing in the distributed join path; drop
-    # them here for parity.  factorize (not np.unique(axis=0)) so STRING
-    # and other object-dtype node ids work on the local path too.
+    # Nulls are filtered upstream, but Arrow converts a nullable int64
+    # column to float64 anyway — cast integral node columns back so the
+    # emitted rows match the LongType schema.  factorize (not
+    # np.unique(axis=0)) so STRING/object node ids work too.
     pdf = pdf.dropna(subset=["src", "dst"]).drop_duplicates(["src", "dst"])
+    if isinstance(node_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        pdf = pdf.astype({"src": "int64", "dst": "int64"})
     both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
     codes, nodes = pd.factorize(both)
     m = len(pdf)

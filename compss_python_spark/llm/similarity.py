@@ -144,18 +144,27 @@ def _train_quantizer_sample(
     train_sample: int = 65536,
     iters: int = 25,
 ) -> list[list[float]]:
-    """Seeded numpy Lloyd on a bounded corpus sample — the FAISS-style
-    coarse-quantizer training path (quantizer quality needs coverage, not
-    the full corpus; the collect is explicitly bounded like a broadcast)."""
+    """Seeded numpy Lloyd on a bounded RANDOM corpus sample — the
+    FAISS-style coarse-quantizer training path (quantizer quality needs
+    coverage, not the full corpus; the collect is explicitly bounded like
+    a broadcast).  rand-keyed TakeOrdered gives an unbiased sample without
+    a pre-count (a head `limit` would train on whatever region of the
+    space the first partitions hold); distances use the matmul expansion
+    (sample × cells result, never the sample × cells × dim temporary)."""
     import numpy as np
 
-    pdf = corpus.select(vec_col).limit(train_sample).toPandas()
+    pdf = (
+        corpus.select(vec_col).orderBy(F.rand(seed)).limit(train_sample).toPandas()
+    )
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    if len(X) == 0:
+        return []
     rng = np.random.default_rng(seed)
     k = min(n_cells, len(X))
     centers = X[rng.choice(len(X), size=k, replace=False)]
+    x2 = (X**2).sum(axis=1)[:, None]
     for _ in range(iters):
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d2 = x2 - 2.0 * (X @ centers.T) + (centers**2).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
         new = np.array(
             [
@@ -166,8 +175,8 @@ def _train_quantizer_sample(
         if np.allclose(new, centers):
             break
         centers = new
-    if k < n_cells:  # degenerate tiny corpus: pad with copies
-        centers = np.vstack([centers] + [centers[:1]] * (n_cells - k))
+    # k < n_cells (tiny corpus): return the k real cells — padding with
+    # duplicate centroids would make queries probe guaranteed-empty cells.
     return [c.tolist() for c in centers]
 
 

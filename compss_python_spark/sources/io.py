@@ -124,10 +124,12 @@ def compact_parquet(
     # everything into one task.  df.inputFiles() is the scan's own listing.
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    total = 0
-    for uri in df.inputFiles():
-        p = jvm.org.apache.hadoop.fs.Path(uri)
-        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    root = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = root.getFileSystem(hconf)
+    # ONE round-trip for the directory size (a per-file loop would issue
+    # thousands of sequential py4j + FS calls in exactly the many-small-
+    # files scenario this function exists to fix)
+    total = fs.getContentSummary(root).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
     cur = df.rdd.getNumPartitions()
     out = df.coalesce(n_files) if n_files < cur else df.repartition(n_files)
