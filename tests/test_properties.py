@@ -137,3 +137,43 @@ def test_media_header_parser_prefix_robust(junk):
     for cut in (0, 8, 12, 20, len(real)):
         out = parse_media_header(junk + real[:cut])
         assert out[0] in (None, "png", "jpeg", "wav")
+
+
+ASOF_TS = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=1, max_size=12, unique=True
+)
+
+
+@given(lts=ASOF_TS, rts=ASOF_TS, direction=st.sampled_from(["backward", "forward"]),
+       tol=st.sampled_from([None, 3.0, 10.0]))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction, tol):
+    """asof_join == pandas merge_asof for every (direction, tolerance)
+    combination on random unique timestamps."""
+    left = pd.DataFrame({"k": "a", "ts": sorted(float(t) for t in lts)})
+    right = pd.DataFrame(
+        {"k": "a", "ts": sorted(float(t) for t in rts)}
+    )
+    right["rv"] = right["ts"] * 10 + 1
+    from compss_python_spark.operators.joins import asof_join
+
+    got = {
+        r["ts"]: r["rv"]
+        for r in asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts", by=["k"], value_cols=["rv"],
+            direction=direction,
+            tolerance=tol,
+        ).collect()
+    }
+    expected_pdf = pd.merge_asof(
+        left, right, on="ts", by="k", direction=direction,
+        tolerance=tol if tol is None else pd.Timedelta(seconds=tol).total_seconds(),
+    )
+    expected = {
+        row.ts: (None if pd.isna(row.rv) else row.rv)
+        for row in expected_pdf.itertuples()
+    }
+    assert got == expected
