@@ -715,3 +715,32 @@ def asof_join_tolerance(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "ts", F.col("pval").alias("prev_purchase_1h")
     )
+
+
+@query(
+    "sessionize_events",
+    sql="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_no
+    FROM g
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Per-event session ids (30-min inactivity gap): the attribution/
+    funnel building block — one window exchange, no self-join; the
+    session_window AGGREGATE twin is `session_window_agg`."""
+    from compss_python_spark.streaming.windows import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    out = sessionize(ev, "user_id", "ts", 1800.0, tiebreak="event_id")
+    return out.select("user_id", "event_id", "session_no")

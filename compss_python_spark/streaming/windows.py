@@ -15,7 +15,7 @@ At scale: watermarks bound state (late data beyond the horizon is dropped);
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -157,3 +157,31 @@ def stream_static_enrich(stream: DataFrame, static_dim: DataFrame, on: str) -> D
     attaching user/document metadata to an event stream at any scale:
     the stream never shuffles when the dim broadcasts."""
     return stream.join(F.broadcast(static_dim), on, "left")
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    tiebreak: str | None = None,
+    out_col: str = "session_no",
+) -> DataFrame:
+    """Assign per-key session numbers: a new session starts when the gap to
+    the previous event exceeds ``gap_seconds`` (the batch twin of
+    ``session_window`` aggregation, but yielding a session ID per EVENT —
+    the shape joins/attribution need).  lag → boundary flag → running sum,
+    all in ONE window over (key, ts): a single hash exchange, no
+    self-join.  ``tiebreak`` orders equal timestamps deterministically."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    prev = F.lag(F.col(ts_col)).over(w)
+    prev_t = F.unix_micros(prev.cast("timestamp")) / F.lit(1e6)
+    boundary = F.when(prev.isNull() | ((t - prev_t) > gap_seconds), 1).otherwise(0)
+    return events.withColumn(
+        out_col,
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
