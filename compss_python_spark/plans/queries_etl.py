@@ -744,3 +744,58 @@ def sessionize_events(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     out = sessionize(ev, "user_id", "ts", 1800.0, tiebreak="event_id")
     return out.select("user_id", "event_id", "session_no")
+
+
+@query(
+    "funnel_view_click_purchase",
+    sql="""
+    WITH a AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN a ON a.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= a.t_view
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_buy
+      FROM events e JOIN b ON b.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= b.t_click
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(DISTINCT a.user_id) AS n_view,
+           COUNT(DISTINCT b.user_id) AS n_view_click,
+           COUNT(DISTINCT c.user_id) AS n_view_click_buy
+    FROM a LEFT JOIN b ON b.user_id = a.user_id
+    LEFT JOIN c ON c.user_id = a.user_id
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered-funnel analysis (view → click → purchase, each step strictly
+    after the previous one's FIRST occurrence): per-step user counts.
+    Scale shape: each step is a per-user MIN aggregate joined to the
+    previous step on the SAME key — co-partitioned joins of shrinking
+    per-user tables, fact table scanned once per step with the event-type
+    filter pushed down."""
+    ev = table(spark, sf_dir, "events")
+
+    def step(prev, etype, tcol):
+        src = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(prev, "user_id").filter(F.col("ts") >= F.col(prev.columns[1]))
+        return src.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    a = step(None, "view", "t_view")
+    b = step(a, "click", "t_click")
+    c = step(b, "purchase", "t_buy")
+    return (
+        a.join(b.select(F.col("user_id").alias("ub")), a.user_id == F.col("ub"), "left")
+        .join(c.select(F.col("user_id").alias("uc")), a.user_id == F.col("uc"), "left")
+        .agg(
+            F.count_distinct("user_id").alias("n_view"),
+            F.count_distinct("ub").alias("n_view_click"),
+            F.count_distinct("uc").alias("n_view_click_buy"),
+        )
+    )
