@@ -799,3 +799,39 @@ def funnel_view_click_purchase(spark, sf_dir):
             F.count_distinct("uc").alias("n_view_click_buy"),
         )
     )
+
+
+@query(
+    "cohort_retention_weekly",
+    sql="""
+    WITH first AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+    )
+    SELECT CAST(first.cohort AS TIMESTAMP) AS cohort,
+           CAST((EPOCH(act.wk) - EPOCH(first.cohort)) / 604800 AS INT) AS week_no,
+           COUNT(*) AS n_active
+    FROM first JOIN act ON act.user_id = first.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention (the product-analytics staple): users
+    bucketed by first-activity week, counted in each later active week.
+    Scale shape: two per-user aggregates co-partitioned on user_id; the
+    cohort join is same-key (no extra exchange under AQE); Monday-start
+    ISO weeks in both engines."""
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    week_no = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+    ).cast("int")
+    return (
+        first.join(act, "user_id")
+        .groupBy("cohort", week_no.alias("week_no"))
+        .agg(F.count("*").alias("n_active"))
+    )
