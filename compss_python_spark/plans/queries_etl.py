@@ -773,8 +773,9 @@ def sessionize_events(spark, sf_dir):
     """,
 )
 def funnel_view_click_purchase(spark, sf_dir):
-    """Ordered-funnel analysis (view → click → purchase, each step strictly
-    after the previous one's FIRST occurrence): per-step user counts.
+    """Ordered-funnel analysis (view → click → purchase, each step at or
+    after the previous one's FIRST occurrence — ties count, `>=` in both
+    engines): per-step user counts.
     Scale shape: each step is a per-user MIN aggregate joined to the
     previous step on the SAME key — co-partitioned joins of shrinking
     per-user tables, fact table scanned once per step with the event-type

@@ -158,22 +158,22 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction, tol):
     right["rv"] = right["ts"] * 10 + 1
     from compss_python_spark.operators.joins import asof_join
 
-    got = {
-        r["ts"]: r["rv"]
-        for r in asof_join(
-            spark.createDataFrame(left),
-            spark.createDataFrame(right),
-            on="ts", by=["k"], value_cols=["rv"],
-            direction=direction,
-            tolerance=tol,
-        ).collect()
-    }
+    rows = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="ts", by=["k"], value_cols=["rv"],
+        direction=direction,
+        tolerance=tol,
+    ).collect()
+    assert len(rows) == len(left)  # one output row per left row, no dupes
+    got = {r["ts"]: r["rv"] for r in rows}
     expected_pdf = pd.merge_asof(
-        left, right, on="ts", by="k", direction=direction,
-        tolerance=tol if tol is None else pd.Timedelta(seconds=tol).total_seconds(),
+        left, right, on="ts", by="k", direction=direction, tolerance=tol
     )
     expected = {
         row.ts: (None if pd.isna(row.rv) else row.rv)
         for row in expected_pdf.itertuples()
     }
     assert got == expected
+    # row multiplicity: exactly one output row per left row
+    assert len(got) == len(left)
