@@ -177,3 +177,26 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction, tol):
     assert got == expected
     # row multiplicity: exactly one output row per left row
     assert len(got) == len(left)
+
+
+EDGE_LISTS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=EDGE_LISTS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_local_equals_distributed(spark, edges):
+    """Driver union-find fast path == distributed label propagation on
+    arbitrary small graphs (self-loops, duplicates, isolated pairs)."""
+    from compss_python_spark.graph.components import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {r["node"]: r["component"]
+             for r in connected_components(df).collect()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(df, local_threshold=0).collect()}
+    assert local == dist
