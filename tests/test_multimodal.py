@@ -101,3 +101,16 @@ def test_wav_chunk_walk_and_jpeg_fill_bytes():
     # SOS before any SOF -> no dimensions, but no crash/overshoot
     sos_first = b"\xff\xd8" + b"\xff\xda" + (4).to_bytes(2, "big") + b"\x00\x00"
     assert mm.parse_media_header(sos_first) == ("jpeg", None, None, None, None)
+
+
+def test_probe_media_partition_invariant(spark, sf_dir):
+    from compss_python_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(90)
+    media = mm.synthesize_real_media(docs)
+    a = {r["media_id"]: tuple(r) for r in mm.probe_media(media).collect()}
+    b = {
+        r["media_id"]: tuple(r)
+        for r in mm.probe_media(media.repartition(7)).collect()
+    }
+    assert a == b, "header probing must not depend on partitioning"
