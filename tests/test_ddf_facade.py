@@ -209,3 +209,21 @@ def test_facade_pagerank_and_triangles(spark):
     ranks = {r["node"]: r["rank"] for r in edges.pagerank().df.collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
     assert edges.triangle_count().df.first()["n_triangles"] == 1
+
+
+def test_facade_spans_and_unpivot(spark):
+    import pandas as pd
+
+    from compss_python_spark.ddf import DDF
+
+    docs = DDF(spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["shared passage one two three four five end",
+                 "intro shared passage one two three four five"],
+    })))
+    spans = {r["doc_id"]: r["n_covered"] for r in docs.duplicate_spans(n=5).df.collect()}
+    assert spans[1] > 0 and spans[2] > 0
+
+    wide = DDF(spark.createDataFrame(pd.DataFrame({"g": ["x"], "a": [1], "b": [2]})))
+    long = wide.unpivot(["g"], ["a", "b"]).df.collect()
+    assert {(r["g"], r["metric"], r["value"]) for r in long} == {("x", "a", 1), ("x", "b", 2)}
