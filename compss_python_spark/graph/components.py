@@ -65,29 +65,38 @@ def connected_components(
     long-path graphs; near-dup candidate graphs converge in 2–4 rounds.
     """
     spark = edges.sparkSession
+    # Null endpoints are excluded by contract on BOTH paths (same contract
+    # as pagerank): a null src/dst is not a node, and letting one through
+    # would corrupt the local path's integer columns (pandas null→float64)
+    # and crash its `rt < rs` comparison, while the distributed loop would
+    # silently carry it — the two strategies must agree.
     d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
-        F.col("src") != F.col("dst")
-    )
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    ).filter(F.col("src") != F.col("dst"))
     if local_threshold:
-        # Raw-pair count is a narrow aggregate (no shuffle); the local path
-        # also needs no symmetrize/distinct — union-find is direction- and
-        # duplicate-insensitive — so a small graph runs zero shuffles total.
-        # The persist keeps a join-built edge plan from running twice
-        # across count + collect (or count + distinct).
-        d = d.persist()
+        # Raw-pair count is a narrow aggregate (no shuffle) and the gate
+        # deliberately does NOT persist d: caching the full pre-dedup edge
+        # set at 100 TB costs a full MEMORY_AND_DISK write just to decide
+        # the gate, which is strictly worse than recomputing one scan.
+        # The small branch re-runs d once more (bounded by the threshold);
+        # the large branch scans it exactly once more via the canonical
+        # distinct below.
         if 2 * d.count() <= local_threshold:
-            try:
-                return _cc_local(d)
-            finally:
-                d.unpersist()
-    e = (
-        d.union(d.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            return _cc_local(d)
+    # Canonicalize (least, greatest) BEFORE distinct: one scan of the raw
+    # pairs instead of the union-then-distinct two, and the distinct
+    # exchange carries half the rows of a symmetrized dedup.  The full
+    # symmetric edge set is then c ∪ flip(c) — cheap, c is post-dedup.
+    c = (
+        d.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
         .distinct()
         .persist()
     )
-    n_edges = e.count()
-    if local_threshold:
-        d.unpersist()  # e is materialized; the raw-edge cache is done
+    n_edges = 2 * c.count()
+    e = c.union(c.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     if num_partitions is None:
         default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         num_partitions = max(1, min(default_p, n_edges // 2_000_000 + 1))
@@ -95,7 +104,7 @@ def connected_components(
         with scoped_shuffle_partitions(spark, num_partitions):
             labels = _cc_loop(e, max_iters)
     finally:
-        e.unpersist()
+        c.unpersist()
     return labels
 
 

@@ -84,20 +84,17 @@ def pagerank(
     if local_threshold:
         # Narrow count (no shuffle); dedup happens driver-side on the
         # local path, so the distinct exchange is skipped entirely.  The
-        # persist keeps the (possibly join-built) edge plan from running
-        # twice across count + collect (or count + distinct).
-        d = d.persist()
-        take_local = 2 * d.count() <= local_threshold
-        if take_local:
-            try:
-                return _pagerank_local(d, damping, max_iters)
-            finally:
-                d.unpersist()
+        # gate deliberately does NOT persist d: caching the full pre-dedup
+        # edge set at 100 TB writes the whole table to MEMORY_AND_DISK
+        # just to decide the gate — strictly worse than the one extra scan
+        # each branch pays (bounded on the local branch; a single pass
+        # feeding the distinct on the distributed one).
+        if 2 * d.count() <= local_threshold:
+            return _pagerank_local(d, damping, max_iters)
     e = d.distinct().persist()
     # Single setup job: 2·|E| rows stream through one agg that yields both
     # the edge count (width formula) and the node count (init + dangling),
-    # and materializes the persisted edge table as a side effect (reading
-    # d's cached blocks when the local-path probe left them behind).
+    # and materializes the persisted edge table as a side effect.
     stats = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -107,8 +104,6 @@ def pagerank(
         )
         .first()
     )
-    if local_threshold:
-        d.unpersist()  # e is materialized; the raw-edge cache is done
     n_edges, n_nodes = int(stats["two_e"]), int(stats["nn"])
     if num_partitions is None:
         default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

@@ -26,9 +26,14 @@ from compss_python_spark.width import ensure_min_partitions
 # --- exact ----------------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, cols, id_col: str) -> DataFrame:
-    """Exact dedup on `cols`: keep the min-id row per key (deterministic,
-    unlike dropDuplicates).
+def exact_dedup(df: DataFrame, cols, id_col: str, tiebreak_cols=None) -> DataFrame:
+    """Exact dedup on `cols`: keep the min-id row per key.
+
+    Deterministic when ``id_col`` is unique per key (the normal case — it
+    is a row identifier); if ids can repeat within a key, pass
+    ``tiebreak_cols`` (appended to the window ORDER BY) so the survivor
+    among equal-id rows is a total order, not whichever physical row the
+    shuffle delivered first.
 
     ONE shuffle: row_number over (key ORDER BY id) plans a PARTIAL
     WindowGroupLimit — each map partition pre-filters to its own min-id row
@@ -40,7 +45,13 @@ def exact_dedup(df: DataFrame, cols, id_col: str) -> DataFrame:
         cols = [cols]
     # nulls LAST: a null id must never beat a real min id to survivor
     # (the old groupBy-min + semi-join formulation could not pick one)
-    w = Window.partitionBy(*cols).orderBy(F.col(id_col).asc_nulls_last())
+    order = [F.col(id_col).asc_nulls_last()]
+    if tiebreak_cols:
+        tiebreak_cols = (
+            [tiebreak_cols] if isinstance(tiebreak_cols, str) else list(tiebreak_cols)
+        )
+        order += [F.col(c).asc_nulls_last() for c in tiebreak_cols]
+    w = Window.partitionBy(*cols).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

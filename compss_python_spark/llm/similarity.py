@@ -62,6 +62,27 @@ def brute_force_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def md5_planes(dim: int, num_planes: int, table_id: int = 0) -> list[list[float]]:
+    """Engine-portable pseudo-random hyperplanes: component (table, p, d) =
+    first 12 hex digits of md5("table:p:d") mapped linearly onto [-1, 1).
+
+    Any symmetric component distribution yields valid sign-random-projection
+    buckets; md5 — unlike a seeded Gaussian stream — is bit-for-bit
+    recomputable in SQL (``CAST('0x'||substr(md5(k),1,12) AS BIGINT)
+    / 2^47 - 1``), which makes the bucket assignment, and therefore the
+    whole LSH candidate-generation + re-rank machinery, exactly
+    oracle-checkable.  Production keeps the Gaussian planes (marginally
+    better bucket balance); recall properties are identical in tests."""
+    import hashlib
+
+    def unit(key: str) -> float:
+        return int(hashlib.md5(key.encode()).hexdigest()[:12], 16) / 2.0**47 - 1.0
+
+    return [
+        [unit(f"{table_id}:{p}:{d}") for d in range(dim)] for p in range(num_planes)
+    ]
+
+
 def hyperplane_lsh_bucket(
     df: DataFrame,
     vec_col: str = "_v",
@@ -69,14 +90,17 @@ def hyperplane_lsh_bucket(
     num_planes: int = 8,
     seed: int = 42,
     alias: str = "_blk",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Sign-random-projection bucket id (int in [0, 2^num_planes)).
 
-    Hyperplanes are generated driver-side from a fixed seed and embedded as
-    array literals — broadcast-free (they live in the plan), deterministic.
+    Hyperplanes are generated driver-side from a fixed seed (or passed
+    explicitly, e.g. :func:`md5_planes`) and embedded as array literals —
+    broadcast-free (they live in the plan), deterministic.
     """
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    if planes is None:
+        rng = random.Random(seed)
+        planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(x) for x in plane])
@@ -95,18 +119,26 @@ def lsh_topk(
     num_planes: int = 6,
     num_tables: int = 4,
     seed: int = 42,
+    plane_source: str = "gauss",
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ANY of
     ``num_tables`` independent hash tables (OR-amplification for recall),
     exact cosine re-rank within candidates.  Equi-join on (table, bucket)
     replaces the nested-loop — the scale path when queries don't fit in a
     broadcast.  Recall/cost dial: more planes → smaller buckets (cheaper,
-    lower recall); more tables → higher recall (linear candidate cost)."""
+    lower recall); more tables → higher recall (linear candidate cost).
+
+    ``plane_source='md5'`` swaps the Gaussian hyperplanes for
+    :func:`md5_planes` (SQL-recomputable → exact oracle parity); the
+    candidate/join/re-rank plan is identical."""
 
     def bucketed(df, id_alias, vcol):
         out = df
         for t in range(num_tables):
-            out = hyperplane_lsh_bucket(out, vcol, dim, num_planes, seed + 1000 * t, f"_b{t}")
+            planes = md5_planes(dim, num_planes, t) if plane_source == "md5" else None
+            out = hyperplane_lsh_bucket(
+                out, vcol, dim, num_planes, seed + 1000 * t, f"_b{t}", planes=planes
+            )
         buckets = F.explode(
             F.array(*[F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bkt")) for t in range(num_tables)])
         ).alias("tb")

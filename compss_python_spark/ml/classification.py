@@ -189,14 +189,32 @@ def linear_svc(train: DataFrame, test: DataFrame, features_col: str = "embedding
 
 def knn(train: DataFrame, test: DataFrame, k: int = 5,
         features_col: str = "embedding", label_col: str = "label",
-        id_col: str = "vec_id", prediction_col: str = "prediction") -> DataFrame:
+        id_col: str = "vec_id", prediction_col: str = "prediction",
+        max_train_rows: int = 1_000_000) -> DataFrame:
     """KNearestNeighbors [ref: ml/classification.py KNearestNeighbors].
 
     Broadcast-train + mapInPandas scoring: each Arrow batch computes a full
     batch×train distance matrix in numpy (BLAS) — no Python-per-row.  Ties
     in the majority vote break toward the smaller label (deterministic,
     matching argmax-over-bincount).
+
+    The train set is collected to the driver and broadcast, so its size is
+    gated (same bounded-collect discipline as the graph local paths): a
+    train set beyond ``max_train_rows`` raises instead of OOMing the
+    driver — route oversized train sets through an approximate neighbor
+    join (``llm.similarity.lsh_topk`` / ``ivf_topk``, or Spark ML's
+    ``BucketedRandomProjectionLSH.approxSimilarityJoin``) and majority-vote
+    over the joined neighbors instead.
     """
+    n_train = train.count()  # narrow aggregate — no shuffle
+    if n_train > max_train_rows:
+        raise ValueError(
+            f"knn: train set has {n_train} rows, exceeding the broadcast "
+            f"budget max_train_rows={max_train_rows}.  A driver collect at "
+            "this size would OOM; use an approximate neighbor join "
+            "(similarity.lsh_topk / ivf_topk or BucketedRandomProjectionLSH"
+            ".approxSimilarityJoin) and majority-vote over its output."
+        )
     rows = train.select(features_col, label_col).collect()
     X = np.asarray([r[features_col] for r in rows], dtype=float)
     y = np.asarray([r[label_col] for r in rows])

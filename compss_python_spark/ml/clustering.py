@@ -418,6 +418,7 @@ def stdbscan(
     eps_temporal: float,
     min_pts: int,
     id_col: str = "point_id",
+    include_core: bool = False,
 ) -> DataFrame:
     """Spatio-temporal DBSCAN [ref: ddf_library/functions/ml/clustering.py
     STDBSCAN]: the DBSCAN grid/merge machinery with a third (time) grid axis
@@ -454,4 +455,4 @@ def stdbscan(
         )[[*dims, id_col, "_cell", "local_label", "is_core"]],
         schema,
     )
-    return _merge_cells(df, labeled, id_col)
+    return _merge_cells(df, labeled, id_col, include_core=include_core)

@@ -301,6 +301,44 @@ def ml_pca_project(spark, sf_dir):
     return out.select("vec_id", F.round(F.element_at("pc", 1), 6).alias("pc1"))
 
 
+@query(
+    "ml_pca_project_2d",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x1,
+                      CAST(embedding[2] AS DOUBLE) AS x2 FROM embeddings),
+    c AS (SELECT var_samp(x1) AS a, covar_samp(x1, x2) AS b, var_samp(x2) AS cc FROM v),
+    eig AS (
+      SELECT a, b, (a + cc + SQRT((a - cc)*(a - cc) + 4*b*b)) / 2 AS l1 FROM c
+    ),
+    w AS (
+      SELECT b / SQRT(b*b + (l1-a)*(l1-a)) AS w1,
+             (l1-a) / SQRT(b*b + (l1-a)*(l1-a)) AS w2 FROM eig
+    ),
+    wn AS (SELECT CASE WHEN w1 < 0 THEN -w1 ELSE w1 END AS w1,
+                  CASE WHEN w1 < 0 THEN -w2 ELSE w2 END AS w2 FROM w)
+    SELECT vec_id, ROUND(x1*w1 + x2*w2, 6) AS pc1 FROM v, wn
+    """,
+)
+def ml_pca_project_2d(spark, sf_dir):
+    """PCA (#54) EXACT oracle: on 2 features the covariance eigenproblem
+    has a closed form DuckDB can compute (λ₁ = (a+c+√((a−c)²+4b²))/2,
+    w ∝ (b, λ₁−a)), and the engine's eigenvector sign — the one genuinely
+    arbitrary quantity — is normalized away on BOTH sides (first loading
+    made positive; Spark reads the fitted sign from model.pc and flips the
+    projection column by that literal).  Proves fit+transform end-to-end;
+    the 64-dim sibling `ml_pca_project` stays rows-only (no closed form)."""
+    from compss_python_spark.ml.feature import pca
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 2).alias("xy")
+    )
+    out, model = pca(emb, "xy", k=1, output_col="pc")
+    sign = 1.0 if model.pc.toArray()[0, 0] > 0 else -1.0
+    return out.select(
+        "vec_id", F.round(F.element_at("pc", 1) * F.lit(sign), 6).alias("pc1")
+    )
+
+
 # --- estimators flagged test-only in VERDICT r1 ----------------------------
 
 

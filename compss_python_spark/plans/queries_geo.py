@@ -59,6 +59,110 @@ def geo_within_rect(spark, sf_dir):
     )
 
 
+_STDB_BASE_SQL = """
+    WITH RECURSIVE pts AS (
+      SELECT event_id AS id,
+             CAST(user_id % 12 AS DOUBLE) AS x,
+             CAST((user_id // 12) % 12 AS DOUBLE) AS y,
+             epoch(ts) AS t
+      FROM events
+    ),
+    nb AS (
+      SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+      ON b.t BETWEEN a.t - 3600.0 AND a.t + 3600.0
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2.25
+    ),
+    deg AS (SELECT ia AS id, COUNT(*) AS c FROM nb GROUP BY ia),
+    core AS (SELECT id FROM deg WHERE c >= 5)
+"""
+
+
+@query(
+    "stdbscan_core_sizes",
+    sql=_STDB_BASE_SQL
+    + """,
+    ce AS (
+      SELECT n.ia, n.ib FROM nb n
+      JOIN core x ON n.ia = x.id JOIN core y ON n.ib = y.id
+    ),
+    comp(id, lbl) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT ce.ia, comp.lbl FROM comp JOIN ce ON ce.ib = comp.id
+      WHERE comp.lbl < ce.ia
+    ),
+    roots AS (SELECT id, MIN(lbl) AS root FROM comp GROUP BY id),
+    sizes AS (SELECT root, COUNT(*) AS sz FROM roots GROUP BY root)
+    SELECT sz AS core_size, COUNT(*) AS n_clusters FROM sizes GROUP BY sz
+    """,
+)
+def stdbscan_core_sizes(spark, sf_dir):
+    """ST-DBSCAN (#69) EXACT oracle — the two-radius (Birant-Kut) extension
+    of the DBSCAN recursive-CTE closure: neighbor = spatial Euclidean ≤ 1.5
+    AND |Δt| ≤ 3600 s.  Core points and their reachability components are
+    implementation-independent, so the per-cluster CORE-size histogram is
+    exactly recomputable in SQL (min-label propagation over the core
+    graph).  Parameters are tuned subcritical (many small clusters) so the
+    CTE closure stays cheap; the production-shaped sibling
+    ``stdbscan_events`` keeps its wider radii."""
+    from compss_python_spark.geo import stdbscan
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("point_id"),
+        (F.col("user_id") % 12).cast("double").alias("x"),
+        (F.floor(F.col("user_id") / 12) % 12).cast("double").alias("y"),
+        "ts",
+    )
+    out = stdbscan(
+        ev, ["x", "y"], "ts", eps_spatial=1.5, eps_temporal=3600.0, min_pts=5,
+        include_core=True,
+    )
+    sizes = out.filter("is_core").groupBy("cluster").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("core_size")).agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
+@query(
+    "stdbscan_point_classes",
+    sql=_STDB_BASE_SQL
+    + """,
+    border AS (
+      SELECT DISTINCT n.ia AS id FROM nb n
+      JOIN core c ON n.ib = c.id
+      ANTI JOIN core x ON n.ia = x.id
+    )
+    SELECT (SELECT COUNT(*) FROM core) AS n_core,
+           (SELECT COUNT(*) FROM border) AS n_border,
+           (SELECT COUNT(*) FROM pts)
+             - (SELECT COUNT(*) FROM core) - (SELECT COUNT(*) FROM border) AS n_noise
+    """,
+)
+def stdbscan_point_classes(spark, sf_dir):
+    """ST-DBSCAN point taxonomy (same run): core / border / noise counts —
+    border MEMBERSHIP is tie-broken but border COUNT (non-core with ≥1 core
+    neighbor under the two-radius predicate) is implementation-independent."""
+    from compss_python_spark.geo import stdbscan
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("point_id"),
+        (F.col("user_id") % 12).cast("double").alias("x"),
+        (F.floor(F.col("user_id") / 12) % 12).cast("double").alias("y"),
+        "ts",
+    )
+    out = stdbscan(
+        ev, ["x", "y"], "ts", eps_spatial=1.5, eps_temporal=3600.0, min_pts=5,
+        include_core=True,
+    )
+    return out.agg(
+        F.sum(F.col("is_core").cast("bigint")).alias("n_core"),
+        F.sum(((~F.col("is_core")) & (F.col("cluster") >= 0)).cast("bigint")).alias(
+            "n_border"
+        ),
+        F.sum((F.col("cluster") == -1).cast("bigint")).alias("n_noise"),
+    )
+
+
 @query("stdbscan_events", sql=None)
 def stdbscan_events(spark, sf_dir):
     """ST-DBSCAN on events at synthetic coords (space from user hash, time

@@ -305,6 +305,63 @@ def similarity_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter("vec_id < 10"), k=5, num_planes=4)
 
 
+@query(
+    "similarity_topk_lsh_md5",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         planes AS (
+           SELECT t.t AS tbl, p.p AS pl,
+                  list_transform(range(0, 64),
+                    d -> CAST('0x' || substr(md5(concat(t.t, ':', p.p, ':', d)), 1, 12) AS BIGINT)
+                         / 140737488355328.0 - 1.0) AS h
+           FROM generate_series(0, 3) t(t), generate_series(0, 3) p(p)
+         ),
+         cb AS (
+           SELECT v.vec_id, pl.tbl,
+                  CAST(SUM(CASE WHEN list_dot_product(v.e, pl.h) > 0
+                           THEN 1 << pl.pl ELSE 0 END) AS BIGINT) AS bkt
+           FROM v, planes pl GROUP BY v.vec_id, pl.tbl
+         ),
+         qb AS (
+           SELECT q.query_id, pl.tbl,
+                  CAST(SUM(CASE WHEN list_dot_product(q.qe, pl.h) > 0
+                           THEN 1 << pl.pl ELSE 0 END) AS BIGINT) AS bkt
+           FROM q, planes pl GROUP BY q.query_id, pl.tbl
+         ),
+         cand AS (
+           SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+           FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bkt = cb.bkt
+           WHERE cb.vec_id <> qb.query_id
+         ),
+         scored AS (
+           SELECT c.query_id, c.neighbor_id,
+                  ROUND(LIST_DOT_PRODUCT(q.qe, v.e)
+                        / (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe))
+                           * SQRT(LIST_DOT_PRODUCT(v.e, v.e))), 6) AS cosine
+           FROM cand c JOIN q ON q.query_id = c.query_id
+                       JOIN v ON v.vec_id = c.neighbor_id
+         ),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rn
+           FROM scored)
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def similarity_topk_lsh_md5(spark, sf_dir):
+    """LSH ANN with md5-derived hyperplanes (engine-portable pseudo-random
+    floats, same trick as `dedup_minhash_md5`): DuckDB recomputes the exact
+    buckets, candidate set, and re-rank — full hash parity for the entire
+    LSH machinery.  Production (`similarity_topk_lsh`) keeps Gaussian
+    planes → rows-only."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter("vec_id < 10"), k=5, num_planes=4, num_tables=4,
+        plane_source="md5",
+    )
+
+
 @query("similarity_topk_ivf", sql=None, headline=True)
 def similarity_topk_ivf(spark, sf_dir):
     """IVF ANN (KMeans coarse quantizer, nprobe=3 of 16 cells) — centroid

@@ -115,9 +115,22 @@ def compact_parquet(
     scale (every file costs a task + footer read + namenode entry); a
     periodic compaction pass keeps scan parallelism matched to data size.
     Returns the output file count.  Uses coalesce (no shuffle) when
-    shrinking file count; repartition only when growing it."""
-    import math
+    shrinking file count; repartition only when growing it.
 
+    ``dst_path`` must differ from ``src_path``: the write is
+    mode('overwrite') while the read of ``src_path`` is lazy, so an
+    in-place call would delete the source mid-read and lose the data.
+    Compact-in-place = write to a temp sibling, then rename."""
+    import math
+    import os.path
+
+    if os.path.normpath(src_path.rstrip("/")) == os.path.normpath(dst_path.rstrip("/")):
+        raise ValueError(
+            "compact_parquet: dst_path must differ from src_path — the "
+            "overwrite-write would delete the source while it is still "
+            "being (lazily) read.  Write to a temp directory and rename "
+            "for in-place compaction."
+        )
     df = spark.read.parquet(src_path)
     # Size via the Hadoop FileSystem API so hdfs:// and s3a:// paths work —
     # a driver-local glob would see 0 bytes there and silently coalesce

@@ -72,6 +72,18 @@ def test_exact_dedup_keeps_min_id(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [3, 9]
 
 
+def test_exact_dedup_tiebreak_cols(spark):
+    """With duplicate ids inside a key, tiebreak_cols makes the survivor a
+    total order (not whichever physical row the shuffle delivered first)."""
+    df = spark.createDataFrame(
+        [("k", 1, "b"), ("k", 1, "a"), ("k", 2, "z"), ("x", 7, "q")],
+        "key string, id long, payload string",
+    ).repartition(8)
+    out = dedup.exact_dedup(df, "key", "id", tiebreak_cols="payload")
+    rows = {r["key"]: (r["id"], r["payload"]) for r in out.collect()}
+    assert rows == {"k": (1, "a"), "x": (7, "q")}
+
+
 def test_language_id_accuracy(spark):
     # the documents fixture's lang column is random wrt its (English word
     # soup) text, so accuracy is asserted on real-language samples instead
@@ -253,6 +265,27 @@ def test_connected_components_shapes(spark):
     }
     assert comp_d == comp
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_connected_components_null_endpoints(spark):
+    """Null src/dst rows are excluded by contract on BOTH strategies (same
+    contract as pagerank) — a null endpoint is not a node, and letting one
+    through would corrupt the local path's integer schema via pandas
+    null→float64 while the distributed loop silently carried it."""
+    from compss_python_spark.graph.components import connected_components
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 7), (7, None), (10, 11)], "src long, dst long"
+    )
+    expect = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    local = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(e, local_threshold=0).collect()
+    }
+    assert local == expect and dist == expect
+    # node 7 (only ever seen next to a null endpoint) must not appear
+    assert 7 not in local and 7 not in dist
 
 
 def test_duplicate_spans_planted(spark):

@@ -84,6 +84,18 @@ def test_knn_separable(spark):
     assert acc > 0.95
 
 
+def test_knn_train_size_gate(spark):
+    """An over-budget train set must raise (bounded-collect contract), not
+    silently collect toward a driver OOM."""
+    import pytest
+
+    from compss_python_spark.ml.classification import knn
+
+    df = _separable(spark)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        knn(df, df, k=1, max_train_rows=10)
+
+
 def test_gaussian_nb(emb):
     from compss_python_spark.ml.classification import gaussian_nb
 

@@ -320,6 +320,11 @@ def test_compact_parquet_file_counts(spark, sf_dir, tmp_path_factory):
     assert len(glob.glob(packed + "/*.parquet")) == 1
     a = spark.read.parquet(packed).count()
     assert a == table(spark, sf_dir, "orders").count()
+    # in-place compaction would overwrite the source mid-(lazy-)read
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dst_path must differ"):
+        compact_parquet(spark, frag, frag + "/")
 
 
 def test_asof_join_tolerance_null_value_rows(spark):
