@@ -1,20 +1,26 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "first_run": {name: sec}, "first_run_total": sec,
+"sf": ...}.
 
 Each query is executed to completion (collect-to-count of the result) —
 wall-clock includes scan, shuffle and result materialization.
 
-Methodology: one un-timed warm-up pass of every headline query first, then
-TWO timed passes with the per-query minimum reported (noise-robust on a
-multi-tenant host).  This measures steady-state throughput (the 100 TB-relevant
-metric): a single-JVM first run otherwise charges C2-JIT compilation of
-whichever expression interpreter paths (higher-order functions, hash
-kernels) a query touches first — noise that no long-running cluster job
-pays per-query.  Data caching is NOT involved (no .persist survives a
-query; OS page cache on a 70 MB sf0.1 scan is equally warm for both
-passes after pass one's read).
+Methodology — BOTH cost profiles are reported so round-over-round
+comparisons never conflate measurement with optimization (round-5 lesson):
+
+- ``first_run`` — each query's very first execution in a fresh JVM, in
+  registry order.  Charges C2-JIT compilation, codegen, parquet footer and
+  page-cache misses to whichever query touches each path first; the
+  cold-start profile.
+- ``queries`` (headline metric) — steady state: after the first pass, TWO
+  more timed passes with the per-query minimum reported (noise-robust on a
+  multi-tenant host; observed 3×+ uniform inflation from ambient load).
+  This is the 100 TB-relevant number — no long-running cluster job pays
+  JIT per-query.  Data caching is NOT involved (no .persist survives a
+  query; clearCache runs between queries, and the OS page cache on a
+  70 MB sf0.1 scan is equally warm for every pass after the first read).
 """
 
 from __future__ import annotations
@@ -37,19 +43,21 @@ def main() -> None:
 
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
 
-    # Warm-up pass: JVM JIT + codegen + parquet footer / page caches.
-    # clearCache between queries: operators that persist internally release
-    # their own blocks, but any stray cached/checkpointed block must not
-    # bleed into the next query's measurement (round-2 lesson: leaked
-    # persists degraded every query timed after pagerank by 40-100%).
-    for spec in headline.values():
+    # First pass (timed as first_run): JVM JIT + codegen + parquet footer /
+    # page caches all cold.  clearCache between queries: operators that
+    # persist internally release their own blocks, but any stray
+    # cached/checkpointed block must not bleed into the next query's
+    # measurement (round-2 lesson: leaked persists degraded every query
+    # timed after pagerank by 40-100%).
+    first_run: dict[str, float] = {}
+    for name, spec in headline.items():
+        t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
+        first_run[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
 
-    # Two timed passes, per-query MINIMUM: the host is multi-tenant and
-    # ambient load spikes inflate a single pass arbitrarily (observed 3×+
-    # uniform inflation across identical code); min-of-k is the standard
-    # estimator of the noise-free cost and k=2 bounds total runtime.
+    # Two timed steady-state passes, per-query MINIMUM (min-of-k is the
+    # standard estimator of the noise-free cost; k=2 bounds total runtime).
     times: dict[str, float] = {}
     for _pass in range(2):
         for name, spec in headline.items():
@@ -67,6 +75,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "first_run": first_run,
+                "first_run_total": round(sum(first_run.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

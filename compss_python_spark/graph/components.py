@@ -38,6 +38,7 @@ def connected_components(
     max_iters: int = 20,
     num_partitions: int | None = None,
     local_threshold: int = 4_000_000,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Returns (node, component) where component = min node id reachable.
 
@@ -63,7 +64,17 @@ def connected_components(
     ``max_iters`` iterations (labels would be silently wrong for any
     component whose diameter exceeds the budget) — raise ``max_iters`` for
     long-path graphs; near-dup candidate graphs converge in 2–4 rounds.
+
+    ``algorithm`` selects the distributed strategy (the local union-find
+    path is identical for both): ``"label"`` = min-label propagation
+    (Θ(diameter) rounds — right for near-dup candidate graphs, which are
+    quasi-cliques), ``"star"`` = alternating large-star/small-star
+    (Kiveris et al. 2014, O(log diameter) rounds — the escalation path for
+    long-diameter graphs at 100 TB, where Θ(diameter) shuffles would never
+    finish).  Both produce component = min reachable id.
     """
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     spark = edges.sparkSession
     # Null endpoints are excluded by contract on BOTH paths (same contract
     # as pagerank): a null src/dst is not a node, and letting one through
@@ -102,7 +113,10 @@ def connected_components(
         num_partitions = max(1, min(default_p, n_edges // 2_000_000 + 1))
     try:
         with scoped_shuffle_partitions(spark, num_partitions):
-            labels = _cc_loop(e, max_iters)
+            if algorithm == "star":
+                labels = _cc_star(c, max_iters)
+            else:
+                labels = _cc_loop(e, max_iters)
     finally:
         c.unpersist()
     return labels
@@ -146,6 +160,79 @@ def _cc_local(e: DataFrame) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """large-star: every node links its STRICTLY LARGER neighbors to the
+    minimum of its closed neighborhood.  Input edges in either direction;
+    output edges all satisfy dst < src (m ≤ u < v)."""
+    g = E.union(E.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = g.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.select("src", F.least("src", "_mn").alias("_m"))
+    return (
+        g.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """small-star: every node links its (all smaller, by the large-star
+    invariant) neighbors AND itself to the minimum neighbor.  Preserves the
+    dst < src invariant; fixed point = a star forest rooted at component
+    minima."""
+    mins = E.groupBy("src").agg(F.min("dst").alias("_m"))
+    return (
+        E.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .union(mins.select(F.col("src"), F.col("_m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _cc_star(c: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond") — O(log diameter) rounds, each a
+    constant number of groupBy/join shuffles over the CURRENT edge set
+    (which only shrinks toward the star forest).  The escalation path for
+    long-diameter graphs where min-label propagation's Θ(diameter) rounds
+    are unaffordable; same output contract as :func:`_cc_loop`.
+
+    Convergence = the edge set reaches a fixed point, detected by a
+    (count, XOR of xxhash64(src,dst)) checksum — XOR is order-insensitive
+    and overflow-free (an int64 SUM of hashes trips ANSI overflow), and E
+    is distinct so duplicate-cancellation cannot alias two different edge
+    sets beyond ordinary 64-bit collision odds.  The aggregate doubles as
+    the per-iteration materialization action on the eagerly checkpointed
+    edge set (lineage truncation, exactly as the label loop does)."""
+    E = c.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iters):
+        E = _small_star(_large_star(E)).localCheckpoint(eager=True)
+        cur = tuple(
+            E.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+            ).first()
+        )
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components(algorithm='star') did not reach a fixed "
+            f"point within max_iters={max_iters}; increase max_iters"
+        )
+    # Star forest: every edge is (leaf, root), roots never appear as src —
+    # so leaves contribute exactly one row each and roots one via distinct.
+    return (
+        E.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+        .union(E.select(F.col("dst").alias("node"), F.col("dst").alias("component")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
 
 def _cc_loop(e: DataFrame, max_iters: int) -> DataFrame:

@@ -168,11 +168,23 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    drop_metrics: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated Jaccard
     (signature agreement fraction) ≥ threshold.
+
+    ``drop_metrics``: optional dict filled in-place with ``dropped_buckets``
+    (bucket count over ``max_bucket``), ``dropped_bucket_rows`` (their total
+    member rows) and ``max_bucket_size`` — so production dedup can alarm on
+    boilerplate storms instead of silently losing candidate pairs.  Costs
+    one counts-only aggregate over the CACHED signatures (map-combined;
+    the shuffle carries one long per bucket per map partition), run before
+    the signature cache is released.  (``df.observe`` was rejected: AQE can
+    collapse the observed branch into an EmptyRelation or execute it inside
+    a broadcast exchange, in which case the metrics row silently comes back
+    empty — verified against Spark 4.1.)
 
     Plan shape: scan → signature (narrow, zero-shuffle) → explode bands
     (×bands, still narrow) → ONE groupBy(band, bhash) collecting bucket
@@ -244,6 +256,26 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "est_jaccard")
         .localCheckpoint(eager=True)
     )
+    if drop_metrics is not None:
+        # banded re-derives from the (still-)cached signatures; count() is
+        # map-combined so the exchange carries one long per bucket per map
+        # partition — no id lists move.
+        m = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count("*").alias("sz"))
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("sz") > max_bucket).cast("long")), F.lit(0)
+                ).alias("dropped_buckets"),
+                F.coalesce(
+                    F.sum(F.when(F.col("sz") > max_bucket, F.col("sz")).otherwise(0)),
+                    F.lit(0),
+                ).alias("dropped_bucket_rows"),
+                F.coalesce(F.max("sz"), F.lit(0)).alias("max_bucket_size"),
+            )
+            .first()
+        )
+        drop_metrics.update(m.asDict())
     sig.unpersist()
     return result
 

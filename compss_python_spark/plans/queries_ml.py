@@ -432,6 +432,40 @@ def graph_connected_components(spark, sf_dir):
 
 
 @query(
+    "graph_connected_components_star",
+    sql="""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity = 50
+    ),
+    edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def graph_connected_components_star(spark, sf_dir):
+    """Same graph + oracle as `graph_connected_components`, forced through
+    the alternating large-star/small-star strategy (Kiveris et al. 2014 —
+    the O(log diameter) escalation path for long-diameter graphs at scale;
+    local_threshold=0 bypasses the union-find gate so the distributed star
+    rounds actually run)."""
+    from compss_python_spark.graph.components import connected_components
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 50)
+    orders = table(spark, sf_dir, "orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    return connected_components(edges, local_threshold=0, algorithm="star")
+
+
+@query(
     "graph_triangle_count",
     sql="""
     WITH pairs AS (

@@ -50,6 +50,30 @@ def test_minhash_finds_planted_duplicate(spark):
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
 
 
+def test_minhash_lsh_drop_metrics_on_storm(spark):
+    """A boilerplate storm (one bucket over max_bucket in every band) must
+    be observable: drop_metrics reports the dropped buckets and their row
+    volume instead of the pairs silently vanishing."""
+    storm = [(i, "the same boilerplate footer text repeated everywhere always forever")
+             for i in range(40)]
+    normal = [(100 + i, f"unique document number {i} with distinct words entirely {i * 7}")
+              for i in range(4)]
+    df = spark.createDataFrame(pd.DataFrame(storm + normal, columns=["doc_id", "text"]))
+    metrics: dict = {}
+    out = dedup.minhash_lsh_pairs(df, max_bucket=10, drop_metrics=metrics)
+    assert out.count() == 0  # storm dropped; normals share nothing
+    assert metrics["dropped_buckets"] >= 1
+    assert metrics["max_bucket_size"] == 40
+    assert metrics["dropped_bucket_rows"] >= 40
+    # quiet corpus → zeroed metrics, no drops
+    quiet: dict = {}
+    dedup.minhash_lsh_pairs(
+        spark.createDataFrame(pd.DataFrame(normal, columns=["doc_id", "text"])),
+        max_bucket=10, drop_metrics=quiet,
+    ).count()
+    assert quiet["dropped_buckets"] == 0 and quiet["dropped_bucket_rows"] == 0
+
+
 def test_simhash_hamming_small_for_near_dup(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
     near = base.replace("gamma", "gamma2")
