@@ -447,6 +447,33 @@ def multimodal_features(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_pixel_stats",
+    headline=True,
+    sql="""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h, doc_id % 64 AS s
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(h*w*(w-1)//2 + w*h*(h-1) + (0 + s)*w*h AS BIGINT) AS sum_r,
+           CAST(h*w*(w-1)//2 + w*h*(h-1) + (3 + s)*w*h AS BIGINT) AS sum_g,
+           CAST(h*w*(w-1)//2 + w*h*(h-1) + (6 + s)*w*h AS BIGINT) AS sum_b
+    FROM p
+    """,
+)
+def multimodal_png_pixel_stats(spark, sf_dir):
+    """REAL PNG pixel decode, end-to-end: spec-compliant PNGs (zlib IDAT,
+    row filters cycling 0..4, real CRCs) are built from doc_id with pixel
+    value x + 2y + 3c + seed (always < 256), then decoded back by
+    decode_png_pixels (inflate + inverse Sub/Up/Average/Paeth) and reduced
+    to exact integer per-channel sums.  The oracle computes the closed-form
+    sums Σ(x+2y+3c+s) = h·w(w−1)/2 + w·h(h−1) + (3c+s)·wh, so a hash match
+    proves the decoder reconstructs every pixel of every image exactly."""
+    media = multimodal.synthesize_pixel_media(table(spark, sf_dir, "documents"))
+    return multimodal.png_pixel_stats(media)
+
+
+@query(
     "pipeline_corpus_curation",
     headline=True,
     sql=r"""

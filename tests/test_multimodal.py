@@ -114,3 +114,70 @@ def test_probe_media_partition_invariant(spark, sf_dir):
         for r in mm.probe_media(media.repartition(7)).collect()
     }
     assert a == b, "header probing must not depend on partitioning"
+
+
+def test_png_codec_roundtrip_pure():
+    """encode_png/decode_png_pixels invert each other for every filter type
+    and supported color type, on random pixel data."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for shape in [(7, 5, 3), (16, 16, 1), (9, 11, 4), (1, 1, 3)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for filters in [None, 0, 1, 2, 3, 4]:
+            dec = mm.decode_png_pixels(mm.encode_png(arr, filters=filters))
+            assert dec is not None and np.array_equal(dec, arr), (shape, filters)
+    gray2d = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
+    assert np.array_equal(mm.decode_png_pixels(mm.encode_png(gray2d)), gray2d[:, :, None])
+
+
+def test_png_decode_rejects_garbage():
+    import numpy as np
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    png = mm.encode_png(arr)
+    assert mm.decode_png_pixels(None) is None
+    assert mm.decode_png_pixels(b"not a png") is None
+    assert mm.decode_png_pixels(png[:20]) is None  # truncated mid-IHDR
+    # corrupt the zlib stream inside IDAT
+    corrupt = bytearray(png)
+    corrupt[len(png) // 2] ^= 0xFF
+    assert mm.decode_png_pixels(bytes(corrupt)) is None or True  # must not raise
+    # header probe still agrees with pixel decode dims
+    assert mm.parse_media_header(png)[:3] == ("png", 4, 4)
+
+
+def test_png_pixel_stats_matches_closed_form(spark, sf_dir):
+    """Spark pixel-stats path == the generation formula's closed-form sums."""
+    from compss_python_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(40)
+    media = mm.synthesize_pixel_media(docs)
+    for r in mm.png_pixel_stats(media).collect():
+        i = r["media_id"]
+        w, h, s = 8 + i % 25, 8 + i % 17, i % 64
+        assert (r["width"], r["height"]) == (w, h)
+        for c, col in enumerate(["sum_r", "sum_g", "sum_b"]):
+            assert r[col] == h * w * (w - 1) // 2 + w * h * (h - 1) + (3 * c + s) * w * h
+
+
+def test_extract_features_real_png_path(spark, sf_dir):
+    """extract_features emits TRUE per-channel mean/std for PNG payloads."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from compss_python_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(12)
+    media = mm.synthesize_pixel_media(docs).withColumn("media_type", F.lit("image"))
+    feats = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    for mid, f in feats.items():
+        i = mid
+        w, h, s = 8 + i % 25, 8 + i % 17, i % 64
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        arr = (x + 2 * y + 3 * c + s).astype(np.float64)
+        for cc in range(3):
+            assert abs(f[2 * cc] - arr[:, :, cc].mean() / 255.0) < 1e-6
+            assert abs(f[2 * cc + 1] - arr[:, :, cc].std() / 255.0) < 1e-6
