@@ -109,6 +109,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     shingle_n: int = 3,
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) computed fully NARROW — zero shuffle.
 
@@ -126,8 +127,9 @@ def minhash_signatures(
     # removes the dominant string-concat/GC cost of signature computation).
     # Signature cost is num_hashes × |shingles| hash evaluations per row —
     # dense enough that a one-split local input must be widened first
-    # (no-op when the scan is already ≥ session parallelism).
-    df = ensure_min_partitions(df)
+    # (no-op when the scan is already ≥ session parallelism; callers that
+    # know their input width pass input_partitions to skip the probe).
+    df = ensure_min_partitions(df, input_partitions=input_partitions)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.transform(tokens(text_col), lambda s: F.xxhash64(s)).alias("_th"),
@@ -359,7 +361,7 @@ def simhash(text_col: str, bits: int = 64):
 
 
 def simhashes(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
-              token_hash=None) -> DataFrame:
+              token_hash=None, input_partitions: int | None = None) -> DataFrame:
     """(id, simhash) via explode + hash-once + per-bit sum aggregates.
 
     Scale path (same reasoning as `minhash_signatures`): one hash per
@@ -375,7 +377,7 @@ def simhashes(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
     masks = _bit_masks(bits)
     # Tokenize+explode+hash is the dense stage; widen a one-split local
     # input before it (no-op at scale — see width.ensure_min_partitions).
-    df = ensure_min_partitions(df)
+    df = ensure_min_partitions(df, input_partitions=input_partitions)
     exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
     ).withColumn("_h", token_hash(F.col("_t")))
@@ -553,6 +555,7 @@ def duplicate_spans(
     n: int = 5,
     min_docs: int = 2,
     use_hash: bool = True,
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicate-SPAN detection and removal (the
     training-corpus stage popularized by C4 / "Deduplicating Training Data
@@ -582,7 +585,7 @@ def duplicate_spans(
     exactly that.
     """
     hash_fn = (lambda c: F.xxhash64(c)) if use_hash else (lambda c: F.md5(c))
-    toks = ensure_min_partitions(df).select(
+    toks = ensure_min_partitions(df, input_partitions=input_partitions).select(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
     )
     t = F.col("_t")

@@ -485,23 +485,33 @@ def decode_png_pixels(payload: bytes | None) -> np.ndarray | None:
         pos += 1 + stride
         if ft == 0:
             rec = line
-        elif ft == 2:  # Up
+        elif ft == 2:  # Up: vectorized over the scanline
             rec = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
-            rec = np.zeros(stride, dtype=np.uint8)
-            for x in range(0, stride, ch):
-                left = rec[x - ch : x] if x else np.zeros(ch, dtype=np.uint8)
-                up = prev[x : x + ch]
-                upleft = prev[x - ch : x] if x else np.zeros(ch, dtype=np.uint8)
-                seg = line[x : x + ch].astype(np.int16)
-                if ft == 1:
-                    rec[x : x + ch] = (seg + left).astype(np.uint8)
-                elif ft == 3:
-                    rec[x : x + ch] = (
-                        seg + (left.astype(np.int16) + up) // 2
-                    ).astype(np.uint8)
+        elif ft == 1:  # Sub: per-channel-lane prefix sum mod 256 (exact)
+            rec = (
+                np.cumsum(line.reshape(-1, ch).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif ft in (3, 4):  # Average / Paeth: sequential in x — pure-Python
+            # byte loop (per-element numpy on 1-4 byte slices is ~10x slower
+            # than int arithmetic at these strides)
+            lb = line.tolist()
+            pb = prev.tolist()
+            out_row = [0] * stride
+            for x in range(stride):
+                a = out_row[x - ch] if x >= ch else 0
+                b_up = pb[x]
+                if ft == 3:
+                    v = lb[x] + ((a + b_up) >> 1)
                 else:
-                    rec[x : x + ch] = (seg + _paeth(left, up, upleft)).astype(np.uint8)
+                    c_ul = pb[x - ch] if x >= ch else 0
+                    p = a + b_up - c_ul
+                    pa = p - a if p >= a else a - p
+                    pb_ = p - b_up if p >= b_up else b_up - p
+                    pc = p - c_ul if p >= c_ul else c_ul - p
+                    pred = a if (pa <= pb_ and pa <= pc) else (b_up if pb_ <= pc else c_ul)
+                    v = lb[x] + pred
+                out_row[x] = v & 0xFF
+            rec = np.frombuffer(bytes(out_row), dtype=np.uint8)
         else:
             return None
         out[y] = rec

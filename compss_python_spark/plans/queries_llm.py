@@ -81,6 +81,27 @@ def text_quality_score(spark, sf_dir):
 
 
 @query(
+    "text_bpe_token_count",
+    sql=r"""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]{1,3}|[^A-Za-z0-9\s]'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting (deterministic regex proxy for subword
+    tokenizers: ≤6-char letter runs, ≤3-digit runs, single symbols) — the
+    budget/quota metric an LLM-data pipeline computes per document.  Pure
+    JVM regexp_extract_all, zero shuffle; the oracle re-runs the identical
+    pattern under RE2."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+@query(
     "text_lang_distribution",
     sql="""
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars

@@ -17,19 +17,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame,
+    target: int | None = None,
+    input_partitions: int | None = None,
+) -> DataFrame:
     """Round-robin repartition ``df`` up to ``target`` partitions (default:
     the session's scheduler parallelism) iff it is currently narrower.
 
-    Plan-only inspection — ``df.rdd.getNumPartitions()`` triggers physical
-    planning but no job.  Returns ``df`` unchanged when already wide enough,
-    so at-scale inputs never pay a shuffle.
+    Width is taken from the ``input_partitions`` hint when the caller knows
+    it (production jobs reading hundreds of splits should pass any number
+    ≥ the session parallelism to skip the probe entirely — by the guard's
+    own argument it is a no-op there, and the probe is the only cost).
+    Without the hint, ``df.rdd.getNumPartitions()`` is consulted: physical
+    planning but no job.  Returns ``df`` unchanged when already wide
+    enough, so at-scale inputs never pay a shuffle.
     """
     sc = df.sparkSession.sparkContext
     if target is None:
         target = sc.defaultParallelism
     if target <= 1:
         return df
-    if df.rdd.getNumPartitions() >= target:
+    width = input_partitions if input_partitions is not None else df.rdd.getNumPartitions()
+    if width >= target:
         return df
     return df.repartition(target)

@@ -278,6 +278,15 @@ def test_ensure_min_partitions_guard(spark):
     # explicit small target is a no-op too
     assert ensure_min_partitions(narrow, target=1) is narrow
 
+    # input_partitions hint skips the physical-plan probe entirely:
+    # a declared-wide input returns unchanged even though it is narrow,
+    # and a declared-narrow wide input still short-circuits on >= target
+    assert ensure_min_partitions(narrow, input_partitions=10_000) is narrow
+    assert (
+        ensure_min_partitions(narrow, input_partitions=1).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
 
 def test_asof_join_directions_and_tolerance(spark):
     import pandas as pd
