@@ -112,10 +112,56 @@ def ks_test_uniform(spark, sf_dir):
 @query("ks_test_normal", sql=None)
 def ks_test_normal(spark, sf_dir):
     """One-sample KS vs fitted normal [ref:
-    ddf_library/functions/statistics/kolmogorov_smirnov.py] — erf is not
-    available in DuckDB → rows-only; exactness asserted in tests against a
-    pure-Python ECDF implementation."""
+    ddf_library/functions/statistics/kolmogorov_smirnov.py] — double-exact
+    erf is not available in DuckDB → rows-only; exactness asserted in tests
+    against a pure-Python ECDF implementation.  `ks_test_normal_poly` is
+    the hash-oracled sibling (identical pipeline, portable erf)."""
     d, p = statistics.ks_one_sample_normal(table(spark, sf_dir, "lineitem"), "l_extendedprice")
+    return spark.createDataFrame(
+        [(round(d, 6), round(p, 6))], "d_stat double, p_value double"
+    )
+
+
+@query(
+    "ks_test_normal_poly",
+    sql="""
+    WITH s AS (SELECT AVG(l_extendedprice) AS m, STDDEV(l_extendedprice) AS sd
+               FROM lineitem),
+    xs AS (SELECT l_extendedprice AS val,
+                  (l_extendedprice - (SELECT m FROM s))
+                  / ((SELECT sd FROM s) * SQRT(2.0)) AS x
+           FROM lineitem),
+    ts AS (SELECT val, x, 1.0 / (1.0 + 0.3275911 * ABS(x)) AS t FROM xs),
+    e AS (SELECT val,
+                 0.5 * (1.0
+                   + (CASE WHEN x < 0 THEN -1.0 WHEN x > 0 THEN 1.0 ELSE 0.0 END)
+                   * (1.0 - (((((1.061405429 * t - 1.453152027) * t
+                                + 1.421413741) * t - 0.284496736) * t
+                              + 0.254829592) * t) * EXP(-x * x))) AS cdf
+          FROM ts),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM e),
+    r AS (SELECT cdf, ROW_NUMBER() OVER (ORDER BY val) AS i FROM e),
+    d AS (SELECT MAX(GREATEST(ABS(cdf - (i - 1) / (SELECT n FROM n)),
+                              ABS(i / (SELECT n FROM n) - cdf))) AS d FROM r),
+    t2 AS (SELECT d, d * (SQRT(n) + 0.12 + 0.11 / SQRT(n)) AS t FROM d, n),
+    p AS (SELECT d,
+                 LEAST(1.0, GREATEST(0.0,
+                   2 * SUM((CASE WHEN k % 2 = 1 THEN 1 ELSE -1 END)
+                           * EXP(-2 * (k * t) * (k * t))))) AS p
+          FROM t2, generate_series(1, 100) AS g(k) GROUP BY d, t)
+    SELECT ROUND(d, 6) AS d_stat, ROUND(p, 6) AS p_value FROM p
+    """,
+)
+def ks_test_normal_poly(spark, sf_dir):
+    """One-sample KS vs fitted normal with the A&S 7.1.26 polynomial erf as
+    a pure JVM expression (whole-stage codegen, no Arrow hop).  The oracle
+    recomputes the IDENTICAL polynomial, ECDF, Stephens correction and
+    100-term Kolmogorov series in SQL — full hash parity for the normal KS
+    family (the 'exact'-erf twin stays rows-only only because DuckDB lacks
+    double-precision erf)."""
+    d, p = statistics.ks_one_sample_normal(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice", erf_impl="poly"
+    )
     return spark.createDataFrame(
         [(round(d, 6), round(p, 6))], "d_stat double, p_value double"
     )

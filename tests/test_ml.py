@@ -360,3 +360,28 @@ def test_pagerank_local_string_nodes(spark):
     # symmetric ring -> equal ranks
     assert max(ranks.values()) - min(ranks.values()) < 1e-9
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_erf_poly_expr_accuracy(spark):
+    """The JVM polynomial erf (A&S 7.1.26) stays within its documented
+    1.5e-7 bound of math.erf across the useful range, and the poly-erf KS
+    pipeline agrees with the exact-erf one to ECDF resolution."""
+    from compss_python_spark.functions.statistics import (
+        erf_poly_expr,
+        ks_one_sample_normal,
+    )
+
+    xs = np.linspace(-5, 5, 2001)
+    df = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    got = {r["x"]: r["e"] for r in df.select("x", erf_poly_expr(F.col("x")).alias("e")).collect()}
+    for x in xs:
+        assert abs(got[x] - math.erf(x)) <= 1.6e-7, x
+    assert got[0.0] == 0.0  # signum(0) = 0 → exact zero, matching math.erf
+
+    rng = np.random.default_rng(11)
+    data = pd.DataFrame({"v": rng.normal(5, 2, size=3000)})
+    vdf = spark.createDataFrame(data)
+    d_exact, p_exact = ks_one_sample_normal(vdf, "v")
+    d_poly, p_poly = ks_one_sample_normal(vdf, "v", erf_impl="poly")
+    assert d_poly == pytest.approx(d_exact, abs=2e-7)
+    assert p_poly == pytest.approx(p_exact, abs=1e-4)

@@ -240,3 +240,34 @@ def test_connected_components_star_log_diameter_path(spark):
     assert star == expect
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, local_threshold=0, max_iters=12).collect()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filters=st.one_of(
+        st.none(),
+        st.integers(min_value=0, max_value=4),
+        st.lists(st.integers(min_value=0, max_value=4), min_size=40, max_size=40),
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_property(w, h, ch, seed, filters):
+    """encode_png∘decode_png_pixels == identity for ANY 8-bit image and any
+    per-row filter assignment (pure-Python property — no Spark session)."""
+    import numpy as np
+
+    from compss_python_spark.llm import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    if isinstance(filters, list):
+        filters = filters[:h]
+    png = mm.encode_png(arr, filters=filters)
+    dec = mm.decode_png_pixels(png)
+    assert dec is not None and np.array_equal(dec, arr)
+    # header parse agrees with pixel decode on dimensions
+    fmt, pw, ph, pch, _ = mm.parse_media_header(png)
+    assert (fmt, pw, ph, pch) == ("png", w, h, ch)
