@@ -221,10 +221,17 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 3,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse quantizer →
     corpus partitioned into cells → each query probes its ``nprobe``
     nearest cells → exact cosine re-rank within probed cells.
+
+    ``centroids`` overrides the sample-trained quantizer with a fixed
+    centroid list (e.g. :func:`md5_planes` pseudo-random points) — the
+    assignment, probe and re-rank machinery is then fully deterministic
+    and exactly oracle-checkable; production uses the trained quantizer
+    for cell balance.
 
     The scale path when both sides are large: the corpus is hash-partitioned
     once on cell id; per query only ``nprobe/n_cells`` of the corpus is
@@ -236,7 +243,8 @@ def ivf_topk(
     scale.  Centroids are embedded in the plan as literals — the
     assignment join is a plain equi-join on cell id, no UDFs.
     """
-    centroids = _train_quantizer_sample(corpus, vec_col, n_cells, seed)
+    if centroids is None:
+        centroids = _train_quantizer_sample(corpus, vec_col, n_cells, seed)
 
     # Centroids ride in ONE broadcast row (same pattern as kmeans_lloyd's
     # model packing) instead of n_cells × dim plan literals — a 16×64

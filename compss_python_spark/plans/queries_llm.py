@@ -386,9 +386,72 @@ def similarity_topk_lsh_md5(spark, sf_dir):
 @query("similarity_topk_ivf", sql=None, headline=True)
 def similarity_topk_ivf(spark, sf_dir):
     """IVF ANN (KMeans coarse quantizer, nprobe=3 of 16 cells) — centroid
-    init is engine-specific → rows-only; recall asserted in tests."""
+    init is engine-specific → rows-only; recall asserted in tests.
+    `similarity_topk_ivf_md5` is the hash-oracled sibling (fixed
+    md5-derived centroids prove the assignment/probe/re-rank machinery)."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
+@query(
+    "similarity_topk_ivf_md5",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         cents AS (
+           SELECT j.j AS cell,
+                  list_transform(range(0, 64),
+                    d -> CAST('0x' || substr(md5(concat('9:', j.j, ':', d)), 1, 12) AS BIGINT)
+                         / 140737488355328.0 - 1.0) AS c
+           FROM generate_series(0, 7) j(j)
+         ),
+         cd AS (
+           SELECT v.vec_id, cents.cell,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (v.e[i] - cents.c[i]) * (v.e[i] - cents.c[i]))) AS d2
+           FROM v, cents
+         ),
+         ca AS (SELECT vec_id, cell FROM cd
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+         qd AS (
+           SELECT q.query_id, cents.cell,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (q.qe[i] - cents.c[i]) * (q.qe[i] - cents.c[i]))) AS d2
+           FROM q, cents
+         ),
+         qa AS (SELECT query_id, cell FROM qd
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cell) <= 2),
+         cand AS (SELECT DISTINCT qa.query_id, ca.vec_id AS neighbor_id
+                  FROM qa JOIN ca ON qa.cell = ca.cell
+                  WHERE ca.vec_id <> qa.query_id),
+         scored AS (
+           SELECT c.query_id, c.neighbor_id,
+                  ROUND(LIST_DOT_PRODUCT(q.qe, v.e)
+                        / (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe))
+                           * SQRT(LIST_DOT_PRODUCT(v.e, v.e))), 6) AS cosine
+           FROM cand c JOIN q ON q.query_id = c.query_id
+                       JOIN v ON v.vec_id = c.neighbor_id
+         ),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rn
+           FROM scored)
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def similarity_topk_ivf_md5(spark, sf_dir):
+    """IVF ANN with FIXED md5-derived centroids (same engine-portable
+    pseudo-random trick as `similarity_topk_lsh_md5`): DuckDB recomputes
+    the exact cell assignment (argmin d2, cell tie-break), the nprobe=2
+    probed cells per query, and the in-cell cosine re-rank — full hash
+    parity for the entire IVF search path.  Production
+    (`similarity_topk_ivf`) keeps the sample-trained quantizer for cell
+    balance → rows-only."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = similarity.md5_planes(64, 8, table_id=9)
+    return similarity.ivf_topk(
+        emb, emb.filter("vec_id < 10"), k=5, n_cells=8, nprobe=2, centroids=cents
+    )
 
 
 @query(
