@@ -548,6 +548,65 @@ def embedding_near_dup_pairs(
     )
 
 
+def duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+    use_hash: bool = True,
+    input_partitions: int | None = None,
+) -> DataFrame:
+    """Cross-document duplicate-LINE removal (CCNet / Dolma-style
+    boilerplate stripping: drop every line that occurs verbatim in
+    ``min_docs`` or more distinct documents — navbars, cookie banners,
+    legal footers — and keep the rest of each document intact).
+
+    Lines are keyed on their trimmed text; lines that are empty after
+    trimming are exempt from removal (they carry paragraph structure, and
+    "empty occurs everywhere" would otherwise delete all blank lines).
+    Returns one row per input document:
+    (id_col, n_lines, n_dup_lines, clean_text) where clean_text is the
+    document with duplicated lines removed, remaining lines re-joined with
+    ``sep`` in original order.
+
+    Plan shape at scale: the line explode is narrow; ONE groupBy(line_key)
+    finds cross-doc lines (map-side combined count-distinct); the mark join
+    is an equi-join on the hashed key against the (minority) duplicated-line
+    set — AQE broadcasts it when small, which is the common boilerplate
+    case; ONE groupBy(doc) reassembles.  ``use_hash=True`` keys lines by
+    xxhash64 (8-byte shuffle keys); ``False`` uses md5 strings for
+    engine-portable oracle parity.
+
+    The per-doc reassembly materializes the cleaned text (the common
+    downstream need); memory per doc is bounded by document length, same
+    envelope as any whole-doc transform in this module.
+    """
+    hash_fn = (lambda c: F.xxhash64(c)) if use_hash else (lambda c: F.md5(c))
+    lines = ensure_min_partitions(df, input_partitions=input_partitions).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("_p", "_l"),
+    )
+    keyed = lines.withColumn("_lk", hash_fn(F.trim(F.col("_l"))))
+    dup = (
+        keyed.filter(F.trim(F.col("_l")) != "")
+        .groupBy("_lk")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_lk", F.lit(True).alias("_dup"))
+    )
+    marked = keyed.join(dup, "_lk", "left")
+    kept_sorted = F.filter(
+        F.array_sort(F.collect_list(F.struct("_p", "_dup", "_l"))),
+        lambda x: x["_dup"].isNull(),
+    )
+    return marked.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_dup").isNotNull().cast("long")).cast("long").alias("n_dup_lines"),
+        F.concat_ws(sep, F.transform(kept_sorted, lambda x: x["_l"])).alias("clean_text"),
+    ).withColumnRenamed("_id", id_col)
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

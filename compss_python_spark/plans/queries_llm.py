@@ -951,6 +951,76 @@ def pipeline_curation_full(spark, sf_dir):
 
 
 @query(
+    "dedup_duplicate_lines",
+    headline=True,
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    chunk AS (
+      SELECT doc_id, i, array_to_string(t[(i*8+1):(i*8+8)], ' ') AS line
+      FROM tok, UNNEST(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+    ),
+    lines AS (
+      SELECT doc_id, CAST(-1 AS BIGINT) AS pos,
+             'subscribe to our newsletter today' AS line
+      FROM tok WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, i AS pos, line FROM chunk
+      UNION ALL
+      SELECT doc_id, CAST(1000000 AS BIGINT) AS pos,
+             'all rights reserved worldwide' AS line
+      FROM tok WHERE doc_id % 4 = 0
+    ),
+    dup AS (
+      SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''
+      GROUP BY trim(line) HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT l.doc_id, l.pos, l.line, (d.k IS NOT NULL) AS isdup
+      FROM lines l LEFT JOIN dup d ON trim(l.line) = d.k
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           md5(COALESCE(string_agg(CASE WHEN NOT isdup THEN line END,
+                                   chr(10) ORDER BY pos), '')) AS clean_fp
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_duplicate_lines(spark, sf_dir):
+    """Cross-document duplicate-LINE removal (CCNet / Dolma boilerplate
+    stripping).  The corpus has no newlines, so the query first builds a
+    deterministic multi-line fixture both engines can reproduce: the text
+    re-chunked into 8-word lines, plus a shared newsletter header on
+    doc_id % 3 == 0 and a legal footer on doc_id % 4 == 0.  duplicate_lines
+    must drop the injected boilerplate (and any 8-word chunk that collides
+    across docs) and reassemble the rest in order; clean_fp proves the
+    reassembled text byte-for-byte."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.ceil(F.size(t) / F.lit(8.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * 8 + 1, 8)),
+    )
+    empty = F.array().cast("array<string>")
+    header = F.when(
+        F.col("doc_id") % 3 == 0, F.array(F.lit("subscribe to our newsletter today"))
+    ).otherwise(empty)
+    footer = F.when(
+        F.col("doc_id") % 4 == 0, F.array(F.lit("all rights reserved worldwide"))
+    ).otherwise(empty)
+    fix = docs.select(
+        "doc_id", F.concat_ws("\n", F.concat(header, chunks, footer)).alias("text2")
+    )
+    out = dedup.duplicate_lines(fix, text_col="text2", min_docs=2, use_hash=False)
+    return out.select(
+        "doc_id", "n_lines", "n_dup_lines", F.md5("clean_text").alias("clean_fp")
+    )
+
+
+@query(
     "dedup_duplicate_spans",
     headline=True,
     sql=r"""

@@ -339,3 +339,49 @@ def test_duplicate_spans_planted(spark):
     import hashlib
     orig = "completely different content with no overlap at all"
     assert out[3]["clean_fp"] == hashlib.md5(orig.encode()).hexdigest()
+
+
+def test_duplicate_lines_boilerplate(spark):
+    """Lines repeated across >= min_docs docs are dropped everywhere;
+    unique lines and blank lines survive, order preserved; the xxhash64
+    fast path and the md5 oracle path agree."""
+    import pandas as pd
+
+    from compss_python_spark.llm import dedup
+
+    footer = "all rights reserved"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            f"unique first line\n\nbody of doc one\n{footer}",
+            f"{footer}\nanother body here\n{footer}",
+            "totally unique document\nwith two lines",
+        ],
+    }))
+    for use_hash in (False, True):
+        out = {r["doc_id"]: r for r in
+               dedup.duplicate_lines(docs, use_hash=use_hash).collect()}
+        # footer appears in docs 1 and 2 -> removed from both, including
+        # BOTH occurrences in doc 2
+        assert out[1]["n_lines"] == 4 and out[1]["n_dup_lines"] == 1
+        assert out[1]["clean_text"] == "unique first line\n\nbody of doc one"
+        assert out[2]["n_lines"] == 3 and out[2]["n_dup_lines"] == 2
+        assert out[2]["clean_text"] == "another body here"
+        # untouched doc: identical round-trip (blank line kept in doc 1)
+        assert out[3]["n_dup_lines"] == 0
+        assert out[3]["clean_text"] == "totally unique document\nwith two lines"
+
+
+def test_duplicate_lines_blank_exempt(spark):
+    """Blank lines occur in every doc but are exempt from removal."""
+    import pandas as pd
+
+    from compss_python_spark.llm import dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a\n\nb", "c\n\nd"],
+    }))
+    out = {r["doc_id"]: r for r in dedup.duplicate_lines(docs).collect()}
+    assert out[1]["clean_text"] == "a\n\nb" and out[1]["n_dup_lines"] == 0
+    assert out[2]["clean_text"] == "c\n\nd" and out[2]["n_dup_lines"] == 0
