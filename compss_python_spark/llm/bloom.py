@@ -1,0 +1,151 @@
+"""Bloom-filter membership for corpus-scale dedup / decontamination.
+
+Use case at 100 TB: testing incoming documents against a reference key set
+(already-crawled URLs, benchmark fingerprints, a previous snapshot's doc
+hashes) whose RAW keys are too big to broadcast — 1B 60-byte keys is
+~60 GB — but whose Bloom bitmap at ~10 bits/key is ~1.25 GB and broadcasts
+fine.  False positives (rate set by m/n and k) drop a small, tunable
+fraction of genuinely-novel documents; false negatives are impossible, so
+nothing already seen ever slips through.
+
+Engine-portable hash family (Kirsch–Mitzenmacher double hashing): h1/h2 are
+the first/second 48 bits of md5(key), position_j = (h1 + j*h2) mod m.  Both
+halves are recomputable in ANSI SQL (`CAST('0x'||substr(md5(k),…) AS
+BIGINT)`), so a DuckDB oracle can reproduce the bitmap AND the membership
+verdicts bit-for-bit — including the false positives.
+
+Plan shape: position derivation is a per-row JVM expression (no Python);
+the build is one explode + one map-combined groupBy on byte index (sparse
+path, bounded by the bit count) or per-partition numpy bitmaps OR-merged on
+the driver (dense path, bounded by nbytes × partitions); membership is a
+narrow scan whose only Python is an Arrow-batched numpy bitmap gather.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_MAX_BITMAP_BYTES = 1 << 30  # 1 GiB broadcast budget
+_SPARSE_MAX_SET_BITS = 4_000_000  # above this, collect bitmaps not rows
+
+
+def _h48(col, offset: int):
+    """48-bit integer from md5 hex digits [offset, offset+12) — fits a
+    BIGINT exactly in Spark (`conv`) and DuckDB (`'0x'||substr`)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col, "UTF-8")), offset, 12), 16, 10
+    ).cast("long")
+
+
+def bloom_positions(col, m: int, k: int):
+    """array<long> of the k bit positions for a key: (h1 + j*h2) mod m.
+
+    h1, h2 < 2^48 and j < k, so h1 + j*h2 stays well inside int64 for any
+    practical k (< 2^15)."""
+    h1, h2 = _h48(col, 1), _h48(col, 13)
+    return F.array(*[((h1 + F.lit(j) * h2) % F.lit(m)) for j in range(k)])
+
+
+@dataclass
+class BloomFilter:
+    bits: np.ndarray  # uint8, length ceil(m/8)
+    m: int
+    k: int
+
+    @property
+    def n_set_bits(self) -> int:
+        return int(np.unpackbits(self.bits).sum())
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m: int, k: int = 5, method: str = "auto"
+) -> BloomFilter:
+    """Build a Bloom filter over ``df[key_col]`` (distributed; the driver
+    only ever materializes the bitmap, never the keys).
+
+    ``method='sparse'`` aggregates lit BYTES — one groupBy(byte_index) with
+    map-side bit_or combine, collect bounded by min(k·n, m/8) rows.  Right
+    when the key set is far smaller than m (the usual sizing).
+    ``method='dense'`` has each partition build a local numpy bitmap
+    (Arrow-batched) and ORs the ≤32 bitmaps on the driver — right when
+    k·n approaches m and row-collect would dwarf the bitmap itself.
+    ``'auto'`` picks by a count() probe against a 4M set-bit threshold,
+    the same size-adaptive pattern as graph/components.py.
+    """
+    nbytes = (m + 7) // 8
+    if nbytes > _MAX_BITMAP_BYTES:
+        raise ValueError(
+            f"bloom_build: bitmap of {nbytes} bytes exceeds the "
+            f"{_MAX_BITMAP_BYTES}-byte broadcast budget; shard the filter "
+            "(one per key range) or lower m"
+        )
+    pos = df.select(F.explode(bloom_positions(F.col(key_col), m, k)).alias("p"))
+    if method == "auto":
+        method = "sparse" if df.count() * k <= _SPARSE_MAX_SET_BITS else "dense"
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    if method == "sparse":
+        rows = (
+            pos.select(
+                F.expr("CAST(p DIV 8 AS LONG) AS bidx"),
+                F.expr("shiftleft(1, CAST(p % 8 AS INT)) AS bit"),
+            )
+            .groupBy("bidx")
+            .agg(F.bit_or("bit").alias("bval"))
+            .collect()
+        )
+        for r in rows:
+            bits[r["bidx"]] = r["bval"]
+    elif method == "dense":
+        nparts = max(1, min(32, _MAX_BITMAP_BYTES * 4 // max(nbytes, 1)))
+
+        def to_bitmap(it):
+            local = np.zeros(nbytes, dtype=np.uint8)
+            for pdf in it:
+                p = pdf["p"].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(local, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            yield pd.DataFrame({"bm": [local.tobytes()]})
+
+        for r in pos.coalesce(nparts).mapInPandas(to_bitmap, "bm binary").collect():
+            bits |= np.frombuffer(r["bm"], dtype=np.uint8)
+    else:
+        raise ValueError(f"bloom_build: unknown method {method!r}")
+    return BloomFilter(bits=bits, m=m, k=k)
+
+
+def bloom_contains(
+    df: DataFrame, key_col: str, bf: BloomFilter, output_col: str = "bloom_member"
+) -> DataFrame:
+    """Adds a boolean ``output_col``: true iff all k positions of the key
+    are set — "probably seen" (exact for members, false-positive at the
+    filter's design rate for non-members).  Hashing runs JVM-side; the only
+    Python is a vectorized bitmap gather over the broadcast bits."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bf.bits)
+
+    @pandas_udf("boolean")
+    def _member(pos: pd.Series) -> pd.Series:
+        bits = bc.value
+        if not len(pos):
+            return pd.Series(np.empty(0, dtype=bool))
+        arr = np.array(pos.tolist(), dtype=np.int64)
+        hit = (bits[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    return df.withColumn(
+        output_col, _member(bloom_positions(F.col(key_col), bf.m, bf.k))
+    )
+
+
+def bloom_filter_out(df: DataFrame, key_col: str, bf: BloomFilter) -> DataFrame:
+    """Keep only rows whose key is (probably) NOT in the filter — the
+    incremental-dedup / decontamination action.  By Bloom semantics this
+    never keeps a true member; it drops novel keys at the false-positive
+    rate, the standard price for the 10-100× broadcast saving."""
+    out = bloom_contains(df, key_col, bf, "_bloom_member")
+    return out.filter(~F.col("_bloom_member")).drop("_bloom_member")

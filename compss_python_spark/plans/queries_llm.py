@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from compss_python_spark.llm import dedup, multimodal, similarity, text
+from compss_python_spark.llm import bloom, dedup, multimodal, similarity, text
 from compss_python_spark.plans.registry import query, table
 
 
@@ -947,6 +947,52 @@ def pipeline_curation_full(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.sum((F.col("redacted") != F.col("text")).cast("long")).alias("n_redacted"),
+    )
+
+
+@query(
+    "dedup_bloom_membership",
+    sql="""
+    WITH ref AS (SELECT md5(text) AS rk FROM documents WHERE doc_id % 7 = 0),
+    rh AS (
+      SELECT CAST('0x' || substr(md5(rk), 1, 12) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(rk), 13, 12) AS BIGINT) AS h2
+      FROM ref
+    ),
+    pos AS (
+      SELECT DISTINCT (h1 + j * h2) % 512 AS p
+      FROM rh, generate_series(0, 2) s(j)
+    ),
+    cand AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(md5(text)), 1, 12) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(md5(text)), 13, 12) AS BIGINT) AS h2
+      FROM documents
+    ),
+    memb AS (
+      SELECT doc_id,
+             BOOL_AND(((h1 + j * h2) % 512) IN (SELECT p FROM pos)) AS bloom_member
+      FROM cand, generate_series(0, 2) s(j)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, bloom_member, (doc_id % 7 = 0) AS is_reference FROM memb
+    """,
+)
+def dedup_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership against a reference fingerprint set
+    (incremental crawl dedup / decontamination at bitmap — not raw-key —
+    broadcast cost).  Engine-portable md5 double-hashing means DuckDB
+    reproduces the bitmap and every verdict exactly, INCLUDING the false
+    positives the deliberately-tight m=512 induces; reference docs are
+    members by construction (no false negatives)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("key")
+    )
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    bf = bloom.bloom_build(ref, "key", m=512, k=3, method="sparse")
+    out = bloom.bloom_contains(docs, "key", bf)
+    return out.select(
+        "doc_id", "bloom_member", (F.col("doc_id") % 7 == 0).alias("is_reference")
     )
 
 

@@ -372,6 +372,47 @@ def test_duplicate_lines_boilerplate(spark):
         assert out[3]["clean_text"] == "totally unique document\nwith two lines"
 
 
+def test_bloom_filter_membership(spark):
+    """No false negatives ever; sparse and dense builds produce identical
+    bitmaps; bloom_filter_out never keeps a true member."""
+    import pandas as pd
+
+    from compss_python_spark.llm import bloom
+
+    keys = spark.createDataFrame(
+        pd.DataFrame({"k": [f"seen-{i}" for i in range(200)]})
+    )
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": [f"seen-{i}" for i in range(100)]
+                          + [f"novel-{i}" for i in range(300)]})
+    )
+    sparse = bloom.bloom_build(keys, "k", m=4096, k=4, method="sparse")
+    dense = bloom.bloom_build(keys, "k", m=4096, k=4, method="dense")
+    assert (sparse.bits == dense.bits).all() and sparse.n_set_bits > 0
+    out = {r["k"]: r["bloom_member"]
+           for r in bloom.bloom_contains(probe, "k", sparse).collect()}
+    assert all(out[f"seen-{i}"] for i in range(100))  # no false negatives
+    fp = sum(out[f"novel-{i}"] for i in range(300))
+    # m/n = 20 bits/key, k=4 -> fp rate ~ (1-e^-0.2)^4 ~ 0.1%; allow slack
+    assert fp <= 15
+    kept = bloom.bloom_filter_out(probe, "k", sparse).collect()
+    assert all(r["k"].startswith("novel-") for r in kept)
+    assert len(kept) == 300 - fp
+
+
+def test_bloom_build_guards(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from compss_python_spark.llm import bloom
+
+    keys = spark.createDataFrame(pd.DataFrame({"k": ["a"]}))
+    with _pt.raises(ValueError, match="broadcast budget"):
+        bloom.bloom_build(keys, "k", m=1 << 40)
+    with _pt.raises(ValueError, match="unknown method"):
+        bloom.bloom_build(keys, "k", m=64, method="nope")
+
+
 def test_duplicate_lines_blank_exempt(spark):
     """Blank lines occur in every doc but are exempt from removal."""
     import pandas as pd
