@@ -101,6 +101,75 @@ def histogram_fixed_width(df: DataFrame, col: str, width: float) -> DataFrame:
     )
 
 
+def chi_square_independence(df: DataFrame, col1: str, col2: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns.  Returns a 1-row DataFrame (chi2, dof, n).
+
+    Plan shape: ONE map-combined groupBy(col1, col2) reduces the data to
+    the contingency table (cardinality |col1|·|col2| — tiny relative to the
+    input, so the subsequent margin windows over the table run on a handful
+    of rows regardless of input scale); expected counts and the statistic
+    are pure column arithmetic on that table.
+    """
+    obs = df.groupBy(col1, col2).agg(F.count("*").alias("o"))
+    row_w = Window.partitionBy(col1)
+    col_w = Window.partitionBy(col2)
+    all_w = Window.partitionBy()
+    t = obs.select(
+        F.col("o").cast("double").alias("o"),
+        F.sum("o").over(row_w).cast("double").alias("rt"),
+        F.sum("o").over(col_w).cast("double").alias("ct"),
+        F.sum("o").over(all_w).cast("double").alias("n"),
+        F.size(F.collect_set(col1).over(all_w)).alias("r"),
+        F.size(F.collect_set(col2).over(all_w)).alias("c"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    return t.agg(
+        F.round(F.sum((F.col("o") - e) ** 2 / e), 6).alias("chi2"),
+        ((F.first("r") - 1) * (F.first("c") - 1)).cast("long").alias("dof"),
+        F.first("n").cast("long").alias("n"),
+    )
+
+
+def welch_t_test(
+    df: DataFrame, value_col: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test between ``group_a`` and
+    ``group_b`` of ``group_col``.  Returns a 1-row DataFrame
+    (t_stat, dof, mean_a, mean_b, n_a, n_b); dof is Welch–Satterthwaite.
+
+    ONE map-combined aggregate computes (n, mean, var) per group; the
+    statistic is driver-free column arithmetic on the 2-row result.
+    """
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(group_col)
+        .agg(
+            F.count(value_col).cast("double").alias("n"),
+            F.avg(value_col).alias("m"),
+            F.var_samp(value_col).alias("v"),
+        )
+    )
+    a = g.filter(F.col(group_col) == group_a).select(
+        F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va")
+    )
+    b = g.filter(F.col(group_col) == group_b).select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb")
+    )
+    j = a.crossJoin(b)
+    sa, sb = F.col("va") / F.col("na"), F.col("vb") / F.col("nb")
+    se2 = sa + sb
+    dof = se2**2 / (sa**2 / (F.col("na") - 1) + sb**2 / (F.col("nb") - 1))
+    return j.select(
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+    )
+
+
 def _ks_d_statistic(df: DataFrame, col: str, cdf_of) -> tuple[float, int]:
     """Distributed KS D statistic: max deviation between the ECDF of ``col``
     and the theoretical CDF produced by ``cdf_of(value_column)``.

@@ -276,3 +276,62 @@ def agg_regression_family(spark, sf_dir):
         F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
     )
+
+
+@query(
+    "stats_chi_square",
+    sql="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT o,
+             SUM(o) OVER (PARTITION BY lang) AS rt,
+             SUM(o) OVER (PARTITION BY source) AS ct,
+             SUM(o) OVER () AS n,
+             COUNT(DISTINCT lang) OVER () AS r,
+             COUNT(DISTINCT source) OVER () AS c
+      FROM obs
+    )
+    SELECT ROUND(SUM(POWER(o - rt * ct / n, 2) / (rt * ct / n)), 6) AS chi2,
+           CAST((MIN(r) - 1) * (MIN(c) - 1) AS BIGINT) AS dof,
+           CAST(MIN(n) AS BIGINT) AS n
+    FROM m
+    """,
+)
+def stats_chi_square(spark, sf_dir):
+    """Pearson chi-square independence test: is document language
+    independent of source?  One contingency-table aggregate; margins and
+    the statistic are arithmetic on the (tiny) table."""
+    return statistics.chi_square_independence(
+        table(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@query(
+    "stats_welch_ttest",
+    sql="""
+    WITH g AS (
+      SELECT lang, CAST(COUNT(n_chars) AS DOUBLE) AS n,
+             AVG(n_chars) AS m, VAR_SAMP(n_chars) AS v
+      FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang
+    ),
+    a AS (SELECT n AS na, m AS ma, v AS va FROM g WHERE lang = 'en'),
+    b AS (SELECT n AS nb, m AS mb, v AS vb FROM g WHERE lang = 'fr')
+    SELECT ROUND((ma - mb) / SQRT(va / na + vb / nb), 6) AS t_stat,
+           ROUND(POWER(va / na + vb / nb, 2)
+                 / (POWER(va / na, 2) / (na - 1)
+                    + POWER(vb / nb, 2) / (nb - 1)), 6) AS dof,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM a, b
+    """,
+)
+def stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t test: do English and French documents
+    differ in length?  One per-group moment aggregate + closed-form
+    statistic (Welch–Satterthwaite dof)."""
+    return statistics.welch_t_test(
+        table(spark, sf_dir, "documents"), "n_chars", "lang", "en", "fr"
+    )

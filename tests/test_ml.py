@@ -385,3 +385,53 @@ def test_erf_poly_expr_accuracy(spark):
     d_poly, p_poly = ks_one_sample_normal(vdf, "v", erf_impl="poly")
     assert d_poly == pytest.approx(d_exact, abs=2e-7)
     assert p_poly == pytest.approx(p_exact, abs=1e-4)
+
+
+def test_chi_square_independence_numpy_parity(spark):
+    """Statistic/dof match an independent numpy contingency computation on
+    random categorical data, and equal zero on perfectly independent data."""
+    import numpy as np
+    import pandas as pd
+
+    from compss_python_spark.functions.statistics import chi_square_independence
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 400),
+        "b": rng.choice(["u", "v"], 400),
+    })
+    row = chi_square_independence(spark.createDataFrame(pdf), "a", "b").first()
+    ct = pd.crosstab(pdf["a"], pdf["b"]).to_numpy().astype(float)
+    exp = np.outer(ct.sum(1), ct.sum(0)) / ct.sum()
+    chi2_ref = float(((ct - exp) ** 2 / exp).sum())
+    assert row["chi2"] == pytest.approx(chi2_ref, abs=1e-5)
+    assert row["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert row["n"] == 400
+
+    # balanced 2x2 with identical margins per cell -> chi2 exactly 0
+    flat = pd.DataFrame({"a": ["x", "x", "y", "y"], "b": ["u", "v", "u", "v"]})
+    assert chi_square_independence(spark.createDataFrame(flat), "a", "b").first()["chi2"] == 0.0
+
+
+def test_welch_t_test_numpy_parity(spark):
+    import numpy as np
+    import pandas as pd
+
+    from compss_python_spark.functions.statistics import welch_t_test
+
+    rng = np.random.default_rng(11)
+    xa = rng.normal(10.0, 2.0, 120)
+    xb = rng.normal(9.2, 4.0, 80)
+    pdf = pd.DataFrame({
+        "g": ["a"] * 120 + ["b"] * 80,
+        "v": np.concatenate([xa, xb]),
+    })
+    row = welch_t_test(spark.createDataFrame(pdf), "v", "g", "a", "b").first()
+    na, nb = 120.0, 80.0
+    va, vb = xa.var(ddof=1), xb.var(ddof=1)
+    se2 = va / na + vb / nb
+    t_ref = (xa.mean() - xb.mean()) / np.sqrt(se2)
+    dof_ref = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert row["t_stat"] == pytest.approx(float(t_ref), abs=1e-5)
+    assert row["dof"] == pytest.approx(float(dof_ref), abs=1e-4)
+    assert row["n_a"] == 120 and row["n_b"] == 80
