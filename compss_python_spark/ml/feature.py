@@ -132,6 +132,81 @@ def standard_scaler(df: DataFrame, input_col: str, output_col: str = "scaled",
     )
 
 
+def robust_scaler_scalar(
+    df: DataFrame,
+    input_col: str,
+    output_col: str = "scaled",
+    lower: float = 0.25,
+    upper: float = 0.75,
+) -> DataFrame:
+    """RobustScaler on a scalar column: (x - median) / IQR — outlier-proof
+    standardization.  EXACT interpolated percentiles (type-7: Spark
+    `percentile` == DuckDB `quantile_cont`), computed in ONE aggregate whose
+    1-row result joins back as a broadcast (the standard fit-then-transform
+    shape; no driver round-trip, no second scan)."""
+    stats = df.agg(
+        F.expr(
+            f"percentile({input_col}, array({lower}d, 0.5d, {upper}d))"
+        ).alias("_q")
+    ).select(
+        F.col("_q")[0].alias("_lo"), F.col("_q")[1].alias("_med"), F.col("_q")[2].alias("_hi")
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    return out.withColumn(
+        output_col,
+        (F.col(input_col) - F.col("_med")) / (F.col("_hi") - F.col("_lo")),
+    ).drop("_lo", "_med", "_hi")
+
+
+def bucketizer_scalar(
+    df: DataFrame, input_col: str, splits, output_col: str = "bucket"
+) -> DataFrame:
+    """Bucketizer on a scalar column: bucket i covers [splits[i],
+    splits[i+1]) with the final upper edge inclusive; values outside
+    [splits[0], splits[-1]] map to NULL.  Pure JVM expression (an
+    `aggregate` over the split-array literal) — narrow, codegen'd, no UDF.
+    Use ``float('-inf')`` / ``float('inf')`` endpoints to make the edge
+    buckets unbounded (what :func:`quantile_discretizer` does)."""
+    splits = [float(v) for v in splits]
+    if sorted(splits) != splits or len(splits) < 2:
+        raise ValueError("bucketizer_scalar: splits must be ascending, length >= 2")
+    arr = F.array(*[F.lit(v) for v in splits])
+    x = F.col(input_col)
+    n_ge = F.aggregate(
+        arr, F.lit(0), lambda acc, sp: acc + F.when(x >= sp, 1).otherwise(0)
+    )
+    bucket = F.when(
+        x.isNull() | (x < splits[0]) | (x > splits[-1]), F.lit(None)
+    ).otherwise(F.least(n_ge - 1, F.lit(len(splits) - 2)))
+    return df.withColumn(output_col, bucket.cast("long"))
+
+
+def quantile_discretizer(
+    df: DataFrame,
+    input_col: str,
+    num_buckets: int,
+    output_col: str = "bucket",
+    relative_error: float = 0.0,
+) -> DataFrame:
+    """QuantileDiscretizer: bin a column into ``num_buckets`` equal-frequency
+    buckets.  ``relative_error=0`` computes EXACT interpolated split points
+    (oracle-parity); a positive value uses `percentile_approx` (t-digest,
+    bounded memory — the 100 TB default, where split points are estimates
+    anyway).  The fit collects ONE row of split points (bounded by
+    num_buckets); the transform is the narrow :func:`bucketizer_scalar`
+    expression with open endpoints, so out-of-range future values land in
+    the edge buckets like Spark ML's handleInvalid='keep' edges."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    parr = "array(" + ", ".join(f"{p!r}d" for p in probs) + ")"
+    fn = "percentile" if relative_error == 0.0 else "percentile_approx"
+    extra = "" if relative_error == 0.0 else f", {max(1, int(1 / relative_error))}"
+    row = df.agg(F.expr(f"{fn}({input_col}, {parr}{extra})").alias("_q")).first()
+    internal = sorted(set(float(v) for v in row["_q"]))
+    return bucketizer_scalar(
+        df, input_col, [float("-inf")] + internal + [float("inf")], output_col
+    )
+
+
 def pca(df: DataFrame, input_col: str, k: int, output_col: str = "pca"):
     """[ref: ml/feature.py PCA]"""
     vec = df.withColumn("_v", array_to_vector(F.col(input_col).cast("array<double>")))

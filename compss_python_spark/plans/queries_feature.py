@@ -549,3 +549,64 @@ def ml_dbscan_point_classes(spark, sf_dir):
         ),
         F.sum((F.col("cluster") == -1).cast("bigint")).alias("n_noise"),
     )
+
+
+@query(
+    "ml_robust_scaler",
+    sql="""
+    WITH s AS (
+      SELECT quantile_cont(n_chars, 0.25) AS lo,
+             quantile_cont(n_chars, 0.5) AS med,
+             quantile_cont(n_chars, 0.75) AS hi
+      FROM documents
+    )
+    SELECT doc_id, ROUND((n_chars - med) / (hi - lo), 6) AS scaled
+    FROM documents, s
+    """,
+)
+def ml_robust_scaler(spark, sf_dir):
+    """RobustScaler (median/IQR standardization) on document lengths —
+    exact type-7 percentiles, one stats aggregate broadcast back."""
+    from compss_python_spark.ml.feature import robust_scaler_scalar
+
+    out = robust_scaler_scalar(table(spark, sf_dir, "documents"), "n_chars")
+    return out.select("doc_id", F.round("scaled", 6).alias("scaled"))
+
+
+@query(
+    "ml_quantile_discretizer",
+    sql="""
+    WITH s AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.50) AS q2,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem
+    ),
+    b AS (
+      SELECT CASE WHEN l_extendedprice < q1 THEN 0
+                  WHEN l_extendedprice < q2 THEN 1
+                  WHEN l_extendedprice < q3 THEN 2
+                  ELSE 3 END AS bucket,
+             l_extendedprice AS v
+      FROM lineitem, s
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def ml_quantile_discretizer(spark, sf_dir):
+    """Equal-frequency binning into quartiles: exact split fit (one
+    bounded collect of 3 points) + narrow bucketize expression; the bucket
+    histogram with per-bucket ranges proves split placement AND boundary
+    semantics (split value belongs to the upper bucket)."""
+    from compss_python_spark.ml.feature import quantile_discretizer
+
+    out = quantile_discretizer(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice", 4
+    )
+    return out.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )

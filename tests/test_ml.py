@@ -435,3 +435,35 @@ def test_welch_t_test_numpy_parity(spark):
     assert row["t_stat"] == pytest.approx(float(t_ref), abs=1e-5)
     assert row["dof"] == pytest.approx(float(dof_ref), abs=1e-4)
     assert row["n_a"] == 120 and row["n_b"] == 80
+
+
+def test_bucketizer_scalar_edges(spark):
+    import pandas as pd
+
+    from compss_python_spark.ml.feature import bucketizer_scalar
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [-1.0, 0.0, 0.5, 1.0, 1.5, 2.0, 3.0, None]}))
+    out = {r["v"]: r["bucket"] for r in
+           bucketizer_scalar(df, "v", [0.0, 1.0, 2.0]).collect()}
+    assert out[-1.0] is None and out[3.0] is None and out[None] is None
+    assert out[0.0] == 0 and out[0.5] == 0          # [0,1)
+    assert out[1.0] == 1 and out[1.5] == 1          # [1,2)
+    assert out[2.0] == 1                            # final edge inclusive
+    with pytest.raises(ValueError, match="ascending"):
+        bucketizer_scalar(df, "v", [1.0, 0.0])
+
+
+def test_quantile_discretizer_equal_frequency(spark):
+    import pandas as pd
+
+    from compss_python_spark.ml.feature import quantile_discretizer
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [float(i) for i in range(1000)]}))
+    out = quantile_discretizer(df, "v", 5)
+    counts = {r["bucket"]: r["n"] for r in
+              out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}
+    assert all(180 <= c <= 220 for c in counts.values())
+    # approx path returns the same bucket COUNT structure
+    approx = quantile_discretizer(df, "v", 5, relative_error=0.001)
+    assert approx.select("bucket").distinct().count() == 5
