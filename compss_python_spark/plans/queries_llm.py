@@ -455,6 +455,93 @@ def similarity_topk_ivf_md5(spark, sf_dir):
 
 
 @query(
+    "similarity_topk_ivfpq_md5",
+    headline=True,
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    cents AS (
+      SELECT j.j AS cell,
+             list_transform(range(0, 64),
+               d -> CAST('0x' || substr(md5(concat('21:', j.j, ':', d)), 1, 12) AS BIGINT)
+                    / 140737488355328.0 - 1.0) AS c
+      FROM generate_series(0, 7) j(j)
+    ),
+    cbs AS (
+      SELECT m.m AS m, c.c AS code,
+             list_transform(range(0, 16),
+               d -> CAST('0x' || substr(md5(concat(100 + m.m, ':', c.c, ':', d)), 1, 12) AS BIGINT)
+                    / 140737488355328.0 - 1.0) AS cv
+      FROM generate_series(0, 3) m(m), generate_series(0, 15) c(c)
+    ),
+    cd AS (SELECT v.vec_id, cents.cell,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (v.e[i] - cents.c[i]) * (v.e[i] - cents.c[i]))) AS d2
+           FROM v, cents),
+    ca AS (SELECT vec_id, cell FROM cd
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+    vsd AS (SELECT v.vec_id, cbs.m, cbs.code,
+                   list_sum(list_transform(range(1, 17),
+                     i -> (v.e[cbs.m*16 + i] - cbs.cv[i]) * (v.e[cbs.m*16 + i] - cbs.cv[i]))) AS d2
+            FROM v, cbs),
+    vc AS (SELECT vec_id, m, code FROM vsd
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1),
+    qd AS (SELECT q.query_id, cents.cell,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (q.qe[i] - cents.c[i]) * (q.qe[i] - cents.c[i]))) AS d2
+           FROM q, cents),
+    qa AS (SELECT query_id, cell FROM qd
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cell) <= 2),
+    qsd AS (SELECT q.query_id, cbs.m, cbs.code,
+                   list_sum(list_transform(range(1, 17),
+                     i -> (q.qe[cbs.m*16 + i] - cbs.cv[i]) * (q.qe[cbs.m*16 + i] - cbs.cv[i]))) AS d2
+            FROM q, cbs),
+    cand AS (SELECT qa.query_id, ca.vec_id AS neighbor_id
+             FROM qa JOIN ca ON qa.cell = ca.cell WHERE ca.vec_id <> qa.query_id),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list(qsd.d2 ORDER BY qsd.m)) AS adc_d2
+      FROM cand c
+      JOIN vc ON vc.vec_id = c.neighbor_id
+      JOIN qsd ON qsd.query_id = c.query_id AND qsd.m = vc.m AND qsd.code = vc.code
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, neighbor_id) AS rn
+      FROM adc
+    )
+    SELECT t.query_id, t.neighbor_id, ROUND(t.adc_d2, 6) AS adc_d2,
+           ROUND(LIST_DOT_PRODUCT(q.qe, v.e)
+                 / (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe))
+                    * SQRT(LIST_DOT_PRODUCT(v.e, v.e))), 6) AS cosine,
+           t.rn
+    FROM ranked t
+    JOIN q ON q.query_id = t.query_id
+    JOIN v ON v.vec_id = t.neighbor_id
+    WHERE t.rn <= 5
+    """,
+)
+def similarity_topk_ivfpq_md5(spark, sf_dir):
+    """IVF-PQ ANN (FAISS IVFPQ shape): coarse md5 cells bound the scan,
+    4-byte product-quantization codes + asymmetric-distance table lookups
+    replace dim-wide dot products, exact cosine refine on the winners.
+    Fixed md5-derived centroids AND codebooks mean DuckDB recomputes cell
+    assignment, every PQ code, the ADC sums (identical summation order)
+    and the final ranking — full hash parity for the complete IVF-PQ
+    search path.  Production trains both quantizers on bounded samples
+    (`train_pq_codebooks_sample`); recall covered in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = similarity.md5_planes(64, 8, table_id=21)
+    books = similarity.pq_codebooks_md5(64, 4, 16, base_table_id=100)
+    return similarity.ivfpq_topk(
+        emb, emb.filter("vec_id < 10"), k=5, n_cells=8, nprobe=2,
+        m_sub=4, ksub=16, centroids=cents, codebooks=books,
+    )
+
+
+@query(
     "multimodal_bytes",
     sql="""
     SELECT doc_id AS media_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes

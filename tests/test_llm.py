@@ -426,3 +426,48 @@ def test_duplicate_lines_blank_exempt(spark):
     out = {r["doc_id"]: r for r in dedup.duplicate_lines(docs).collect()}
     assert out[1]["clean_text"] == "a\n\nb" and out[1]["n_dup_lines"] == 0
     assert out[2]["clean_text"] == "c\n\nd" and out[2]["n_dup_lines"] == 0
+
+
+def test_ivfpq_recall_clustered(spark):
+    """IVF-PQ on clustered vectors (realistic embedding structure): ADC
+    alone ranks far above chance; the standard exact-refine on the ADC
+    short-list recovers near-perfect recall.  Also: trained codebooks are
+    deterministic under a fixed seed."""
+    import numpy as np
+    import pandas as pd
+
+    from compss_python_spark.llm import similarity as S
+
+    rng = np.random.default_rng(3)
+    C = rng.normal(0, 5.0, (40, 64))
+    X = np.repeat(C, 12, axis=0) + rng.normal(0, 0.5, (480, 64))
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(480), "embedding": [r.tolist() for r in X]}
+    ))
+    q = emb.filter("vec_id < 20")
+    exact = set()
+    for i in range(20):
+        d2 = ((X - X[i]) ** 2).sum(1)
+        d2[i] = np.inf
+        for j in np.argsort(d2)[:5]:
+            exact.add((i, int(j)))
+    adc = S.ivfpq_topk(emb, q, k=5, n_cells=8, nprobe=4, m_sub=8, ksub=32)
+    got_adc = {(r["query_id"], r["neighbor_id"]) for r in adc.collect()}
+    assert len(exact & got_adc) / len(exact) >= 0.25  # chance is ~0.01
+    ref = S.ivfpq_topk(emb, q, k=5, n_cells=8, nprobe=4, m_sub=8, ksub=32,
+                       refine_factor=4)
+    got_ref = {(r["query_id"], r["neighbor_id"]) for r in ref.collect()}
+    assert len(exact & got_ref) / len(exact) >= 0.9
+    # seeded training is deterministic
+    b1 = S.train_pq_codebooks_sample(emb, "embedding", 4, 8, seed=7)
+    b2 = S.train_pq_codebooks_sample(emb, "embedding", 4, 8, seed=7)
+    assert b1 == b2
+
+
+def test_pq_codebooks_md5_shape_and_guard(spark):
+    from compss_python_spark.llm import similarity as S
+
+    books = S.pq_codebooks_md5(64, 4, 16)
+    assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == 16
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_codebooks_md5(64, 7, 16)
