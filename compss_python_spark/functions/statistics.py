@@ -291,3 +291,100 @@ def _kolmogorov_sf(t: float, terms: int = 100) -> float:
     for k in range(1, terms + 1):
         s += (-1) ** (k - 1) * math.exp(-2.0 * (k * t) ** 2)
     return max(0.0, min(1.0, 2.0 * s))
+
+
+def global_avg_ranks(
+    df: DataFrame, col: str, output_col: str = "rank_avg", num_range_parts: int = 32
+) -> DataFrame:
+    """Average (midrank / tie-corrected) global ranks of ``col`` — the
+    primitive under Spearman correlation and rank-sum tests.  Null values
+    are excluded.
+
+    Scale-correct global ranking WITHOUT a single-partition window: ONE
+    groupBy(value) collapses the data to its distinct values; the distinct
+    table is range-repartitioned so partition i holds values strictly below
+    partition i+1, each partition computes a LOCAL cumulative count, and the
+    per-partition totals (≤ num_range_parts rows — the only driver
+    materialization) come back as a literal offset map.  rank_avg(v) =
+    rows_below(v) + (ties(v)+1)/2 then joins back on value (AQE broadcasts
+    the distinct table when small).  This is the classic distributed
+    prefix-sum; a global Window.orderBy would collapse 100 TB onto one task.
+    """
+    data = df.filter(F.col(col).isNotNull())
+    counts = data.groupBy(col).agg(F.count("*").alias("_cnt"))
+    # persist() pins the range boundaries: repartitionByRange re-samples per
+    # job, so without it the offsets collected below would describe a
+    # DIFFERENT partitioning than the one the final join reads (same pattern
+    # as _ks_d_statistic's vals.persist()).
+    c = (
+        counts.repartitionByRange(num_range_parts, F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    wp = (
+        Window.partitionBy("_pid")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = c.withColumn("_local_less", F.coalesce(F.sum("_cnt").over(wp), F.lit(0)))
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in c.groupBy("_pid").agg(F.sum("_cnt").alias("_t")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t
+    omap = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    ranked = c.select(
+        col,
+        (
+            F.element_at(omap, F.col("_pid"))
+            + F.col("_local_less")
+            + (F.col("_cnt") + 1) / 2.0
+        ).alias(output_col),
+    )
+    return data.join(ranked, col)
+
+
+def spearman_correlation(df: DataFrame, col1: str, col2: str) -> DataFrame:
+    """Spearman rank correlation: Pearson correlation of the tie-corrected
+    average ranks (exact, including ties).  Returns 1 row (spearman, n).
+    Two :func:`global_avg_ranks` passes + one scalar aggregate."""
+    data = df.filter(F.col(col1).isNotNull() & F.col(col2).isNotNull())
+    r1 = global_avg_ranks(data, col1, "_ra")
+    r2 = global_avg_ranks(r1, col2, "_rb")
+    return r2.agg(
+        F.round(F.corr("_ra", "_rb"), 6).alias("spearman"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two groups:
+    U_a = R_a − n_a(n_a+1)/2 with tie-corrected average ranks over the
+    combined sample.  Returns 1 row (u_a, u_b, r_a, n_a, n_b).
+    One rank pass + one 2-row aggregate; U_a + U_b == n_a·n_b always."""
+    data = df.filter(F.col(group_col).isin([group_a, group_b]))
+    ranked = global_avg_ranks(data, value_col, "_r")
+    g = ranked.groupBy(group_col).agg(
+        F.sum("_r").alias("_rsum"), F.count("*").cast("double").alias("_n")
+    )
+    a = g.filter(F.col(group_col) == group_a).select(
+        F.col("_rsum").alias("ra"), F.col("_n").alias("na")
+    )
+    b = g.filter(F.col(group_col) == group_b).select(
+        F.col("_rsum").alias("rb"), F.col("_n").alias("nb")
+    )
+    j = a.crossJoin(b)
+    return j.select(
+        F.round(F.col("ra") - F.col("na") * (F.col("na") + 1) / 2.0, 4).alias("u_a"),
+        F.round(F.col("rb") - F.col("nb") * (F.col("nb") + 1) / 2.0, 4).alias("u_b"),
+        F.round("ra", 4).alias("r_a"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+    )

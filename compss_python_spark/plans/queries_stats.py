@@ -335,3 +335,56 @@ def stats_welch_ttest(spark, sf_dir):
     return statistics.welch_t_test(
         table(spark, sf_dir, "documents"), "n_chars", "lang", "en", "fr"
     )
+
+
+@query(
+    "stats_spearman",
+    sql="""
+    WITH r AS (
+      SELECT RANK() OVER (ORDER BY l_quantity)
+               + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+             RANK() OVER (ORDER BY l_extendedprice)
+               + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+      FROM lineitem
+    )
+    SELECT ROUND(CORR(ra, rb), 6) AS spearman, CAST(COUNT(*) AS BIGINT) AS n
+    FROM r
+    """,
+)
+def stats_spearman(spark, sf_dir):
+    """Spearman rank correlation with exact tie midranks.  Ranks come from
+    the distributed prefix-sum (`global_avg_ranks`: range-partitioned
+    distinct table + per-partition offsets), never a single-partition
+    window; the oracle's global RANK() window is the semantic twin."""
+    return statistics.spearman_correlation(
+        table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "stats_mann_whitney",
+    sql="""
+    WITH d AS (SELECT lang, n_chars FROM documents WHERE lang IN ('en', 'fr')),
+    r AS (
+      SELECT lang,
+             RANK() OVER (ORDER BY n_chars)
+               + (COUNT(*) OVER (PARTITION BY n_chars) - 1) / 2.0 AS rk
+      FROM d
+    ),
+    g AS (SELECT lang, SUM(rk) AS rsum, CAST(COUNT(*) AS DOUBLE) AS n
+          FROM r GROUP BY lang),
+    a AS (SELECT rsum AS ra, n AS na FROM g WHERE lang = 'en'),
+    b AS (SELECT rsum AS rb, n AS nb FROM g WHERE lang = 'fr')
+    SELECT ROUND(ra - na * (na + 1) / 2.0, 4) AS u_a,
+           ROUND(rb - nb * (nb + 1) / 2.0, 4) AS u_b,
+           ROUND(ra, 4) AS r_a,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM a, b
+    """,
+)
+def stats_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U (rank-sum) between English and French document
+    lengths, tie-corrected midranks via the same distributed ranking."""
+    return statistics.mann_whitney_u(
+        table(spark, sf_dir, "documents"), "n_chars", "lang", "en", "fr"
+    )
