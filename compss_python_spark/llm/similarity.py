@@ -425,6 +425,7 @@ def ivfpq_topk(
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     refine_factor: int = 1,
+    encode_impl: str = "numpy",
 ) -> DataFrame:
     """IVF-PQ approximate top-k (the FAISS IVFPQ shape, non-residual):
     coarse IVF cells bound the scan to ``nprobe/n_cells`` of the corpus;
@@ -435,9 +436,14 @@ def ivfpq_topk(
 
     Why this matters at 100 TB: a 64-dim float64 corpus is 512 B/vector;
     PQ codes are m_sub bytes (4 here) — a 128× smaller index that stays
-    partition-local.  Everything is JVM expressions: code assignment is an
-    argmin over the broadcast codebook row, the ADC sum is a zip_with over
-    (table, code) — no Python in the scan path.
+    partition-local.  The relational skeleton (cell equi-join, window
+    top-k) is DataFrame throughout; the per-row encode — the one genuinely
+    flop-dense step (n_cells·dim + m_sub·ksub·dsub per vector) — runs as
+    Arrow-batched numpy by default (``encode_impl='numpy'``), with a pure
+    JVM-expression twin (``'expr'``) that produces BIT-IDENTICAL codes,
+    probes and ADC sums (both accumulate dimensions strictly left-to-right,
+    ties to the lowest cell id), property-tested equal.  The ADC gather
+    itself stays a JVM zip_with — no Python on the candidate stream.
 
     Returns (query_id, neighbor_id, adc_d2, cosine, rn): ADC ranking
     (``rn`` by adc asc, id tie-break) plus the exact cosine computed only
@@ -457,68 +463,144 @@ def ivfpq_topk(
         codebooks = train_pq_codebooks_sample(corpus, vec_col, m_sub, ksub, seed)
 
     spark = corpus.sparkSession
-    cents_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, cvec array<double>",
-    ).agg(F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("_cents"))
-    cbs_df = (
-        spark.createDataFrame(
-            [
-                (m, c, [float(x) for x in w])
-                for m, book in enumerate(codebooks)
-                for c, w in enumerate(book)
-            ],
-            "m int, cell int, cvec array<double>",
-        )
-        .groupBy("m")
-        .agg(F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cells"))
-        .agg(F.array_sort(F.collect_list(F.struct("m", "cells"))).alias("_cbs"))
+    c0 = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
     )
-    model_row = F.broadcast(cents_df.crossJoin(cbs_df))
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    id_type = dict(c0.dtypes)["neighbor_id"]
 
-    def cell_dists(v: Column) -> Column:
-        return F.transform(
-            F.col("_cents"),
-            lambda s: F.struct(_d2_expr(v, s.cvec).alias("d2"), s.cell.alias("cell")),
+    if encode_impl == "numpy":
+        # Arrow-batched encode: the per-row flop count (n_cells·dim +
+        # m_sub·ksub·dsub) makes interpreted higher-order expressions the
+        # bottleneck; numpy does it as batched column ops.  Accumulation is
+        # SEQUENTIAL over dimensions (a Python loop of vectorized adds, the
+        # same left-to-right order as the expression path's `aggregate` and
+        # DuckDB's list_sum), and argmin/argsort-stable tie-break to the
+        # lowest cell id — so codes, probes and ADC sums stay bit-identical
+        # across all three implementations.
+        import numpy as np
+        import pandas as pd
+
+        C = np.array([list(map(float, r)) for r in centroids], dtype=np.float64)
+        B = np.array(
+            [[list(map(float, w)) for w in book] for book in codebooks],
+            dtype=np.float64,
         )
 
-    def subv(v: Column, m: Column) -> Column:
-        return F.slice(v, m * dsub + 1, dsub)
+        def _cell_d2(X: "np.ndarray") -> "np.ndarray":
+            d2 = np.zeros((len(X), len(C)))
+            for i in range(dim):
+                t = X[:, i : i + 1] - C[None, :, i]
+                d2 += t * t
+            return d2
 
-    def pq_code(v: Column) -> Column:
-        return F.transform(
-            F.col("_cbs"),
-            lambda mb: F.array_min(
-                F.transform(
-                    mb.cells,
-                    lambda s: F.struct(
-                        _d2_expr(subv(v, mb.m), s.cvec).alias("d2"),
-                        s.cell.alias("cell"),
-                    ),
+        def _sub_d2(X: "np.ndarray", m: int) -> "np.ndarray":
+            d2 = np.zeros((len(X), B.shape[1]))
+            for i in range(dsub):
+                t = X[:, m * dsub + i : m * dsub + i + 1] - B[m, None, :, i]
+                d2 += t * t
+            return d2
+
+        def enc_corpus(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["_cv"].tolist(), dtype=np.float64)
+                codes = np.stack(
+                    [_sub_d2(X, m).argmin(axis=1) for m in range(m_sub)], axis=1
                 )
-            ).cell,
-        )
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": pdf["neighbor_id"],
+                        "_cv": pdf["_cv"],
+                        "cell": _cell_d2(X).argmin(axis=1).astype("int32"),
+                        "_code": [r.astype(int).tolist() for r in codes],
+                    }
+                )
 
-    def adc_table(v: Column) -> Column:
-        return F.transform(
-            F.col("_cbs"),
-            lambda mb: F.transform(mb.cells, lambda s: _d2_expr(subv(v, mb.m), s.cvec)),
-        )
+        def enc_query(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["_qv"].tolist(), dtype=np.float64)
+                probes = np.argsort(_cell_d2(X), axis=1, kind="stable")[:, :nprobe]
+                tabs = np.stack([_sub_d2(X, m) for m in range(m_sub)], axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "_qv": pdf["_qv"],
+                        "_tab": [t.tolist() for t in tabs],
+                        "_probe": [p.astype(int).tolist() for p in probes],
+                    }
+                )
 
-    c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv"))
-        .crossJoin(model_row)
-        .select(
+        c = c0.mapInPandas(
+            enc_corpus,
+            f"neighbor_id {id_type}, _cv array<double>, cell int, _code array<int>",
+        )
+        q = q0.mapInPandas(
+            enc_query,
+            f"query_id {id_type}, _qv array<double>, _tab array<array<double>>, "
+            "_probe array<int>",
+        ).select("query_id", "_qv", "_tab", F.explode("_probe").alias("cell"))
+    elif encode_impl == "expr":
+        cents_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, cvec array<double>",
+        ).agg(F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("_cents"))
+        cbs_df = (
+            spark.createDataFrame(
+                [
+                    (m, c, [float(x) for x in w])
+                    for m, book in enumerate(codebooks)
+                    for c, w in enumerate(book)
+                ],
+                "m int, cell int, cvec array<double>",
+            )
+            .groupBy("m")
+            .agg(F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cells"))
+            .agg(F.array_sort(F.collect_list(F.struct("m", "cells"))).alias("_cbs"))
+        )
+        model_row = F.broadcast(cents_df.crossJoin(cbs_df))
+
+        def cell_dists(v: Column) -> Column:
+            return F.transform(
+                F.col("_cents"),
+                lambda s: F.struct(_d2_expr(v, s.cvec).alias("d2"), s.cell.alias("cell")),
+            )
+
+        def subv(v: Column, m: Column) -> Column:
+            return F.slice(v, m * dsub + 1, dsub)
+
+        def pq_code(v: Column) -> Column:
+            return F.transform(
+                F.col("_cbs"),
+                lambda mb: F.array_min(
+                    F.transform(
+                        mb.cells,
+                        lambda s: F.struct(
+                            _d2_expr(subv(v, mb.m), s.cvec).alias("d2"),
+                            s.cell.alias("cell"),
+                        ),
+                    )
+                ).cell,
+            )
+
+        def adc_table(v: Column) -> Column:
+            return F.transform(
+                F.col("_cbs"),
+                lambda mb: F.transform(mb.cells, lambda s: _d2_expr(subv(v, mb.m), s.cvec)),
+            )
+
+        c = c0.crossJoin(model_row).select(
             "neighbor_id",
             "_cv",
             F.array_min(cell_dists(F.col("_cv"))).cell.alias("cell"),
             pq_code(F.col("_cv")).alias("_code"),
         )
-    )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv"))
-        .crossJoin(model_row)
-        .select(
+        q = q0.crossJoin(model_row).select(
             "query_id",
             "_qv",
             adc_table(F.col("_qv")).alias("_tab"),
@@ -529,7 +611,8 @@ def ivfpq_topk(
                 )
             ).alias("cell"),
         )
-    )
+    else:
+        raise ValueError(f"ivfpq_topk: unknown encode_impl {encode_impl!r}")
     scored = (
         c.join(q, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
