@@ -1,0 +1,75 @@
+"""Fixed-memory frequency sketches.
+
+Count-Min Sketch: a depth × width counter grid; every key increments one
+counter per row (hash_j(key)), the estimate is the MIN over rows — an
+upper bound on the true count whose overestimate is bounded by
+(e/width)·total with probability 1 − e^(−depth).  The point at 100 TB:
+per-key frequency estimates in depth·width counters — a few KB — instead
+of a groupBy over billions of distinct keys; sketches from different
+partitions/days merge by cell-wise addition, which here is literally the
+same groupBy (the sketch IS a tiny DataFrame).
+
+Hash family: the same engine-portable Kirsch–Mitzenmacher md5 double
+hashing as :mod:`compss_python_spark.llm.bloom` — given (width, depth) the
+entire sketch and every estimate are deterministic and recomputable in
+ANSI SQL, so the oracle can verify not just the semantics but the exact
+collision-induced overestimates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from compss_python_spark.llm.bloom import _h48
+
+
+def _cms_cells(col, width: int, depth: int):
+    """array<struct<j,pos>>: row j's counter index for a key (string col)."""
+    h1, h2 = _h48(col, 1), _h48(col, 13)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), ((h1 + F.lit(j) * h2) % F.lit(width)).alias("pos")
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 3
+) -> DataFrame:
+    """Build a Count-Min sketch over ``df[key_col]`` as a DataFrame of
+    (j, pos, cnt) — at most depth × width rows however large the input.
+    ONE map-combined shuffle keyed on the (well-distributed) counter cell;
+    union two builds and re-aggregate to merge sketches."""
+    cells = df.select(
+        F.explode(_cms_cells(F.col(key_col).cast("string"), width, depth)).alias("c")
+    )
+    return (
+        cells.select(F.col("c.j").alias("j"), F.col("c.pos").alias("pos"))
+        .groupBy("j", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 3,
+    output_col: str = "est_count",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: min over the
+    depth counters (0 for a never-seen key).  The sketch (≤ depth·width
+    rows) broadcasts; the keys side stays partition-local."""
+    k = keys.select(
+        F.col(key_col),
+        F.explode(_cms_cells(F.col(key_col).cast("string"), width, depth)).alias("c"),
+    ).select(key_col, F.col("c.j").alias("j"), F.col("c.pos").alias("pos"))
+    joined = k.join(F.broadcast(sketch), ["j", "pos"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(output_col)
+    )

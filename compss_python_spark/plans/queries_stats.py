@@ -388,3 +388,54 @@ def stats_mann_whitney(spark, sf_dir):
     return statistics.mann_whitney_u(
         table(spark, sf_dir, "documents"), "n_chars", "lang", "en", "fr"
     )
+
+
+@query(
+    "stats_count_min_sketch",
+    sql="""
+    WITH cells AS (
+      SELECT e.user_id, j.j AS j,
+             (CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 12) AS BIGINT)
+              + j.j * CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 13, 12) AS BIGINT)
+             ) % 64 AS pos
+      FROM events e, generate_series(0, 2) j(j)
+    ),
+    sketch AS (SELECT j, pos, COUNT(*) AS cnt FROM cells GROUP BY j, pos),
+    keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+    qc AS (
+      SELECT k.user_id, j.j AS j,
+             (CAST('0x' || substr(md5(CAST(k.user_id AS VARCHAR)), 1, 12) AS BIGINT)
+              + j.j * CAST('0x' || substr(md5(CAST(k.user_id AS VARCHAR)), 13, 12) AS BIGINT)
+             ) % 64 AS pos
+      FROM keys k, generate_series(0, 2) j(j)
+    ),
+    est AS (
+      SELECT qc.user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+      FROM qc LEFT JOIN sketch s ON s.j = qc.j AND s.pos = qc.pos
+      GROUP BY qc.user_id
+    ),
+    exact AS (SELECT user_id, COUNT(*) AS exact_count
+              FROM events WHERE user_id < 20 GROUP BY user_id)
+    SELECT est.user_id, CAST(est.est_count AS BIGINT) AS est_count,
+           CAST(exact.exact_count AS BIGINT) AS exact_count
+    FROM est JOIN exact USING (user_id)
+    """,
+)
+def stats_count_min_sketch(spark, sf_dir):
+    """Count-Min sketch per-user event frequencies (width 64 forces
+    collisions) next to exact counts: the md5 double-hash family makes the
+    whole sketch — including every collision-induced overestimate —
+    bit-reproducible in SQL.  CMS >= exact always; the sketch itself is
+    <= depth*width rows whatever the input size."""
+    from compss_python_spark.functions import sketches
+
+    ev = table(spark, sf_dir, "events")
+    sk = sketches.cms_build(ev, "user_id", width=64, depth=3)
+    keys = ev.filter("user_id < 20").select("user_id").distinct()
+    est = sketches.cms_estimate(sk, keys, "user_id", width=64, depth=3)
+    exact = (
+        ev.filter("user_id < 20")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "user_id")

@@ -467,3 +467,33 @@ def test_quantile_discretizer_equal_frequency(spark):
     # approx path returns the same bucket COUNT structure
     approx = quantile_discretizer(df, "v", 5, relative_error=0.001)
     assert approx.select("bucket").distinct().count() == 5
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS never underestimates, is exact when width is collision-free,
+    and merges by re-aggregation."""
+    import pandas as pd
+
+    from compss_python_spark.functions import sketches
+
+    pdf = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 5 + ["c"] * 2})
+    df = spark.createDataFrame(pdf)
+    keys = spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "c", "never"]}))
+    # wide sketch: no collisions possible among 3 keys over 1024 cells
+    sk = sketches.cms_build(df, "k", width=1024, depth=3)
+    est = {r["k"]: r["est_count"]
+           for r in sketches.cms_estimate(sk, keys, "k", width=1024, depth=3).collect()}
+    assert est == {"a": 10, "b": 5, "c": 2, "never": 0}
+    # tiny sketch: still an upper bound
+    sk2 = sketches.cms_build(df, "k", width=2, depth=2)
+    est2 = {r["k"]: r["est_count"]
+            for r in sketches.cms_estimate(sk2, keys, "k", width=2, depth=2).collect()}
+    assert est2["a"] >= 10 and est2["b"] >= 5 and est2["c"] >= 2
+    # merge = union + re-aggregate
+    merged = (
+        sk.unionByName(sketches.cms_build(df, "k", width=1024, depth=3))
+        .groupBy("j", "pos").agg(F.sum("cnt").alias("cnt"))
+    )
+    est3 = {r["k"]: r["est_count"]
+            for r in sketches.cms_estimate(merged, keys, "k", width=1024, depth=3).collect()}
+    assert est3 == {"a": 20, "b": 10, "c": 4, "never": 0}
