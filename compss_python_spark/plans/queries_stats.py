@@ -439,3 +439,43 @@ def stats_count_min_sketch(spark, sf_dir):
         .agg(F.count("*").alias("exact_count"))
     )
     return est.join(exact, "user_id")
+
+
+@query(
+    "stats_hyperloglog",
+    sql="""
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT CAST(hv % 64 AS INT) AS idx,
+             MAX(CASE WHEN hv // 64 > 0 THEN 42 - length(bin(hv // 64)) + 1
+                      ELSE 43 END) AS rho_max
+      FROM h GROUP BY 1
+    ),
+    agg AS (SELECT SUM(POWER(2.0, -rho_max)) AS s, COUNT(*) AS used FROM reg)
+    SELECT ROUND(CASE WHEN (0.709 * 64 * 64 / (s + (64 - used))) <= 2.5 * 64
+                       AND (64 - used) > 0
+                      THEN 64.0 * LN(64.0 / (64 - used))
+                      ELSE 0.709 * 64 * 64 / (s + (64 - used)) END, 4) AS est,
+           CAST(used AS BIGINT) AS n_registers_used,
+           CAST(64 - used AS BIGINT) AS n_zero_registers,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS exact_distinct
+    FROM agg
+    """,
+)
+def stats_hyperloglog(spark, sf_dir):
+    """Deterministic HyperLogLog (md5 hash family, string-length rho — no
+    float log2) next to the exact distinct count: the oracle reproduces
+    every register and the estimate itself, proving the sketch machinery
+    rather than just its error bound.  Production cardinality estimates
+    use Spark's approx_count_distinct (engine-internal HLL++ → the
+    rows-only `approx_count_distinct` query); this is its oracled
+    from-first-principles sibling."""
+    from compss_python_spark.functions import sketches
+
+    ev = table(spark, sf_dir, "events")
+    est = sketches.hll_estimate(sketches.hll_build(ev, "user_id", b=6), b=6)
+    exact = ev.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact)

@@ -497,3 +497,27 @@ def test_count_min_sketch_properties(spark):
     est3 = {r["k"]: r["est_count"]
             for r in sketches.cms_estimate(merged, keys, "k", width=1024, depth=3).collect()}
     assert est3 == {"a": 20, "b": 10, "c": 4, "never": 0}
+
+
+def test_hyperloglog_accuracy_and_merge(spark):
+    """HLL estimate within the expected error envelope (~13% for m=64) on
+    a few cardinalities; union + re-max merges sketches losslessly."""
+    import pandas as pd
+
+    from compss_python_spark.functions import sketches
+
+    for n in (40, 400, 4000):
+        df = spark.createDataFrame(pd.DataFrame({"k": [f"key-{i}" for i in range(n)]}))
+        est = sketches.hll_estimate(sketches.hll_build(df, "k", b=6), b=6).first()["est"]
+        assert abs(est - n) / n < 0.45, (n, est)  # 3.5σ of 1.04/sqrt(64)
+    a = spark.createDataFrame(pd.DataFrame({"k": [f"key-{i}" for i in range(0, 300)]}))
+    b = spark.createDataFrame(pd.DataFrame({"k": [f"key-{i}" for i in range(200, 500)]}))
+    merged = (
+        sketches.hll_build(a, "k").unionByName(sketches.hll_build(b, "k"))
+        .groupBy("idx").agg(F.max("rho_max").alias("rho_max"))
+    )
+    est_m = sketches.hll_estimate(merged).first()["est"]
+    est_u = sketches.hll_estimate(
+        sketches.hll_build(a.unionByName(b), "k")
+    ).first()["est"]
+    assert est_m == est_u  # merge is exact, not approximate
