@@ -138,3 +138,18 @@ def test_stream_static_enrich_equals_batch(spark, events, events_us_parquet):
     )
     got = {(r["w"]["start"], r["segment"]): r["n"] for r in streamed.collect()}
     assert got == batch
+
+
+def test_stream_cms_equals_batch(spark, events, events_us_parquet):
+    """A Count-Min sketch is one re-aggregable groupBy, so building it over
+    a stream (complete mode) lands on exactly the batch sketch — the
+    incremental-ingest story for the frequency sketch."""
+    from compss_python_spark.functions.sketches import cms_build
+
+    batch = cms_build(events, "user_id", width=64, depth=3)
+    streamed = W.replay_as_stream(
+        spark, events_us_parquet, events.schema,
+        lambda df: cms_build(df, "user_id", width=64, depth=3),
+        "t_cms", output_mode="complete",
+    )
+    assert _canon(streamed) == _canon(batch)
