@@ -548,6 +548,70 @@ def embedding_near_dup_pairs(
     )
 
 
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    input_partitions: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ ``threshold`` over token SETS via PREFIX
+    FILTERING (PPJoin family) — the scalable alternative to both the O(n²)
+    self-join and lossy blocking: two sets with Jaccard ≥ t must share a
+    token within each one's first |T| − ⌈t·|T|⌉ + 1 tokens when every
+    document orders its tokens by ascending GLOBAL frequency.  Prefixes are
+    dominated by rare tokens, so the candidate join is keyed on
+    low-frequency (well-distributed, small-bucket) tokens — no cartesian,
+    no recall loss.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, exact values.
+
+    Plan shape: token explode (narrow) → ONE vocab-frequency aggregate →
+    frequency join (AQE broadcasts a small vocab) → per-doc rank window
+    (partitioned by doc — never global) → prefix-token equi-join for
+    candidates → verification joins the two docs' token sets and computes
+    |∩| with one pair-keyed aggregate.  Every shuffle key is either a
+    token, a doc id, or a pair — all high-cardinality.
+    """
+    toks = ensure_min_partitions(df, input_partitions=input_partitions).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("_tok"),
+    )
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_freq"))
+    w = Window.partitionBy("_id").orderBy("_freq", "_tok")
+    ranked = (
+        toks.join(freq, "_tok")
+        .withColumn("_pos", F.row_number().over(w))
+        .withColumn("_sz", F.count("*").over(Window.partitionBy("_id")))
+    )
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select("_id", "_tok")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_tok")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
+        .distinct()
+    )
+    sets = toks.groupBy("_id").agg(F.collect_set("_tok").alias("_set"))
+    verified = (
+        cand.join(sets.select(F.col("_id").alias("_ida"), F.col("_set").alias("_sa")), "_ida")
+        .join(sets.select(F.col("_id").alias("_idb"), F.col("_set").alias("_sb")), "_idb")
+        .withColumn("_ni", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "_j", F.col("_ni") / (F.size("_sa") + F.size("_sb") - F.col("_ni"))
+        )
+        .filter(F.col("_j") >= threshold)  # filter on the RAW ratio (both
+        # engines compute the identical double); round only for output
+    )
+    return verified.select(
+        F.col("_ida").alias("id_a"),
+        F.col("_idb").alias("id_b"),
+        F.round("_j", 6).alias("jaccard"),
+    )
+
+
 def duplicate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1269,3 +1269,36 @@ def pipeline_span_dedup_curation(spark, sf_dir):
         ).alias("kept_tokens"),
         F.sum("n_covered").alias("total_covered"),
     )
+
+
+@query(
+    "dedup_set_similarity_join",
+    sql=r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(ni / (sa.sz + sb.sz - ni), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ni / (sa.sz + sb.sz - ni) >= 0.95
+    """,
+)
+def dedup_set_similarity_join(spark, sf_dir):
+    """Exact all-pairs token-set Jaccard >= 0.95 via PREFIX FILTERING
+    (PPJoin family): candidates must share a token in their
+    rarest-(global-frequency)-first prefix, so the join keys on rare
+    tokens instead of an O(n^2) cartesian or a lossy block.  The oracle is
+    the BRUTE-FORCE all-pairs computation — a hash match proves the prefix
+    filter loses zero recall."""
+    return dedup.set_similarity_join(
+        table(spark, sf_dir, "documents"), threshold=0.95
+    )

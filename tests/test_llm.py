@@ -502,3 +502,33 @@ def test_ivfpq_numpy_equals_expr_paths(spark):
     with pytest.raises(ValueError, match="unknown encode_impl"):
         S.ivfpq_topk(emb, q, centroids=cents, codebooks=books,
                      encode_impl="nope").collect()
+
+
+def test_set_similarity_join_equals_brute_force(spark):
+    """Prefix filtering loses no recall: output == python brute force over
+    token sets, at two thresholds."""
+    import itertools
+
+    import pandas as pd
+
+    from compss_python_spark.llm import dedup
+
+    texts = {
+        1: "apple banana cherry date egg fig",
+        2: "apple banana cherry date egg grape",
+        3: "apple banana cherry date egg fig",
+        4: "totally different words entirely here now",
+        5: "apple zebra yak xylophone walrus vulture",
+    }
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    ))
+    for thr in (0.5, 0.99):
+        expect = set()
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = set(texts[a].split()), set(texts[b].split())
+            if len(sa & sb) / len(sa | sb) >= thr:
+                expect.add((a, b))
+        got = {(r["id_a"], r["id_b"])
+               for r in dedup.set_similarity_join(df, threshold=thr).collect()}
+        assert got == expect, (thr, got, expect)
