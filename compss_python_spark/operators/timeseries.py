@@ -1,0 +1,69 @@
+"""Time-series resampling: regularize an event stream onto a fixed-interval
+grid per series, filling gaps by carry-forward — the standard prep step
+before windowed feature extraction or downsampled storage (TimescaleDB's
+time_bucket_gapfill / Pandas resample().ffill(), Spark-first).
+
+Plan shape: ONE map-combined groupBy(series, bucket) collapses raw events
+to the grid; per-series bounds are a second tiny aggregate; the spine is a
+`sequence` explode off the bounds row (narrow — no driver loop, no
+cross-join with a calendar table); the fill is a per-series ordered window
+(partitioned by series key, never global).  Each series' state is
+independent — the whole thing scales horizontally with series count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_INTERVALS = {"day": "interval 1 day", "hour": "interval 1 hour",
+              "week": "interval 1 week", "minute": "interval 1 minute"}
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval: str = "day",
+    agg: str = "sum",
+) -> DataFrame:
+    """Aggregate ``value_col`` per (``key_col``, truncated ``ts_col``)
+    bucket, expand each series to EVERY bucket between its first and last
+    observation, and forward-fill buckets with no data.
+
+    Returns (key, bucket, v, v_ffill, is_gap): v is the bucket aggregate
+    (null on gaps), v_ffill carries the last observed aggregate forward,
+    is_gap marks synthesized rows.  The leading bucket is never a gap by
+    construction (bounds start at the first observation), so v_ffill is
+    total.
+    """
+    if interval not in _INTERVALS:
+        raise ValueError(f"resample_ffill: interval must be one of {sorted(_INTERVALS)}")
+    agg_fn = getattr(F, agg)
+    g = (
+        df.groupBy(
+            F.col(key_col).alias("_k"), F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+        )
+        .agg(agg_fn(value_col).alias("v"))
+    )
+    bounds = g.groupBy("_k").agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    spine = bounds.select(
+        "_k",
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, {_INTERVALS[interval]})")
+        ).alias("bucket"),
+    )
+    joined = spine.join(g, ["_k", "bucket"], "left")
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col("_k").alias(key_col),
+        "bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+        F.col("v").isNull().alias("is_gap"),
+    )

@@ -1797,3 +1797,46 @@ def string_distance_functions(spark, sf_dir):
         F.rpad("p_brand", 12, ".").alias("brand_pad"),
         F.translate("p_type", "AEIOU", "aeiou").alias("type_lowvowel"),
     )
+
+
+@query(
+    "timeseries_resample_ffill",
+    sql="""
+    WITH agg AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket, SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+               FROM agg GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.bucket, a.v
+      FROM spine s LEFT JOIN agg a
+        ON a.user_id = s.user_id AND a.bucket = s.bucket
+    )
+    SELECT user_id, bucket,
+           ROUND(v, 4) AS v,
+           ROUND(last_value(v IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING), 4) AS v_ffill,
+           (v IS NULL) AS is_gap
+    FROM j
+    """,
+)
+def timeseries_resample_ffill(spark, sf_dir):
+    """Gap-filled daily resample of per-user event value (TimescaleDB
+    time_bucket_gapfill shape): bucket aggregate -> per-series spine via
+    sequence explode -> forward-fill window partitioned by series.  The
+    oracle mirrors spine generation and the IGNORE NULLS carry-forward."""
+    from compss_python_spark.operators.timeseries import resample_ffill
+
+    out = resample_ffill(
+        table(spark, sf_dir, "events"), "user_id", "ts", "value", "day", "sum"
+    )
+    return out.select(
+        "user_id", "bucket", F.round("v", 4).alias("v"),
+        F.round("v_ffill", 4).alias("v_ffill"), "is_gap",
+    )

@@ -354,3 +354,32 @@ def test_asof_join_tolerance_null_value_rows(spark):
     # and without tolerance: row-wise semantics still pick the nearest ROW's null
     out2 = asof_join(left, right, on="ts", by=["k"], value_cols=["rv"]).collect()
     assert out2[0]["rv"] is None
+
+
+def test_resample_ffill_gaps(spark):
+    """Planted gap days synthesize rows carrying the last aggregate."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from compss_python_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 5), 10.0),
+        ("u1", dt.datetime(2024, 1, 1, 9), 5.0),
+        # Jan 2-3 silent
+        ("u1", dt.datetime(2024, 1, 4, 1), 7.0),
+        ("u2", dt.datetime(2024, 1, 2, 0), 1.0),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "value"]))
+    out = {(r["k"], r["bucket"].day): (r["v"], r["v_ffill"], r["is_gap"])
+           for r in resample_ffill(df, "k", "ts", "value").collect()}
+    assert out[("u1", 1)] == (15.0, 15.0, False)
+    assert out[("u1", 2)] == (None, 15.0, True)
+    assert out[("u1", 3)] == (None, 15.0, True)
+    assert out[("u1", 4)] == (7.0, 7.0, False)
+    assert out[("u2", 2)] == (1.0, 1.0, False)
+    assert len(out) == 5
+    with pytest.raises(ValueError, match="interval"):
+        resample_ffill(df, "k", "ts", "value", interval="fortnight")
