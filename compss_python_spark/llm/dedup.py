@@ -753,3 +753,63 @@ def duplicate_spans(
             ).alias("clean_fp"),
         )
     )
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    col: str,
+    max_distance: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """All DISTINCT string pairs within Levenshtein distance
+    ``max_distance`` via q-gram filtering: strings with edit distance <= k
+    share at least max(|a|,|b|) − q + 1 − k·q q-grams, so candidates only
+    need to share ONE q-gram when every string has length >= (k+1)·q
+    (enforced — shorter corpora should lower q).  A length-difference <= k
+    prefilter cuts the candidate set before the exact `levenshtein`
+    verify (JVM-side, same definition as DuckDB's).
+
+    Plan shape: dedupe to distinct strings (the only corpus-sized shuffle),
+    explode distinct q-grams (narrow), ONE gram-keyed candidate join —
+    gram frequency bounds bucket sizes the way LSH bands do — then verify.
+    Entity-resolution / near-duplicate-title dedup at key-cardinality cost,
+    never string-pair cardinality.
+    """
+    k = max_distance
+    s = df.select(F.col(col).cast("string").alias("_s")).filter(
+        F.col("_s").isNotNull()
+    ).distinct()
+    min_len = s.agg(F.min(F.length("_s")).alias("m")).first()["m"]
+    if min_len is not None and min_len < (k + 1) * q:
+        raise ValueError(
+            f"fuzzy_string_pairs: min string length {min_len} < (k+1)*q = "
+            f"{(k + 1) * q}; the shared-gram filter would lose pairs — "
+            "lower q (or max_distance)"
+        )
+    grams = s.select(
+        "_s",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_s") - q + 1),
+                    lambda i: F.col("_s").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("_g"),
+    )
+    cand = (
+        grams.alias("a")
+        .join(grams.alias("b"), "_g")
+        .filter(
+            (F.col("a._s") < F.col("b._s"))
+            & (
+                F.abs(F.length(F.col("a._s")) - F.length(F.col("b._s"))) <= k
+            )
+        )
+        .select(F.col("a._s").alias("s_a"), F.col("b._s").alias("s_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("distance") <= k)
+    )

@@ -67,3 +67,37 @@ def resample_ffill(
         F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-series rolling z-score: each observation scored against the mean
+    and sample stddev of its ``window_rows`` PRECEDING observations (the
+    point itself excluded, so a spike can't mask itself).  Rows without at
+    least two predecessors get a null z.
+
+    One per-series ordered window — partitioned by the series key, so state
+    is bounded by window_rows per series and parallelism scales with series
+    count.  ``tiebreak_col`` (strongly recommended) makes the frame
+    deterministic when timestamps tie.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    mean, std = F.avg(value_col).over(w), F.stddev_samp(value_col).over(w)
+    return df.select(
+        key_col,
+        ts_col,
+        *( [tiebreak_col] if tiebreak_col else [] ),
+        F.col(value_col).alias("v"),
+        ((F.col(value_col) - mean) / std).alias("z"),
+    )

@@ -1840,3 +1840,35 @@ def timeseries_resample_ffill(spark, sf_dir):
         "user_id", "bucket", F.round("v", 4).alias("v"),
         F.round("v_ffill", 4).alias("v_ffill"), "is_gap",
     )
+
+
+@query(
+    "timeseries_rolling_zscore",
+    sql="""
+    WITH r AS (
+      SELECT user_id, event_id, value AS v,
+             (value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w AS z
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ROUND(v, 4) AS v, ROUND(z, 4) AS z
+    FROM r WHERE ABS(ROUND(z, 4)) > 2.5
+    """,
+)
+def timeseries_rolling_zscore(spark, sf_dir):
+    """Rolling-window anomaly detection: each event scored against the
+    mean/stddev of its 20 PRECEDING events per user (self-excluded frame),
+    anomalies = |z| > 2.5.  One series-partitioned ordered window with an
+    event_id tiebreak for a deterministic frame."""
+    from compss_python_spark.operators.timeseries import rolling_zscore
+
+    out = rolling_zscore(
+        table(spark, sf_dir, "events"), "user_id", "ts", "value",
+        window_rows=20, tiebreak_col="event_id",
+    )
+    return (
+        out.withColumn("z", F.round("z", 4))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("user_id", "event_id", F.round("v", 4).alias("v"), "z")
+    )

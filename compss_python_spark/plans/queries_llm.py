@@ -1302,3 +1302,27 @@ def dedup_set_similarity_join(spark, sf_dir):
     return dedup.set_similarity_join(
         table(spark, sf_dir, "documents"), threshold=0.95
     )
+
+
+@query(
+    "dedup_fuzzy_name_pairs",
+    sql="""
+    WITH names AS (SELECT DISTINCT p_name AS s FROM part)
+    SELECT a.s AS s_a, b.s AS s_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
+    FROM names a JOIN names b
+      ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def dedup_fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy entity resolution: distinct part-name pairs within edit
+    distance 2 via q-gram candidate filtering + exact levenshtein verify.
+    The oracle is BRUTE FORCE over all name pairs — a hash match proves
+    the q=2 shared-gram filter (complete for len >= (k+1)q) loses no
+    pair."""
+    out = dedup.fuzzy_string_pairs(
+        table(spark, sf_dir, "part").select(F.col("p_name")), "p_name",
+        max_distance=2, q=2,
+    )
+    return out.select("s_a", "s_b", F.col("distance").cast("long").alias("distance"))

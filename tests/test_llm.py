@@ -532,3 +532,35 @@ def test_set_similarity_join_equals_brute_force(spark):
         got = {(r["id_a"], r["id_b"])
                for r in dedup.set_similarity_join(df, threshold=thr).collect()}
         assert got == expect, (thr, got, expect)
+
+
+def test_fuzzy_string_pairs_complete(spark):
+    """q-gram filtered pairs == python brute force; the min-length guard
+    raises when the filter could lose pairs."""
+    import itertools
+
+    import pandas as pd
+
+    from compss_python_spark.llm import dedup
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    names = ["blue widget", "blue widgets", "glue widget", "red gearbox",
+             "red gearbux", "green anvil", "blue widget"]
+    df = spark.createDataFrame(pd.DataFrame({"n": names}))
+    got = {(r["s_a"], r["s_b"], r["distance"])
+           for r in dedup.fuzzy_string_pairs(df, "n", max_distance=2, q=2).collect()}
+    uniq = sorted(set(names))
+    expect = {(a, b, lev(a, b)) for a, b in itertools.combinations(uniq, 2)
+              if lev(a, b) <= 2}
+    assert got == expect and len(got) >= 2
+    short = spark.createDataFrame(pd.DataFrame({"n": ["ab", "cd"]}))
+    with pytest.raises(ValueError, match="min string length"):
+        dedup.fuzzy_string_pairs(short, "n", max_distance=2, q=2)
