@@ -610,3 +610,62 @@ def ml_quantile_discretizer(spark, sf_dir):
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "ml_feature_hashing_md5",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 64 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def ml_feature_hashing_md5(spark, sf_dir):
+    """Feature hashing (the hashing trick) into 64 buckets with the
+    portable md5 hash: per-(doc, bucket) term counts, exactly
+    SQL-recomputable — the oracled sibling of the xxhash64 hashing-TF
+    production path (`ml_tfidf_norm`, rows-only).  One narrow bucket
+    expression + one map-combined aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.encode(F.col("t"), "UTF-8")), 1, 12), 16, 10)
+        .cast("long") % 64
+    ).cast("int")
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@query(
+    "ml_hash_folds",
+    sql="""
+    SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                % 5 AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM documents GROUP BY 1
+    """,
+)
+def ml_hash_folds(spark, sf_dir):
+    """Deterministic cross-validation folds: fold = md5(id) % 5 — stable
+    across runs, engines and cluster sizes (unlike randomSplit), so train /
+    eval splits are reproducible and joinable.  Per-fold counts prove the
+    assignment."""
+    docs = table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 12),
+            16, 10,
+        ).cast("long") % 5
+    ).cast("int")
+    return docs.groupBy(fold.alias("fold")).agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )
