@@ -590,3 +590,51 @@ def ml_multinomial_nb(spark, sf_dir):
     return multinomial_nb(
         docs, docs.filter("doc_id % 5 = 0"), "lang", "toks", "doc_id"
     )
+
+
+@query(
+    "graph_k_core",
+    sql="""
+    WITH base AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 45
+    ),
+    e0 AS (SELECT src AS s, dst AS d FROM base
+           UNION SELECT dst, src FROM base),
+    a1 AS (SELECT s FROM e0 GROUP BY s HAVING COUNT(*) >= 3),
+    e1 AS (SELECT e.s, e.d FROM e0 e
+             JOIN a1 x ON x.s = e.s JOIN a1 y ON y.s = e.d),
+    a2 AS (SELECT s FROM e1 GROUP BY s HAVING COUNT(*) >= 3),
+    e2 AS (SELECT e.s, e.d FROM e1 e
+             JOIN a2 x ON x.s = e.s JOIN a2 y ON y.s = e.d),
+    a3 AS (SELECT s FROM e2 GROUP BY s HAVING COUNT(*) >= 3),
+    e3 AS (SELECT e.s, e.d FROM e2 e
+             JOIN a3 x ON x.s = e.s JOIN a3 y ON y.s = e.d),
+    a4 AS (SELECT s FROM e3 GROUP BY s HAVING COUNT(*) >= 3),
+    e4 AS (SELECT e.s, e.d FROM e3 e
+             JOIN a4 x ON x.s = e.s JOIN a4 y ON y.s = e.d),
+    a5 AS (SELECT s FROM e4 GROUP BY s HAVING COUNT(*) >= 3),
+    e5 AS (SELECT e.s, e.d FROM e4 e
+             JOIN a5 x ON x.s = e.s JOIN a5 y ON y.s = e.d)
+    SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e5 GROUP BY s
+    """,
+)
+def graph_k_core(spark, sf_dir):
+    """3-core of the customer-supplier co-purchase graph (l_quantity >= 45
+    keeps ~14k symmetrized edges): iterative peel until min degree >= 3.
+    The oracle UNROLLS 5 peel rounds -- the fixture converges in 2 and
+    peeling is idempotent at the fixpoint, so extra rounds are no-ops and
+    equality proves the converged core + per-node core degrees.  The Spark
+    loop detects its own convergence (count fixpoint) and raises past
+    max_iter rather than returning an unconverged core."""
+    from compss_python_spark.graph.kcore import k_core
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    orders = table(spark, sf_dir, "orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    return k_core(edges, k=3)

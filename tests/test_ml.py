@@ -551,3 +551,41 @@ def test_multinomial_nb_separable(spark):
     # all-OOV doc: every token filtered -> no rows survive the vocab join,
     # so the doc is absent (caller decides a fallback) — document behavior
     assert 12 not in out
+
+
+def test_k_core_known_and_random(spark):
+    """Clique+tail: the clique survives k=3, the tail peels away (including
+    cascade); random graph matches an independent python peel."""
+    import collections
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from compss_python_spark.graph.kcore import k_core
+
+    # K4 on 0-3 plus a path 3-10-11-12
+    edges = list(itertools.combinations(range(4), 2)) + [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    out = {r["node"]: r["degree"] for r in k_core(df, 3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert k_core(df, 5).count() == 0
+
+    rng = np.random.default_rng(23)
+    redges = {tuple(sorted(p)) for p in rng.integers(0, 60, (300, 2)) if p[0] != p[1]}
+    rdf = spark.createDataFrame(pd.DataFrame(sorted(redges), columns=["src", "dst"]))
+    got = {r["node"]: r["degree"] for r in k_core(rdf, 4).collect()}
+    adj = collections.defaultdict(set)
+    for s, d in redges:
+        adj[s].add(d); adj[d].add(s)
+    while True:
+        drop = [n for n, nb in adj.items() if len(nb) < 4]
+        if not drop:
+            break
+        for n in drop:
+            for nb in adj[n]:
+                adj[nb].discard(n)
+            del adj[n]
+    assert got == {n: len(nb) for n, nb in adj.items()}
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(rdf, 0)
