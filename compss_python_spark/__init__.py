@@ -18,8 +18,12 @@ Public entry points
 - ``compss_python_spark.operators.*`` — plain-function operator layer over
   DataFrames (the facade delegates here).
 - ``compss_python_spark.llm`` — large-scale training-data-pipeline operators
-  (dedup, similarity search, text analysis, multimodal columns) beyond the
-  reference surface.
+  (dedup incl. line/span/Bloom/fuzzy/set-similarity, similarity search incl.
+  IVF-PQ, text analysis, multimodal columns) beyond the reference surface.
+- ``compss_python_spark.functions.sketches`` — Count-Min / HyperLogLog with
+  an engine-portable md5 hash family.
+- ``compss_python_spark.operators.timeseries`` — gap-filled resample,
+  rolling z-score anomalies.
 """
 
 from compss_python_spark.session import get_spark

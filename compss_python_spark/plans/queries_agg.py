@@ -182,7 +182,9 @@ def count_rows_total(spark, sf_dir):
 )
 def approx_count_distinct_q(spark, sf_dir):
     """HLL++ approximate distinct — engine extension; approximate by design
-    → rows-only check (exactness asserted in tests within rsd)."""
+    → rows-only check (exactness asserted in tests within rsd).  Oracled
+    sibling: `stats_hyperloglog` reproduces a from-first-principles HLL —
+    registers and estimate — exactly in SQL."""
     return table(spark, sf_dir, "lineitem").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
     )
