@@ -101,3 +101,50 @@ def rolling_zscore(
         F.col(value_col).alias("v"),
         ((F.col(value_col) - mean) / std).alias("z"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval: str = "day",
+    agg: str = "sum",
+) -> DataFrame:
+    """Like :func:`resample_ffill` but gaps are LINEARLY INTERPOLATED
+    between the surrounding observed buckets (sensor/metric semantics,
+    where a gap means "no reading", not "zero"): returns
+    (key, bucket, v, v_interp, is_gap).  Interior gaps interpolate on the
+    epoch-seconds axis; the spine is bounded by each series' first/last
+    observation, so every gap has both neighbors by construction.
+
+    Two additional per-series window passes (previous / next observed
+    value+time via IGNORE NULLS frames) on top of the ffill plan — still
+    nothing global.
+    """
+    base = resample_ffill(df, key_col, ts_col, value_col, interval, agg)
+    t = F.unix_timestamp("bucket").cast("double")
+    obs_t = F.when(F.col("v").isNotNull(), t)
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pt = F.last(obs_t, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nt = F.first(obs_t, ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * (t - pt) / (nt - pt))
+    )
+    return base.select(
+        key_col, "bucket", "v", interp.alias("v_interp"), "is_gap"
+    )

@@ -1874,3 +1874,61 @@ def timeseries_rolling_zscore(spark, sf_dir):
         .filter(F.abs(F.col("z")) > 2.5)
         .select("user_id", "event_id", F.round("v", 4).alias("v"), "z")
     )
+
+
+@query(
+    "timeseries_resample_interpolate",
+    sql="""
+    WITH agg AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket, SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+               FROM agg GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.bucket, a.v
+      FROM spine s LEFT JOIN agg a
+        ON a.user_id = s.user_id AND a.bucket = s.bucket
+    ),
+    wins AS (
+      SELECT user_id, bucket, v,
+             epoch(bucket) AS t,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN epoch(bucket) END
+                        IGNORE NULLS) OVER wp AS pt,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN epoch(bucket) END
+                         IGNORE NULLS) OVER wn AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket, ROUND(v, 4) AS v,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 4)
+             AS v_interp,
+           (v IS NULL) AS is_gap
+    FROM wins
+    """,
+)
+def timeseries_resample_interpolate(spark, sf_dir):
+    """Daily resample with LINEAR interpolation across gaps (sensor
+    semantics) — same spine as the ffill variant, interpolating on the
+    epoch-seconds axis with IGNORE NULLS neighbor windows."""
+    from compss_python_spark.operators.timeseries import resample_interpolate
+
+    out = resample_interpolate(
+        table(spark, sf_dir, "events"), "user_id", "ts", "value", "day", "sum"
+    )
+    return out.select(
+        "user_id", "bucket", F.round("v", 4).alias("v"),
+        F.round("v_interp", 4).alias("v_interp"), "is_gap",
+    )

@@ -383,3 +383,22 @@ def test_resample_ffill_gaps(spark):
     assert len(out) == 5
     with pytest.raises(ValueError, match="interval"):
         resample_ffill(df, "k", "ts", "value", interval="fortnight")
+
+
+def test_resample_interpolate_linear(spark):
+    """A 3-day interior gap interpolates linearly between neighbors."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from compss_python_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 12), 10.0),
+        # Jan 2-4 silent
+        ("u1", dt.datetime(2024, 1, 5, 3), 50.0),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "value"]))
+    out = {r["bucket"].day: r["v_interp"]
+           for r in resample_interpolate(df, "k", "ts", "value").collect()}
+    assert out == {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0, 5: 50.0}
