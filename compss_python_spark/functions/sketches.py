@@ -80,38 +80,48 @@ def cms_estimate(
 _HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
 
-def hll_build(df: DataFrame, key_col: str, b: int = 6) -> DataFrame:
+def hll_build(
+    df: DataFrame, key_col: str, b: int = 6, group_cols: list[str] | None = None
+) -> DataFrame:
     """HyperLogLog registers over ``df[key_col]`` as a DataFrame of
-    (idx, rho_max) — at most 2^b rows.  The 48-bit md5 hash splits into a
-    b-bit register index (low bits) and a (48−b)-bit pattern w; rho is the
-    leading-zero count of w plus one, computed EXACTLY via the length of
-    w's minimal binary string (Spark `conv(…,10,2)` == DuckDB `bin()`) —
-    no float log2, so registers are bit-reproducible in SQL.  ONE
-    map-combined groupBy(idx).max; merge sketches by union + re-max."""
+    ([group_cols...,] idx, rho_max) — at most 2^b rows per group.  The
+    48-bit md5 hash splits into a b-bit register index (low bits) and a
+    (48−b)-bit pattern w; rho is the leading-zero count of w plus one,
+    computed EXACTLY via the length of w's minimal binary string (Spark
+    `conv(…,10,2)` == DuckDB `bin()`) — no float log2, so registers are
+    bit-reproducible in SQL.  ONE map-combined groupBy; merge sketches by
+    union + re-max.  ``group_cols`` gives per-group cardinality sketches
+    (e.g. distinct users per event type) from the same single pass."""
     m = 1 << b
+    g = list(group_cols or [])
     h = _h48(F.col(key_col).cast("string"), 1)
     w = F.floor(h / m).cast("long")
     width = 48 - b
     binlen = F.length(F.conv(w.cast("string"), 10, 2))
     rho = F.when(w > 0, F.lit(width) - binlen + 1).otherwise(F.lit(width) + 1)
     return (
-        df.select((h % m).cast("int").alias("idx"), rho.cast("int").alias("_rho"))
-        .groupBy("idx")
+        df.select(
+            *g, (h % m).cast("int").alias("idx"), rho.cast("int").alias("_rho")
+        )
+        .groupBy(*g, "idx")
         .agg(F.max("_rho").alias("rho_max"))
     )
 
 
-def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
-    """Cardinality estimate from HLL registers: 1 row
-    (est, n_registers_used, n_zero_registers).  Flajolet et al.'s raw
-    estimator with the standard small-range linear-counting correction.
-    The indicator sum Σ2^−M is a sum of dyadic rationals that fits a
-    double's mantissa exactly (exponent spread b + (48−b−53) < 53), so the
-    estimate is deterministic regardless of aggregation order — the SQL
-    oracle reproduces it to the last bit before rounding."""
+def hll_estimate(
+    registers: DataFrame, b: int = 6, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Cardinality estimate from HLL registers: one row per group
+    ([group_cols...,] est, n_registers_used, n_zero_registers).  Flajolet
+    et al.'s raw estimator with the standard small-range linear-counting
+    correction.  The indicator sum Σ2^−M is a sum of dyadic rationals that
+    fits a double's mantissa exactly (exponent spread b + (48−b−53) < 53),
+    so the estimate is deterministic regardless of aggregation order — the
+    SQL oracle reproduces it to the last bit before rounding."""
     m = 1 << b
+    g = list(group_cols or [])
     alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
-    agg = registers.agg(
+    agg = registers.groupBy(*g).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho_max"))).alias("_s"),
         F.count("*").alias("_used"),
     )
@@ -122,6 +132,7 @@ def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
         (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     ).otherwise(raw)
     return agg.select(
+        *g,
         F.round(est, 4).alias("est"),
         F.col("_used").cast("long").alias("n_registers_used"),
         (F.lit(m) - F.col("_used")).cast("long").alias("n_zero_registers"),

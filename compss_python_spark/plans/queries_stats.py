@@ -479,3 +479,52 @@ def stats_hyperloglog(spark, sf_dir):
     est = sketches.hll_estimate(sketches.hll_build(ev, "user_id", b=6), b=6)
     exact = ev.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
     return est.crossJoin(exact)
+
+
+@query(
+    "stats_hll_per_group",
+    sql="""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, CAST(hv % 64 AS INT) AS idx,
+             MAX(CASE WHEN hv // 64 > 0 THEN 42 - length(bin(hv // 64)) + 1
+                      ELSE 43 END) AS rho_max
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (SELECT event_type, SUM(POWER(2.0, -rho_max)) AS s, COUNT(*) AS used
+            FROM reg GROUP BY 1),
+    est AS (
+      SELECT event_type,
+             ROUND(CASE WHEN (0.709 * 64 * 64 / (s + (64 - used))) <= 2.5 * 64
+                         AND (64 - used) > 0
+                        THEN 64.0 * LN(64.0 / (64 - used))
+                        ELSE 0.709 * 64 * 64 / (s + (64 - used)) END, 4) AS est,
+             CAST(used AS BIGINT) AS n_registers_used,
+             CAST(64 - used AS BIGINT) AS n_zero_registers
+      FROM agg
+    ),
+    exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+              FROM events GROUP BY 1)
+    SELECT est.event_type, est.est, est.n_registers_used, est.n_zero_registers,
+           CAST(exact.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est JOIN exact USING (event_type)
+    """,
+)
+def stats_hll_per_group(spark, sf_dir):
+    """Per-group HLL: distinct users per event type from ONE pass of
+    register building (groupBy(event_type, idx)) — the groupBy-sketch shape
+    that replaces count_distinct's per-group sort/dedup at 100 TB.  Exact
+    distinct alongside for calibration; oracle reproduces every register."""
+    from compss_python_spark.functions import sketches
+
+    ev = table(spark, sf_dir, "events")
+    reg = sketches.hll_build(ev, "user_id", b=6, group_cols=["event_type"])
+    est = sketches.hll_estimate(reg, b=6, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
