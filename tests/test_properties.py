@@ -271,3 +271,84 @@ def test_png_codec_roundtrip_property(w, h, ch, seed, filters):
     # header parse agrees with pixel decode on dimensions
     fmt, pw, ph, pch, _ = mm.parse_media_header(png)
     assert (fmt, pw, ph, pch) == ("png", w, h, ch)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["footer line", "header bar", "body alpha",
+                             "body beta", "unique gamma", ""]),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=8,
+    ),
+    min_docs=st.integers(2, 3),
+)
+@SETTINGS
+def test_duplicate_lines_properties(spark, texts, min_docs):
+    """Invariants on random line corpora: (1) after removal, no non-blank
+    line occurs in >= min_docs distinct docs; (2) kept lines preserve
+    original relative order; (3) n_lines == input line count."""
+    from compss_python_spark.llm import dedup
+
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": ["\n".join(t) for t in texts],
+    })
+    out = {r["doc_id"]: r for r in dedup.duplicate_lines(
+        spark.createDataFrame(pdf), min_docs=min_docs).collect()}
+    import collections
+    docs_per_line = collections.defaultdict(set)
+    for i, t in enumerate(texts):
+        for ln in t:
+            if ln.strip():
+                docs_per_line[ln].add(i)
+    dup = {ln for ln, ds in docs_per_line.items() if len(ds) >= min_docs}
+    for i, t in enumerate(texts):
+        kept = [ln for ln in t if ln not in dup or not ln.strip()]
+        assert out[i]["clean_text"] == "\n".join(kept), (i, t)
+        assert out[i]["n_lines"] == len(t)
+        assert out[i]["n_dup_lines"] == sum(1 for ln in t if ln in dup and ln.strip())
+
+
+@given(
+    keys=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                  min_size=1, max_size=30, unique=True),
+    probes=st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                    min_size=1, max_size=20, unique=True),
+    m=st.sampled_from([64, 256]),
+    k=st.integers(2, 4),
+)
+@SETTINGS
+def test_bloom_no_false_negatives_property(spark, keys, probes, m, k):
+    from compss_python_spark.llm import bloom
+
+    kdf = spark.createDataFrame(pd.DataFrame({"x": keys}))
+    pdf_ = spark.createDataFrame(pd.DataFrame({"x": probes}))
+    bf = bloom.bloom_build(kdf, "x", m=m, k=k)
+    got = {r["x"]: r["bloom_member"]
+           for r in bloom.bloom_contains(pdf_, "x", bf).collect()}
+    for p in probes:
+        if p in set(keys):
+            assert got[p] is True  # false negatives are impossible
+
+
+@given(
+    vals=st.lists(st.integers(0, 8), min_size=1, max_size=60),
+    width=st.sampled_from([2, 8, 64]),
+)
+@SETTINGS
+def test_cms_upper_bound_property(spark, vals, width):
+    from compss_python_spark.functions import sketches
+
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    keys = spark.createDataFrame(pd.DataFrame({"x": sorted(set(vals))}))
+    sk = sketches.cms_build(df, "x", width=width, depth=3)
+    est = {r["x"]: r["est_count"]
+           for r in sketches.cms_estimate(sk, keys, "x", width=width, depth=3).collect()}
+    import collections
+    true = collections.Counter(vals)
+    total = len(vals)
+    for v, c in true.items():
+        assert est[v] >= c          # never underestimates
+        assert est[v] <= total      # bounded by stream size
