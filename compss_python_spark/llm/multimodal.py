@@ -302,10 +302,24 @@ def _build_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
-def _build_wav(sample_rate: int, channels: int, n_samples: int = 4) -> bytes:
-    """Minimal real WAV: RIFF/WAVE + PCM fmt chunk + silent data chunk."""
+def _build_wav(
+    sample_rate: int, channels: int, n_samples: int = 4, seed: int | None = None
+) -> bytes:
+    """Minimal real WAV: RIFF/WAVE + PCM fmt chunk + data chunk.  With
+    ``seed`` the data carries a deterministic int16 PCM pattern
+    (value_j = ((seed·31 + j·7919) mod 65536) − 32768 over the interleaved
+    sample index j) — integer arithmetic an oracle can recompute exactly;
+    without it the payload is silence (back-compat)."""
+    import numpy as np
+
     block_align = channels * 2
-    data = b"\x00" * (n_samples * block_align)
+    total = n_samples * channels
+    if seed is None:
+        data = b"\x00" * (n_samples * block_align)
+    else:
+        j = np.arange(total, dtype=np.int64)
+        vals = ((seed * 31 + j * 7919) % 65536) - 32768
+        data = vals.astype("<i2").tobytes()
     fmt = (
         b"fmt " + (16).to_bytes(4, "little")
         + (1).to_bytes(2, "little")
@@ -339,7 +353,10 @@ def synthesize_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     return _build_png(w, h)
                 if kind == 1:
                     return _build_jpeg(w, h)
-                return _build_wav(8000 + 4000 * (i % 8), 1 + i % 2)
+                return _build_wav(
+                    8000 + 4000 * (i % 8), 1 + i % 2,
+                    n_samples=32 + i % 97, seed=i,
+                )
 
             yield pd.DataFrame(
                 {"media_id": ids, "payload": ids.map(payload)}
@@ -573,3 +590,80 @@ def png_pixel_stats(media: DataFrame, id_col: str = "media_id",
             )
 
     return media.select(id_col, payload_col).mapInPandas(stats, PIXEL_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real WAV PCM decode (stdlib only — no audio libraries)
+
+
+def decode_wav_samples(payload: bytes):
+    """Decode a PCM WAV payload into (channels, int16 numpy array of
+    interleaved samples).  Walks RIFF chunks directly; raises ValueError on
+    non-WAV or non-16-bit-PCM payloads.  No codec involved — PCM is raw
+    little-endian int16, which is why audio (unlike entropy-coded JPEG)
+    gets a REAL decode with zero dependencies."""
+    import numpy as np
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, channels, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if int.from_bytes(body[0:2], "little") != 1:
+                raise ValueError("not PCM")
+            channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if channels is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got {bits}")
+    return channels, np.frombuffer(data, dtype="<i2")
+
+
+def wav_sample_stats(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio feature extraction over binary WAV payloads:
+    (id, channels, n_samples, sum_pcm, sumsq_pcm, peak) per file, from the
+    decoded int16 samples.  Sums are exact INTEGERS, so the stats are
+    bit-stable across engines and partitionings — the same
+    oracle-at-the-sample-level trick as the PNG pixel decode.  Arrow-batched
+    mapInPandas; non-WAV payloads are skipped (filter upstream on format)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    ch, samples = decode_wav_samples(payload)
+                except ValueError:
+                    continue
+                s = samples.astype(np.int64)
+                out.append(
+                    (
+                        int(mid),
+                        ch,
+                        int(len(s) // ch),
+                        int(s.sum()),
+                        int((s * s).sum()),
+                        int(np.abs(s).max()) if len(s) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "channels", "n_samples", "sum_pcm", "sumsq_pcm", "peak"],
+            )
+
+    return media.mapInPandas(
+        stats,
+        f"{id_col} long, channels int, n_samples long, sum_pcm long, "
+        "sumsq_pcm long, peak long",
+    )

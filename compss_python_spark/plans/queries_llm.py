@@ -1326,3 +1326,37 @@ def dedup_fuzzy_name_pairs(spark, sf_dir):
         max_distance=2, q=2,
     )
     return out.select("s_a", "s_b", F.col("distance").cast("long").alias("distance"))
+
+
+@query(
+    "multimodal_wav_sample_stats",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, 1 + doc_id % 2 AS channels, 32 + doc_id % 97 AS n_samples
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    s AS (
+      SELECT w.doc_id, w.channels, w.n_samples,
+             ((w.doc_id * 31 + j.j * 7919) % 65536) - 32768 AS v
+      FROM w, UNNEST(range(0, w.n_samples * w.channels)) AS j(j)
+    )
+    SELECT doc_id AS media_id, CAST(channels AS INT) AS channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_pcm,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq_pcm,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM s GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_wav_sample_stats(spark, sf_dir):
+    """REAL audio decode end-to-end: deterministic int16 PCM waveforms are
+    packed into real RIFF/WAVE containers (value_j = ((id*31 + j*7919) mod
+    65536) - 32768), then decoded back by the byte-level PCM reader and
+    reduced to exact-integer sample stats.  The oracle recomputes the
+    waveform from the closed form, so a hash match proves container
+    walking, fmt parsing and sample decode byte-for-byte — the audio
+    counterpart of multimodal_png_pixel_stats.  (PCM needs no codec;
+    entropy-coded JPEG remains the one documented stub.)"""
+    media = multimodal.synthesize_real_media(table(spark, sf_dir, "documents"))
+    wavs = media.filter(F.col("media_id") % 3 == 2)
+    return multimodal.wav_sample_stats(wavs)

@@ -1,5 +1,6 @@
 """Multimodal plumbing tests: schema, determinism, batch shapes."""
 
+import pytest
 from pyspark.sql import types as T
 
 from compss_python_spark.llm import multimodal as mm
@@ -181,3 +182,31 @@ def test_extract_features_real_png_path(spark, sf_dir):
         for cc in range(3):
             assert abs(f[2 * cc] - arr[:, :, cc].mean() / 255.0) < 1e-6
             assert abs(f[2 * cc + 1] - arr[:, :, cc].std() / 255.0) < 1e-6
+
+
+def test_wav_sample_stats_roundtrip(spark):
+    """Synthesized PCM decodes back to the exact generation formula."""
+    import pandas as pd
+
+    from compss_python_spark.llm import multimodal as mm
+
+    payloads = [(i, mm._build_wav(16000, 1 + i % 2, n_samples=8, seed=i))
+                for i in (2, 5, 8)]
+    df = spark.createDataFrame(
+        pd.DataFrame(payloads, columns=["media_id", "payload"])
+    )
+    out = {r["media_id"]: r for r in mm.wav_sample_stats(df).collect()}
+    for i, _ in payloads:
+        ch = 1 + i % 2
+        vals = [((i * 31 + j * 7919) % 65536) - 32768 for j in range(8 * ch)]
+        assert out[i]["channels"] == ch and out[i]["n_samples"] == 8
+        assert out[i]["sum_pcm"] == sum(vals)
+        assert out[i]["sumsq_pcm"] == sum(v * v for v in vals)
+        assert out[i]["peak"] == max(abs(v) for v in vals)
+    # non-WAV payloads are skipped, not fatal
+    bad = spark.createDataFrame(
+        pd.DataFrame([(1, b"not a wav")], columns=["media_id", "payload"])
+    )
+    assert mm.wav_sample_stats(bad).count() == 0
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav_samples(b"junk")
