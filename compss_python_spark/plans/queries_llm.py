@@ -1360,3 +1360,56 @@ def multimodal_wav_sample_stats(spark, sf_dir):
     media = multimodal.synthesize_real_media(table(spark, sf_dir, "documents"))
     wavs = media.filter(F.col("media_id") % 3 == 2)
     return multimodal.wav_sample_stats(wavs)
+
+
+@query(
+    "text_corpus_drift_kl",
+    sql=r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents
+    ),
+    st AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, SUM(c) AS ts FROM st GROUP BY 1),
+    ct AS (SELECT t, SUM(c) AS cc FROM st GROUP BY 1),
+    ctot AS (SELECT SUM(cc) AS tc FROM ct)
+    SELECT st.source,
+           ROUND(SUM((st.c / stot.ts)
+                     * LN((st.c / stot.ts) / (ct.cc / ctot.tc))), 4) AS kl,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(MIN(stot.ts) AS BIGINT) AS n_occurrences
+    FROM st
+    JOIN stot USING (source)
+    JOIN ct USING (t)
+    CROSS JOIN ctot
+    GROUP BY st.source
+    """,
+)
+def text_corpus_drift_kl(spark, sf_dir):
+    """Corpus drift monitor: KL(P_source || P_corpus) over token unigram
+    distributions, per source — the distribution-shift alarm a production
+    corpus pipeline runs per ingest batch.  No smoothing needed: every
+    source token exists in the corpus by construction.  Two map-combined
+    aggregates + arithmetic; sums are rounded(4) against cross-engine
+    accumulation-order ulp."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    st = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    stot = st.groupBy("source").agg(F.sum("c").alias("ts"))
+    ct = st.groupBy("t").agg(F.sum("c").alias("cc"))
+    ctot = ct.agg(F.sum("cc").alias("tc"))
+    p = F.col("c") / F.col("ts")
+    q = F.col("cc") / F.col("tc")
+    return (
+        st.join(stot, "source")
+        .join(ct, "t")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 4).alias("kl"),
+            F.count("*").alias("n_tokens"),
+            F.min("ts").cast("long").alias("n_occurrences"),
+        )
+    )
