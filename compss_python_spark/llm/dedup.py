@@ -762,18 +762,23 @@ def fuzzy_string_pairs(
     q: int = 2,
 ) -> DataFrame:
     """All DISTINCT string pairs within Levenshtein distance
-    ``max_distance`` via q-gram filtering: strings with edit distance <= k
-    share at least max(|a|,|b|) − q + 1 − k·q q-grams, so candidates only
-    need to share ONE q-gram when every string has length >= (k+1)·q
-    (enforced — shorter corpora should lower q).  A length-difference <= k
-    prefilter cuts the candidate set before the exact `levenshtein`
-    verify (JVM-side, same definition as DuckDB's).
+    ``max_distance`` via q-gram PREFIX filtering (ED-Join, Xiao et al.):
+    strings with edit distance <= k share at least max(|a|,|b|) − q + 1 −
+    k·q q-grams, so under a global gram ordering (ascending corpus
+    frequency) two such strings must share a gram within each one's FIRST
+    k·q + 1 grams.  Candidates therefore join only on rarest-first
+    prefixes — bucket sizes are bounded by rare-gram frequencies, never by
+    stopword grams like "th" — with no recall loss (requires every string
+    length >= (k+1)·q, enforced; shorter corpora should lower q).  A
+    length-difference <= k prefilter cuts candidates before the exact
+    `levenshtein` verify (JVM-side, same definition as DuckDB's).
 
     Plan shape: dedupe to distinct strings (the only corpus-sized shuffle),
-    explode distinct q-grams (narrow), ONE gram-keyed candidate join —
-    gram frequency bounds bucket sizes the way LSH bands do — then verify.
-    Entity-resolution / near-duplicate-title dedup at key-cardinality cost,
-    never string-pair cardinality.
+    explode distinct q-grams (narrow), one gram-frequency aggregate, a
+    per-string rank window (partitioned by string — never global), ONE
+    prefix-gram candidate join, then verify.  Entity-resolution /
+    near-duplicate-title dedup at key-cardinality cost, never string-pair
+    cardinality.
     """
     k = max_distance
     s = df.select(F.col(col).cast("string").alias("_s")).filter(
@@ -797,9 +802,17 @@ def fuzzy_string_pairs(
             )
         ).alias("_g"),
     )
+    freq = grams.groupBy("_g").agg(F.count("*").alias("_freq"))
+    wp = Window.partitionBy("_s").orderBy("_freq", "_g")
+    prefix = (
+        grams.join(freq, "_g")
+        .withColumn("_pos", F.row_number().over(wp))
+        .filter(F.col("_pos") <= k * q + 1)
+        .select("_s", "_g")
+    )
     cand = (
-        grams.alias("a")
-        .join(grams.alias("b"), "_g")
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_g")
         .filter(
             (F.col("a._s") < F.col("b._s"))
             & (
