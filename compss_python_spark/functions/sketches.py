@@ -43,8 +43,11 @@ def cms_build(
     """Build a Count-Min sketch over ``df[key_col]`` as a DataFrame of
     (j, pos, cnt) — at most depth × width rows however large the input.
     ONE map-combined shuffle keyed on the (well-distributed) counter cell;
-    union two builds and re-aggregate to merge sketches."""
-    cells = df.select(
+    union two builds and re-aggregate to merge sketches.  Null keys are
+    excluded explicitly (md5(null) is null, so they could never hash to a
+    cell; the filter makes that contract visible rather than an accident
+    of explode-drops-null)."""
+    cells = df.filter(F.col(key_col).isNotNull()).select(
         F.explode(_cms_cells(F.col(key_col).cast("string"), width, depth)).alias("c")
     )
     return (
@@ -64,7 +67,9 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for every row of ``keys``: min over the
     depth counters (0 for a never-seen key).  The sketch (≤ depth·width
-    rows) broadcasts; the keys side stays partition-local."""
+    rows) broadcasts; the keys side stays partition-local.  Null keys are
+    dropped (they were never counted; see :func:`cms_build`)."""
+    keys = keys.filter(F.col(key_col).isNotNull())
     k = keys.select(
         F.col(key_col),
         F.explode(_cms_cells(F.col(key_col).cast("string"), width, depth)).alias("c"),
@@ -91,9 +96,12 @@ def hll_build(
     `conv(…,10,2)` == DuckDB `bin()`) — no float log2, so registers are
     bit-reproducible in SQL.  ONE map-combined groupBy; merge sketches by
     union + re-max.  ``group_cols`` gives per-group cardinality sketches
-    (e.g. distinct users per event type) from the same single pass."""
+    (e.g. distinct users per event type) from the same single pass.
+    Null keys are excluded (a null contributes no distinct value; without
+    the filter md5(null) would register a spurious idx=null row)."""
     m = 1 << b
     g = list(group_cols or [])
+    df = df.filter(F.col(key_col).isNotNull())
     h = _h48(F.col(key_col).cast("string"), 1)
     w = F.floor(h / m).cast("long")
     width = 48 - b

@@ -110,8 +110,17 @@ def chi_square_independence(df: DataFrame, col1: str, col2: str) -> DataFrame:
     input, so the subsequent margin windows over the table run on a handful
     of rows regardless of input scale); expected counts and the statistic
     are pure column arithmetic on that table.
+
+    Null categories are EXCLUDED up front (standard contingency-table
+    convention, and it keeps r/c consistent with the margins: collect_set
+    drops nulls, so admitting null rows would understate dof while
+    inflating n).
     """
-    obs = df.groupBy(col1, col2).agg(F.count("*").alias("o"))
+    obs = (
+        df.filter(F.col(col1).isNotNull() & F.col(col2).isNotNull())
+        .groupBy(col1, col2)
+        .agg(F.count("*").alias("o"))
+    )
     row_w = Window.partitionBy(col1)
     col_w = Window.partitionBy(col2)
     all_w = Window.partitionBy()
@@ -181,11 +190,14 @@ def _ks_d_statistic(df: DataFrame, col: str, cdf_of) -> tuple[float, int]:
     """
     spark = df.sparkSession
     nparts = max(df.rdd.getNumPartitions(), 1)
+    # localCheckpoint pins the sampled range boundaries immutably (a lost
+    # persist()ed partition would be recomputed with re-sampled boundaries,
+    # silently desynchronizing pid offsets from the data the rank job reads).
     vals = (
         df.select(F.col(col).alias("v"))
         .repartitionByRange(nparts, "v")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = {r["pid"]: r["c"] for r in vals.groupBy("pid").agg(F.count("*").alias("c")).collect()}
     n = sum(counts.values())
@@ -209,7 +221,6 @@ def _ks_d_statistic(df: DataFrame, col: str, cdf_of) -> tuple[float, int]:
         .agg(F.max("d").alias("d"))
         .first()
     )
-    vals.unpersist()
     return d_row["d"], n
 
 
@@ -312,14 +323,17 @@ def global_avg_ranks(
     """
     data = df.filter(F.col(col).isNotNull())
     counts = data.groupBy(col).agg(F.count("*").alias("_cnt"))
-    # persist() pins the range boundaries: repartitionByRange re-samples per
-    # job, so without it the offsets collected below would describe a
-    # DIFFERENT partitioning than the one the final join reads (same pattern
-    # as _ks_d_statistic's vals.persist()).
+    # localCheckpoint(eager=True) pins the range boundaries IMMUTABLY:
+    # repartitionByRange re-samples per job, and a merely persist()ed
+    # partition lost to eviction/executor failure would be recomputed with
+    # freshly re-sampled boundaries — silently breaking the offset map the
+    # final join reads.  Checkpointed partitions have no lineage to replay,
+    # so the partitioning the offsets describe is the one every downstream
+    # job reads (and there is no cached table left to unpersist).
     c = (
         counts.repartitionByRange(num_range_parts, F.col(col))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     wp = (
         Window.partitionBy("_pid")

@@ -77,17 +77,21 @@ def bloom_build(
     k·n approaches m and row-collect would dwarf the bitmap itself.
     ``'auto'`` picks by a count() probe against a 4M set-bit threshold,
     the same size-adaptive pattern as graph/components.py.
+
+    Null keys are excluded from the build (a null hashes to nothing; see
+    :func:`bloom_contains`, which reports null keys as non-members).
     """
     nbytes = (m + 7) // 8
     if nbytes > _MAX_BITMAP_BYTES:
         raise ValueError(
             f"bloom_build: bitmap of {nbytes} bytes exceeds the "
-            f"{_MAX_BITMAP_BYTES}-byte broadcast budget; shard the filter "
-            "(one per key range) or lower m"
+            f"{_MAX_BITMAP_BYTES}-byte broadcast budget; use "
+            "bloom_build_sharded (one bitmap per key range) or lower m"
         )
-    pos = df.select(F.explode(bloom_positions(F.col(key_col), m, k)).alias("p"))
+    keys = df.filter(F.col(key_col).isNotNull())
+    pos = keys.select(F.explode(bloom_positions(F.col(key_col), m, k)).alias("p"))
     if method == "auto":
-        method = "sparse" if df.count() * k <= _SPARSE_MAX_SET_BITS else "dense"
+        method = "sparse" if keys.count() * k <= _SPARSE_MAX_SET_BITS else "dense"
     bits = np.zeros(nbytes, dtype=np.uint8)
     if method == "sparse":
         rows = (
@@ -123,8 +127,12 @@ def bloom_contains(
 ) -> DataFrame:
     """Adds a boolean ``output_col``: true iff all k positions of the key
     are set — "probably seen" (exact for members, false-positive at the
-    filter's design rate for non-members).  Hashing runs JVM-side; the only
-    Python is a vectorized bitmap gather over the broadcast bits."""
+    filter's design rate for non-members).  Null keys are reported as
+    non-members without touching the bitmap (they were never built in; the
+    F.when short-circuit also keeps nulls out of the Arrow batch, where a
+    null position array would poison the numpy gather).  Hashing runs
+    JVM-side; the only Python is a vectorized bitmap gather over the
+    broadcast bits."""
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(bf.bits)
 
@@ -137,8 +145,14 @@ def bloom_contains(
         hit = (bits[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1
         return pd.Series(hit.all(axis=1))
 
+    key = F.col(key_col)
+    # The coalesce keeps the Arrow batch null-free even if Spark evaluates
+    # the UDF branch on every row (CASE WHEN does not short-circuit Python
+    # UDF evaluation); the outer when() then forces null keys to False.
+    safe_pos = bloom_positions(F.coalesce(key, F.lit("")), bf.m, bf.k)
     return df.withColumn(
-        output_col, _member(bloom_positions(F.col(key_col), bf.m, bf.k))
+        output_col,
+        F.when(key.isNull(), F.lit(False)).otherwise(_member(safe_pos)),
     )
 
 

@@ -634,7 +634,11 @@ def wav_sample_stats(
     decoded int16 samples.  Sums are exact INTEGERS, so the stats are
     bit-stable across engines and partitionings — the same
     oracle-at-the-sample-level trick as the PNG pixel decode.  Arrow-batched
-    mapInPandas; non-WAV payloads are skipped (filter upstream on format)."""
+    mapInPandas; non-WAV payloads are skipped (filter upstream on format).
+    The id column keeps its INPUT type (string uuid, long, …) — it is
+    passed through untouched and the output schema is derived from the
+    input schema, the same pattern as ivfpq_topk."""
+    id_type = dict(media.dtypes)[id_col]
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -649,7 +653,7 @@ def wav_sample_stats(
                 s = samples.astype(np.int64)
                 out.append(
                     (
-                        int(mid),
+                        mid,
                         ch,
                         int(len(s) // ch),
                         int(s.sum()),
@@ -664,6 +668,6 @@ def wav_sample_stats(
 
     return media.mapInPandas(
         stats,
-        f"{id_col} long, channels int, n_samples long, sum_pcm long, "
+        f"{id_col} {id_type}, channels int, n_samples long, sum_pcm long, "
         "sumsq_pcm long, peak long",
     )

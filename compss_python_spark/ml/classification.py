@@ -262,6 +262,13 @@ def multinomial_nb(
     LEFT so in-vocab tokens unseen in a class contribute the smoothed
     floor, and takes a per-document argmax window.  Returns
     (id_col, prediction, score) with deterministic label tie-break.
+
+    Documents with zero in-vocabulary tokens (empty token array, or all
+    tokens OOV) still get a prediction: the prior-argmax class with
+    score = its log-prior — the textbook degenerate case, delivered via a
+    left-anti join of test ids against the scored set plus a 1-row
+    broadcast of the best prior.  Callers therefore always get exactly one
+    output row per test id.
     """
     tok = train.select(F.col(label_col).alias("_y"), F.explode(tokens_col).alias("_t"))
     counts = tok.groupBy("_y", "_t").agg(F.count("*").alias("_c"))
@@ -293,7 +300,7 @@ def multinomial_nb(
         .withColumn("_score", F.col("_s") + F.col("_logprior"))
     )
     w = Window.partitionBy("_id").orderBy(F.desc("_score"), F.asc("_y"))
-    return (
+    preds = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
@@ -302,3 +309,20 @@ def multinomial_nb(
             F.round("_score", 6).alias("score"),
         )
     )
+    # Token-free documents (all tokens OOV) fall back to the prior argmax.
+    wp = Window.partitionBy().orderBy(F.desc("_logprior"), F.asc("_y"))
+    best_prior = (
+        priors.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_y").alias("prediction"),
+            F.round("_logprior", 6).alias("score"),
+        )
+    )
+    missing = (
+        test.select(F.col(id_col))
+        .distinct()
+        .join(preds.select(id_col), id_col, "left_anti")
+        .crossJoin(F.broadcast(best_prior))
+    )
+    return preds.unionByName(missing)

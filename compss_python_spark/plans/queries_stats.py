@@ -283,7 +283,9 @@ def agg_regression_family(spark, sf_dir):
     sql="""
     WITH obs AS (
       SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
-      FROM documents GROUP BY lang, source
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY lang, source
     ),
     m AS (
       SELECT o,

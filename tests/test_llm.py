@@ -400,6 +400,46 @@ def test_bloom_filter_membership(spark):
     assert len(kept) == 300 - fp
 
 
+def test_bloom_null_keys(spark):
+    """Null keys: excluded from the build, reported as non-members in
+    bloom_contains (no crash in the Arrow gather), kept by filter_out."""
+    import pandas as pd
+
+    from compss_python_spark.llm import bloom
+
+    keys = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b", None, "c"]}), "k string"
+    )
+    bf = bloom.bloom_build(keys, "k", m=1024, k=3)
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", None, "zzz-novel"]}), "k string"
+    )
+    out = {r["k"]: r["bloom_member"]
+           for r in bloom.bloom_contains(probe, "k", bf).collect()}
+    assert out["a"] is True and out[None] is False
+    kept = [r["k"] for r in bloom.bloom_filter_out(probe, "k", bf).collect()]
+    assert None in kept  # null = "never seen" -> survives decontamination
+
+
+def test_sketch_null_keys(spark):
+    """CMS and HLL exclude null keys: counts/cardinalities over non-null
+    values only, no idx=null register rows."""
+    import pandas as pd
+
+    from compss_python_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["x", "x", None, "y", None]}), "k string"
+    )
+    sk = sketches.cms_build(df, "k", width=64, depth=2)
+    est = {r["k"]: r["est_count"]
+           for r in sketches.cms_estimate(sk, df.distinct(), "k", 64, 2).collect()}
+    assert est == {"x": 2, "y": 1}  # null key dropped from the probe too
+    regs = sketches.hll_build(df, "k")
+    assert regs.filter("idx IS NULL").count() == 0
+    assert sketches.hll_estimate(regs).first()["n_registers_used"] <= 2
+
+
 def test_bloom_build_guards(spark):
     import pandas as pd
     import pytest as _pt

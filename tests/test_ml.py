@@ -544,13 +544,16 @@ def test_multinomial_nb_separable(spark):
                  ["bake", "sugar"],                  # cooky
                  ["neverseen", "alsonever"]],        # all OOV -> prior tie
     })
-    out = {r["doc_id"]: r["prediction"] for r in multinomial_nb(
+    rows = {r["doc_id"]: r for r in multinomial_nb(
         spark.createDataFrame(train), spark.createDataFrame(test),
         "y", "toks", "doc_id").collect()}
+    out = {k: r["prediction"] for k, r in rows.items()}
     assert out[10] == "sport" and out[11] == "cook"
-    # all-OOV doc: every token filtered -> no rows survive the vocab join,
-    # so the doc is absent (caller decides a fallback) — document behavior
-    assert 12 not in out
+    # all-OOV doc: every token is filtered by the vocab join, so the doc
+    # falls back to the prior argmax (equal priors here -> label-asc tie
+    # break = "cook") with score = its log prior; one row per test id always
+    assert out[12] == "cook"
+    assert abs(rows[12]["score"] - math.log(0.5)) < 1e-5
 
 
 def test_k_core_known_and_random(spark):

@@ -210,3 +210,10 @@ def test_wav_sample_stats_roundtrip(spark):
     assert mm.wav_sample_stats(bad).count() == 0
     with pytest.raises(ValueError, match="RIFF"):
         mm.decode_wav_samples(b"junk")
+    # string (uuid-style) media ids pass through with their input type
+    sdf = spark.createDataFrame(
+        pd.DataFrame([("uuid-7", mm._build_wav(16000, 1, n_samples=4, seed=7))],
+                     columns=["media_id", "payload"])
+    )
+    srow = mm.wav_sample_stats(sdf).first()
+    assert srow["media_id"] == "uuid-7" and srow["n_samples"] == 4
