@@ -18,22 +18,42 @@ from compss_python_spark.plans import queries_feature  # noqa: F401
 from compss_python_spark.plans import queries_io  # noqa: F401
 
 # The driver's CORRECTNESS check records only the first ~50 REGISTRY entries
-# per round (dict order).  Reorder so queries without a driver row from a
-# prior round come first — each round then proves a fresh batch.  Tiers:
-# SLOT_PRIORITY (fixed red rows, never-slotted queries, and queries whose
-# implementations changed this round), then any other unproven additions
-# (new queries land here automatically), then proven.  Relative order
-# within each tier is preserved (stable partition).
+# per round (dict order).  Reorder so the window proves what needs proving,
+# in tiers (stable within each tier):
+#   0. hand-pinned SLOT_PRIORITY (rare),
+#   1. unproven queries (new additions land here automatically),
+#   2. proven queries whose TRANSITIVE module dependencies are in this
+#      round's CHANGED_MODULES (computed by _depmap — a shared-helper
+#      refactor re-proves its dependents even though their bodies didn't
+#      change),
+#   3. a deterministic rotating canary of otherwise-untouched proven
+#      queries (walks the whole proven set over rounds),
+#   4. the remaining proven queries.
+import pathlib as _pathlib  # noqa: E402
+
+from compss_python_spark.plans import _depmap  # noqa: E402
 from compss_python_spark.plans._proven import (  # noqa: E402
+    CHANGED_MODULES,
     PROVEN,
+    PROVEN_R6,
     SLOT_PRIORITY,
 )
 
-_rank = {n: (0, i) for i, n in enumerate(SLOT_PRIORITY)}
+PROVEN_ALL: frozenset[str] = PROVEN | PROVEN_R6
+
+_reslot = _depmap.reslot_for_changed(REGISTRY, PROVEN_ALL, CHANGED_MODULES)
+_round = _depmap.current_round(_pathlib.Path(__file__).resolve().parents[2])
+_canary_pool = [n for n in REGISTRY if n in PROVEN_ALL and n not in _reslot]
+_canary = _depmap.canary(_canary_pool, _round)
+
+_rank: dict[str, tuple] = {}
+for _tier, _names in ((0, SLOT_PRIORITY), (2, _reslot), (3, _canary)):
+    for _i, _n in enumerate(_names):
+        _rank.setdefault(_n, (_tier, _i))
 _order = sorted(
     REGISTRY,
     key=lambda n, _i=iter(range(len(REGISTRY))): (
-        _rank.get(n, (3,) if n in PROVEN else (2,)),
+        _rank.get(n, (4,) if n in PROVEN_ALL else (1,)),
         next(_i),
     ),
 )
@@ -41,4 +61,4 @@ _entries = {n: REGISTRY[n] for n in _order}
 REGISTRY.clear()
 REGISTRY.update(_entries)
 
-__all__ = ["REGISTRY", "QuerySpec", "query", "table"]
+__all__ = ["REGISTRY", "QuerySpec", "query", "table", "PROVEN_ALL"]

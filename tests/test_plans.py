@@ -215,3 +215,36 @@ def test_q2_min_cost_broadcasts_dims(spark, sf_dir):
     the lineitem aggregate is the only shuffled input."""
     plan = _plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_depmap_reslots_dependents_of_changed_modules():
+    """The driver-window slotter re-proves every proven query whose
+    TRANSITIVE deps include a changed module — a shared-helper refactor
+    cannot hide behind its dependents' unchanged bodies."""
+    import compss_python_spark.plans as plans
+    from compss_python_spark.plans import PROVEN_ALL, _depmap
+
+    deps = _depmap.query_dependencies(plans.REGISTRY)
+    # direct dependency: spearman's body calls functions.statistics
+    assert "functions.statistics" in deps["stats_spearman"]
+    # transitive: the sketch queries reach llm.bloom only through
+    # functions.sketches (which imports bloom's hash helper)
+    assert "llm.bloom" in deps["stats_count_min_sketch"]
+    reslot = _depmap.reslot_for_changed(
+        plans.REGISTRY, PROVEN_ALL, {"functions.statistics"}
+    )
+    assert "stats_spearman" in reslot and "stats_mann_whitney" in reslot
+    # untouched-family queries are NOT dragged in
+    assert "tpch_q1_pricing_summary" not in reslot
+    assert _depmap.reslot_for_changed(plans.REGISTRY, PROVEN_ALL, set()) == ()
+
+
+def test_depmap_canary_rotates_deterministically():
+    from compss_python_spark.plans import _depmap
+
+    pool = [f"q{i}" for i in range(10)]
+    c1 = _depmap.canary(pool, round_no=1, k=4)
+    c2 = _depmap.canary(pool, round_no=2, k=4)
+    assert c1 == _depmap.canary(pool, round_no=1, k=4)  # deterministic
+    assert c1 != c2  # walks the pool
+    assert set(c1) | set(c2) <= set(pool) and len(c1) == 4
