@@ -221,6 +221,17 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
+    return _finish_lsh_pairs(
+        sig, banded, buckets, "bhash", num_hashes, threshold, max_bucket, drop_metrics
+    )
+
+
+def _finish_lsh_pairs(
+    sig, banded, buckets, bucket_key, num_hashes, threshold, max_bucket, drop_metrics
+):
+    """Shared tail of the banded-LSH pipelines: in-bucket pair explode →
+    distinct → signature join → agreement filter, plus the optional
+    drop-metrics aggregate.  ``sig`` must be persisted; released here."""
     cand = (
         buckets.select(
             F.explode(
@@ -263,7 +274,7 @@ def minhash_lsh_pairs(
         # map-combined so the exchange carries one long per bucket per map
         # partition — no id lists move.
         m = (
-            banded.groupBy("band", "bhash")
+            banded.groupBy("band", bucket_key)
             .agg(F.count("*").alias("sz"))
             .agg(
                 F.coalesce(
@@ -280,6 +291,66 @@ def minhash_lsh_pairs(
         drop_metrics.update(m.asDict())
     sig.unpersist()
     return result
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    drop_metrics: dict | None = None,
+) -> DataFrame:
+    """Engine-portable twin of :func:`minhash_lsh_pairs`: 48-bit
+    md5('shingle#seed') signatures over word n-gram STRING shingles (the
+    exact formula `dedup_minhash_md5` already hash-matches in DuckDB) and
+    plain comma-joined band keys instead of xxhash64 — so an ANSI-SQL
+    oracle reproduces signatures, buckets, candidate pairs, agreement
+    fractions, and therefore the entire downstream CC/survivor pipeline
+    bit-for-bit.  Same plan shape as the production path: narrow per-row
+    signature, ONE band-bucket shuffle, capped buckets, signature re-join.
+    Production keeps xxhash64 (`minhash_lsh_pairs`) for speed; this twin
+    exists to give the full LSH→CC→survivors pipeline an exact oracle.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
+    sig = sh.select(
+        "_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    "_sh",
+                    lambda s: md5_hash48(F.concat(s, F.lit("#"), i.cast("string"))),
+                )
+            ),
+        ).alias("_sig"),
+    ).persist()
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",", F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    return _finish_lsh_pairs(
+        sig, banded, buckets, "bkey", num_hashes, threshold, max_bucket, drop_metrics
+    )
 
 
 def ngram_jaccard_pairs(

@@ -922,6 +922,81 @@ def dedup_lsh_cc_survivors(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_lsh_cc_survivors_md5",
+    sql=r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok
+    ),
+    mh AS (
+      SELECT doc_id, g.j AS seed,
+             MIN(CAST('0x' || substr(md5(u.sg || '#' || g.j), 1, 12) AS BIGINT)) AS mh
+      FROM sh, UNNEST(sh.s) AS u(sg), generate_series(0, 15) AS g(j)
+      GROUP BY doc_id, g.j
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b.b AS band,
+             array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',') AS bkey
+      FROM sig, generate_series(0, 3) AS b(b)
+    ),
+    bsz AS (SELECT band, bkey, COUNT(*) AS n FROM banded GROUP BY band, bkey),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      JOIN bsz ON bsz.band = a.band AND bsz.bkey = a.bkey AND bsz.n <= 1000
+    ),
+    agree AS (
+      SELECT c.id_a, c.id_b, SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS na
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.id_a
+      JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+      GROUP BY c.id_a, c.id_b
+    ),
+    e0 AS (SELECT id_a, id_b FROM agree WHERE ROUND(na / 16.0, 6) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+              UNION SELECT id_b, id_a FROM e0),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT component, MIN(node) AS survivor, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_lsh_cc_survivors_md5(spark, sf_dir):
+    """END-TO-END oracled near-dup pipeline: engine-portable md5 MinHash
+    signatures (the `dedup_minhash_md5` formula) → comma-joined band keys
+    (4 bands × 4 rows) → capped buckets → candidate pairs → 16-slot
+    agreement ≥ 0.5 → connected components → min-id survivor per
+    component.  The DuckDB twin re-derives every stage — signatures,
+    buckets, pairs, agreements, the transitive closure, survivors — so the
+    whole pipeline is hash-verified, not just its stages in isolation.
+    The production path (`dedup_lsh_cc_survivors`) keeps xxhash64."""
+    from compss_python_spark.graph.components import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs_md5(
+        docs, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.min("node").alias("survivor"), F.count("*").alias("n_members"))
+        .select("component", "survivor", "n_members")
+    )
+
+
 _CURATION_FULL_SQL = r"""
     WITH inj AS (
       SELECT doc_id, lang, n_chars, text ||
