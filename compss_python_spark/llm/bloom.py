@@ -156,6 +156,129 @@ def bloom_contains(
     )
 
 
+@dataclass
+class ShardedBloomFilter:
+    """Key-range-sharded Bloom filter: shard = h1(key) mod n_shards, each
+    shard an independent ``m``-bit filter.  Lets the total bitmap exceed the
+    single-broadcast budget — each shard broadcasts separately (all under
+    budget) and a key is tested against exactly its own shard, so FP math
+    per shard is the ordinary m/n_shard_keys formula."""
+
+    shards: list  # list[BloomFilter], one per shard, all with the same m/k
+    m: int  # bits PER SHARD
+    k: int
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.shards)
+
+
+def bloom_shard_id(col, n_shards: int):
+    """Shard routing: h1 mod n_shards (h1 = first 48 md5 bits — the same
+    engine-portable digest the in-shard positions use, so an oracle can
+    reproduce routing AND membership)."""
+    return _h48(col, 1) % F.lit(n_shards)
+
+
+def bloom_build_sharded(
+    df: DataFrame,
+    key_col: str,
+    m_total: int,
+    k: int = 5,
+    n_shards: int | None = None,
+    budget_bytes: int = _MAX_BITMAP_BYTES,
+) -> ShardedBloomFilter:
+    """Build a sharded Bloom filter whose TOTAL size may exceed the
+    single-broadcast budget (the documented escape hatch bloom_build's
+    ValueError points at).  ``n_shards`` defaults to the smallest count
+    that brings each shard under ``budget_bytes``; raises only if even one
+    shard would exceed it (i.e. caller pinned n_shards too low).
+
+    ONE distributed pass builds every shard: keys route to shard
+    h1 mod n_shards JVM-side, bit positions explode with the same
+    Kirsch–Mitzenmacher family mod the PER-SHARD m, and a single
+    map-combined groupBy(shard, byte_index) aggregate returns the set
+    bytes of all shards together — the driver only ever materializes
+    bitmaps, never keys.  With n_shards=1 the result is bit-identical to
+    :func:`bloom_build` at the same m/k (property-tested)."""
+    total_bytes = (m_total + 7) // 8
+    if n_shards is None:
+        n_shards = max(1, -(-total_bytes // budget_bytes))
+    m = -(-m_total // n_shards)  # bits per shard, ceil
+    nbytes = (m + 7) // 8
+    if nbytes > budget_bytes:
+        raise ValueError(
+            f"bloom_build_sharded: {nbytes}-byte shard exceeds the "
+            f"{budget_bytes}-byte budget even split {n_shards} ways; raise "
+            "n_shards or lower m_total"
+        )
+    keys = df.filter(F.col(key_col).isNotNull())
+    pos = keys.select(
+        bloom_shard_id(F.col(key_col), n_shards).alias("shard"),
+        F.explode(bloom_positions(F.col(key_col), m, k)).alias("p"),
+    )
+    rows = (
+        pos.select(
+            "shard",
+            F.expr("CAST(p DIV 8 AS LONG) AS bidx"),
+            F.expr("shiftleft(1, CAST(p % 8 AS INT)) AS bit"),
+        )
+        .groupBy("shard", "bidx")
+        .agg(F.bit_or("bit").alias("bval"))
+        .collect()
+    )
+    bitmaps = [np.zeros(nbytes, dtype=np.uint8) for _ in range(n_shards)]
+    for r in rows:
+        bitmaps[r["shard"]][r["bidx"]] = r["bval"]
+    return ShardedBloomFilter(
+        shards=[BloomFilter(bits=b, m=m, k=k) for b in bitmaps], m=m, k=k
+    )
+
+
+def bloom_contains_sharded(
+    df: DataFrame,
+    key_col: str,
+    sbf: ShardedBloomFilter,
+    output_col: str = "bloom_member",
+) -> DataFrame:
+    """Membership against a sharded filter: each key is tested against its
+    OWN shard's bitmap only (routing and positions both JVM-side md5
+    expressions).  One broadcast per shard — none above the budget — and
+    one Arrow-batched gather that indexes the right bitmap per row.  Null
+    keys are non-members, as in :func:`bloom_contains`."""
+    sc = df.sparkSession.sparkContext
+    bcs = [sc.broadcast(s.bits) for s in sbf.shards]
+
+    @pandas_udf("boolean")
+    def _member(shard: pd.Series, pos: pd.Series) -> pd.Series:
+        if not len(shard):
+            return pd.Series(np.empty(0, dtype=bool))
+        res = np.zeros(len(shard), dtype=bool)
+        sh = shard.to_numpy(dtype=np.int64)
+        arr = np.array(pos.tolist(), dtype=np.int64)
+        for s, bc in enumerate(bcs):
+            sel = sh == s
+            if not sel.any():
+                continue
+            bits = bc.value
+            a = arr[sel]
+            hit = (bits[a >> 3] >> (a & 7).astype(np.uint8)) & 1
+            res[sel] = hit.all(axis=1)
+        return pd.Series(res)
+
+    key = F.col(key_col)
+    safe = F.coalesce(key, F.lit(""))
+    return df.withColumn(
+        output_col,
+        F.when(key.isNull(), F.lit(False)).otherwise(
+            _member(
+                bloom_shard_id(safe, sbf.n_shards),
+                bloom_positions(safe, sbf.m, sbf.k),
+            )
+        ),
+    )
+
+
 def bloom_filter_out(df: DataFrame, key_col: str, bf: BloomFilter) -> DataFrame:
     """Keep only rows whose key is (probably) NOT in the filter — the
     incremental-dedup / decontamination action.  By Bloom semantics this

@@ -1159,6 +1159,54 @@ def dedup_bloom_membership(spark, sf_dir):
 
 
 @query(
+    "dedup_bloom_membership_sharded",
+    sql="""
+    WITH ref AS (SELECT md5(text) AS rk FROM documents WHERE doc_id % 7 = 0),
+    rh AS (
+      SELECT CAST('0x' || substr(md5(rk), 1, 12) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(rk), 13, 12) AS BIGINT) AS h2
+      FROM ref
+    ),
+    pos AS (
+      SELECT DISTINCT h1 % 4 AS shard, (h1 + j * h2) % 256 AS p
+      FROM rh, generate_series(0, 2) s(j)
+    ),
+    cand AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(md5(text)), 1, 12) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(md5(text)), 13, 12) AS BIGINT) AS h2
+      FROM documents
+    ),
+    memb AS (
+      SELECT c.doc_id, BOOL_AND(p.p IS NOT NULL) AS bloom_member
+      FROM cand c
+      CROSS JOIN generate_series(0, 2) s(j)
+      LEFT JOIN pos p
+        ON p.shard = c.h1 % 4 AND p.p = (c.h1 + s.j * c.h2) % 256
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, bloom_member, (doc_id % 7 = 0) AS is_reference FROM memb
+    """,
+)
+def dedup_bloom_membership_sharded(spark, sf_dir):
+    """Sharded Bloom membership — the escape hatch for reference sets whose
+    bitmap exceeds the single-broadcast budget: shard = h1 mod 4 routes each
+    key to its own independent 256-bit filter (4 shards here, deliberately
+    tiny so false positives occur and get verified).  The oracle re-derives
+    shard routing, per-shard bitmaps, and every verdict including the false
+    positives; reference docs are members by construction."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("key")
+    )
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    sbf = bloom.bloom_build_sharded(ref, "key", m_total=1024, k=3, n_shards=4)
+    out = bloom.bloom_contains_sharded(docs, "key", sbf)
+    return out.select(
+        "doc_id", "bloom_member", (F.col("doc_id") % 7 == 0).alias("is_reference")
+    )
+
+
+@query(
     "dedup_duplicate_lines",
     headline=True,
     sql=r"""

@@ -453,6 +453,42 @@ def test_bloom_build_guards(spark):
         bloom.bloom_build(keys, "k", m=64, method="nope")
 
 
+def test_bloom_sharded_equivalence_and_budget(spark):
+    """Sharded build: n_shards=1 is bit-identical to the monolithic build;
+    multi-shard has zero false negatives and auto-shards to fit the budget;
+    the raise fires only when a pinned shard count can't fit."""
+    import pandas as pd
+    import pytest as _pt
+
+    from compss_python_spark.llm import bloom
+
+    keys = spark.createDataFrame(
+        pd.DataFrame({"k": [f"seen-{i}" for i in range(300)]})
+    )
+    mono = bloom.bloom_build(keys, "k", m=4096, k=4, method="sparse")
+    one = bloom.bloom_build_sharded(keys, "k", m_total=4096, k=4, n_shards=1)
+    assert one.n_shards == 1 and (one.shards[0].bits == mono.bits).all()
+
+    sh = bloom.bloom_build_sharded(keys, "k", m_total=4096, k=4, n_shards=4)
+    assert sh.n_shards == 4 and sh.m == 1024
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": [f"seen-{i}" for i in range(300)]
+                          + [f"novel-{i}" for i in range(300)] + [None]})
+    )
+    out = {r["k"]: r["bloom_member"]
+           for r in bloom.bloom_contains_sharded(probe, "k", sh).collect()}
+    assert all(out[f"seen-{i}"] for i in range(300))  # no false negatives
+    assert out[None] is False
+    assert sum(out[f"novel-{i}"] for i in range(300)) <= 20  # ~13 bits/key, k=4
+
+    # auto n_shards: budget of 64 bytes forces ceil(512/64) = 8 shards
+    auto = bloom.bloom_build_sharded(keys, "k", m_total=4096, k=4, budget_bytes=64)
+    assert auto.n_shards == 8 and (auto.m + 7) // 8 <= 64
+    with _pt.raises(ValueError, match="shard exceeds"):
+        bloom.bloom_build_sharded(keys, "k", m_total=4096, k=4, n_shards=2,
+                                  budget_bytes=64)
+
+
 def test_duplicate_lines_blank_exempt(spark):
     """Blank lines occur in every doc but are exempt from removal."""
     import pandas as pd
