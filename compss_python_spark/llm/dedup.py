@@ -839,30 +839,32 @@ def fuzzy_string_pairs(
     frequency) two such strings must share a gram within each one's FIRST
     k·q + 1 grams.  Candidates therefore join only on rarest-first
     prefixes — bucket sizes are bounded by rare-gram frequencies, never by
-    stopword grams like "th" — with no recall loss (requires every string
-    length >= (k+1)·q, enforced; shorter corpora should lower q).  A
-    length-difference <= k prefilter cuts candidates before the exact
-    `levenshtein` verify (JVM-side, same definition as DuckDB's).
+    stopword grams like "th" — with no recall loss for strings of length
+    >= (k+1)·q.  Shorter strings (where the shared-gram bound degenerates)
+    route through a k-DELETION-NEIGHBORHOOD join (SymSpell invariant:
+    lev(a,b) <= k implies the <=k-deletion variant sets intersect) bounded
+    by the short zone's variant counts — exact recall, no pre-scan, no
+    raise.  A length-difference <= k prefilter cuts candidates before the
+    exact `levenshtein` verify (JVM-side, same definition as DuckDB's).
 
     Plan shape: dedupe to distinct strings (the only corpus-sized shuffle),
     explode distinct q-grams (narrow), one gram-frequency aggregate, a
     per-string rank window (partitioned by string — never global), ONE
-    prefix-gram candidate join, then verify.  Entity-resolution /
+    prefix-gram candidate join plus ONE bounded deletion-variant join for
+    the short zone, then verify.  Entity-resolution /
     near-duplicate-title dedup at key-cardinality cost, never string-pair
     cardinality.
     """
     k = max_distance
+    long_min = (k + 1) * q  # prefix-filter recall guarantee needs len >= this
+    zone_max = long_min + k  # longest possible partner of a short string
     s = df.select(F.col(col).cast("string").alias("_s")).filter(
         F.col("_s").isNotNull()
     ).distinct()
-    min_len = s.agg(F.min(F.length("_s")).alias("m")).first()["m"]
-    if min_len is not None and min_len < (k + 1) * q:
-        raise ValueError(
-            f"fuzzy_string_pairs: min string length {min_len} < (k+1)*q = "
-            f"{(k + 1) * q}; the shared-gram filter would lose pairs — "
-            "lower q (or max_distance)"
-        )
-    grams = s.select(
+
+    # LONG path (both sides >= long_min): rarest-gram prefix filtering.
+    slong = s.filter(F.length("_s") >= long_min)
+    grams = slong.select(
         "_s",
         F.explode(
             F.array_distinct(
@@ -881,7 +883,7 @@ def fuzzy_string_pairs(
         .filter(F.col("_pos") <= k * q + 1)
         .select("_s", "_g")
     )
-    cand = (
+    cand_long = (
         prefix.alias("a")
         .join(prefix.alias("b"), "_g")
         .filter(
@@ -891,8 +893,50 @@ def fuzzy_string_pairs(
             )
         )
         .select(F.col("a._s").alias("s_a"), F.col("b._s").alias("s_b"))
-        .distinct()
     )
+
+    # SHORT path: strings below long_min have no shared-gram guarantee, so
+    # they (and their only-possible partners — nothing longer than
+    # zone_max-1 can be within k edits of a short string) go through a
+    # k-DELETION-NEIGHBORHOOD join instead (SymSpell invariant: lev(a,b)<=k
+    # implies D_k(a) ∩ D_k(b) != ∅ — delete the k mismatched positions from
+    # each side).  Variant counts are C(len, <=k) with len < zone_max —
+    # tens per string — and candidates join on shared variants, so bucket
+    # sizes stay bounded by variant frequency: no all-pairs, no pre-scan,
+    # no raise.  Pairs with BOTH sides >= long_min stay with the gram path
+    # (the min-length filter below), so the two paths partition the pair
+    # space exactly.
+    zone = s.filter(F.length("_s") < zone_max)
+    delete_once = lambda d: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.greatest(F.length(d), F.lit(1))),
+        lambda i: F.concat(
+            d.substr(F.lit(1), i - 1),
+            d.substr(i + 1, F.greatest(F.length(d) - i, F.lit(0))),
+        ),
+    )
+    variants = F.aggregate(
+        F.sequence(F.lit(1), F.lit(k)),
+        F.array(F.col("_s")),
+        lambda acc, _: F.array_distinct(
+            F.concat(acc, F.flatten(F.transform(acc, delete_once)))
+        ),
+    )
+    vtab = zone.select("_s", F.explode(variants).alias("_v"))
+    cand_short = (
+        vtab.alias("a")
+        .join(vtab.alias("b"), "_v")
+        .filter(
+            (F.col("a._s") < F.col("b._s"))
+            & (F.abs(F.length(F.col("a._s")) - F.length(F.col("b._s"))) <= k)
+            & (
+                F.least(F.length(F.col("a._s")), F.length(F.col("b._s")))
+                < long_min
+            )
+        )
+        .select(F.col("a._s").alias("s_a"), F.col("b._s").alias("s_b"))
+    )
+
+    cand = cand_long.unionByName(cand_short).distinct()
     return (
         cand.withColumn("distance", F.levenshtein("s_a", "s_b"))
         .filter(F.col("distance") <= k)

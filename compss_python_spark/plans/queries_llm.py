@@ -1452,6 +1452,40 @@ def dedup_fuzzy_name_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_fuzzy_short_strings",
+    sql="""
+    WITH names AS (
+      SELECT DISTINCT s FROM (
+        SELECT n_name AS s FROM nation
+        UNION ALL SELECT substr(n_name, 2) FROM nation
+        UNION ALL SELECT substr(n_name, 1, 4) FROM nation
+      )
+    )
+    SELECT a.s AS s_a, b.s AS s_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
+    FROM names a JOIN names b
+      ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def dedup_fuzzy_short_strings(spark, sf_dir):
+    """Fuzzy pairs over a deliberately SHORT/mixed-length corpus (nation
+    names plus their 1-char-dropped and 4-char-truncated variants — many
+    below the (k+1)·q shared-gram bound): exercises the deletion-
+    neighborhood short-string path end-to-end, including short x long
+    pairs across the length boundary.  Oracle is brute force over all
+    pairs, so a hash match proves the routed two-path plan loses
+    nothing."""
+    n = table(spark, sf_dir, "nation").select(F.col("n_name").alias("s"))
+    corpus = (
+        n.unionByName(n.select(F.expr("substr(s, 2)").alias("s")))
+        .unionByName(n.select(F.expr("substr(s, 1, 4)").alias("s")))
+    )
+    out = dedup.fuzzy_string_pairs(corpus, "s", max_distance=2, q=2)
+    return out.select("s_a", "s_b", F.col("distance").cast("long").alias("distance"))
+
+
+@query(
     "multimodal_wav_sample_stats",
     sql="""
     WITH w AS (

@@ -637,6 +637,19 @@ def test_fuzzy_string_pairs_complete(spark):
     expect = {(a, b, lev(a, b)) for a, b in itertools.combinations(uniq, 2)
               if lev(a, b) <= 2}
     assert got == expect and len(got) >= 2
-    short = spark.createDataFrame(pd.DataFrame({"n": ["ab", "cd"]}))
-    with pytest.raises(ValueError, match="min string length"):
-        dedup.fuzzy_string_pairs(short, "n", max_distance=2, q=2)
+
+    # short / mixed-length corpus: the deletion-neighborhood path keeps
+    # exact recall where the shared-gram bound degenerates (no raise, no
+    # pre-scan) — including short x long pairs across the boundary
+    mixed = ["ab", "cd", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+             "zz", "z", "", "qqqqqq", "qqqqqeq", "blue widget"]
+    dfm = spark.createDataFrame(pd.DataFrame({"n": mixed}))
+    got_m = {(r["s_a"], r["s_b"], r["distance"])
+             for r in dedup.fuzzy_string_pairs(dfm, "n", max_distance=2, q=2).collect()}
+    uniq_m = sorted(set(mixed))
+    expect_m = {(a, b, lev(a, b)) for a, b in itertools.combinations(uniq_m, 2)
+                if lev(a, b) <= 2}
+    assert got_m == expect_m
+    # sanity: the expectation actually crosses the short/long boundary
+    assert ("abcde", "abcdefg") in {(a, b) for a, b, _ in expect_m}
+    assert ("ab", "abc") in {(a, b) for a, b, _ in expect_m}
