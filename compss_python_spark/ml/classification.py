@@ -190,7 +190,8 @@ def linear_svc(train: DataFrame, test: DataFrame, features_col: str = "embedding
 def knn(train: DataFrame, test: DataFrame, k: int = 5,
         features_col: str = "embedding", label_col: str = "label",
         id_col: str = "vec_id", prediction_col: str = "prediction",
-        max_train_rows: int = 1_000_000) -> DataFrame:
+        max_train_rows: int = 1_000_000,
+        approx_above_budget: bool = True) -> DataFrame:
     """KNearestNeighbors [ref: ml/classification.py KNearestNeighbors].
 
     Broadcast-train + mapInPandas scoring: each Arrow batch computes a full
@@ -200,20 +201,24 @@ def knn(train: DataFrame, test: DataFrame, k: int = 5,
 
     The train set is collected to the driver and broadcast, so its size is
     gated (same bounded-collect discipline as the graph local paths): a
-    train set beyond ``max_train_rows`` raises instead of OOMing the
-    driver — route oversized train sets through an approximate neighbor
-    join (``llm.similarity.lsh_topk`` / ``ivf_topk``, or Spark ML's
-    ``BucketedRandomProjectionLSH.approxSimilarityJoin``) and majority-vote
-    over the joined neighbors instead.
+    train set beyond ``max_train_rows`` routes automatically through
+    :func:`knn_lsh` — a fully-distributed BucketedRandomProjectionLSH
+    candidate join with exact re-rank — instead of OOMing the driver
+    (pass ``approx_above_budget=False`` to get the loud ValueError back).
     """
     n_train = train.count()  # narrow aggregate — no shuffle
     if n_train > max_train_rows:
+        if approx_above_budget:
+            return knn_lsh(
+                train, test, k=k, features_col=features_col,
+                label_col=label_col, id_col=id_col,
+                prediction_col=prediction_col,
+            )
         raise ValueError(
             f"knn: train set has {n_train} rows, exceeding the broadcast "
             f"budget max_train_rows={max_train_rows}.  A driver collect at "
-            "this size would OOM; use an approximate neighbor join "
-            "(similarity.lsh_topk / ivf_topk or BucketedRandomProjectionLSH"
-            ".approxSimilarityJoin) and majority-vote over its output."
+            "this size would OOM; re-enable approx_above_budget or call "
+            "knn_lsh directly."
         )
     rows = train.select(features_col, label_col).collect()
     X = np.asarray([r[features_col] for r in rows], dtype=float)
@@ -241,6 +246,76 @@ def knn(train: DataFrame, test: DataFrame, k: int = 5,
             )
 
     return test.select(id_col, label_col, features_col).mapInPandas(score, out_schema)
+
+
+def knn_lsh(train: DataFrame, test: DataFrame, k: int = 5,
+            features_col: str = "embedding", label_col: str = "label",
+            id_col: str = "vec_id", prediction_col: str = "prediction",
+            bucket_length: float = 1.0, num_hash_tables: int = 3) -> DataFrame:
+    """Distributed approximate KNN for train sets too big to broadcast:
+    Spark ML ``BucketedRandomProjectionLSH.approxSimilarityJoin`` generates
+    candidates (pairs co-hashing in any of ``num_hash_tables`` tables — the
+    train set never leaves the executors), the join's EXACT euclidean
+    distance re-ranks them, a per-test-point window keeps the top k, and
+    the majority vote breaks ties toward the smaller label (same rule as
+    :func:`knn`).  Test points whose buckets contain no train point fall
+    back to the global train-set mode label, so callers always get exactly
+    one prediction per test row.
+
+    Scale shape: fit computes the random projections only (no data pass
+    beyond schema); the candidate join shuffles on (table, bucket) keys;
+    re-rank and vote are bounded by candidate counts — tune bucket_length /
+    num_hash_tables for the recall/cost point, and measure recall against
+    :func:`knn` on a broadcastable sample (see tests).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    tr = train.select(
+        array_to_vector(F.col(features_col).cast("array<double>")).alias("_v"),
+        F.col(label_col).alias("_ty"),
+    )
+    te = test.select(
+        F.col(id_col), F.col(label_col),
+        array_to_vector(F.col(features_col).cast("array<double>")).alias("_v"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="_v", outputCol="_h",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=13,
+    ).fit(tr)
+    cand = model.approxSimilarityJoin(te, tr, float("inf"), distCol="_d").select(
+        F.col(f"datasetA.{id_col}").alias(id_col),
+        F.col(f"datasetA.{label_col}").alias(label_col),
+        F.col("datasetB._ty").alias("_ty"),
+        F.col("_d"),
+    )
+    wk = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("_ty").asc())
+    votes = (
+        cand.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .groupBy(id_col, label_col, "_ty")
+        .agg(F.count("*").alias("_n"))
+    )
+    wv = Window.partitionBy(id_col).orderBy(F.desc("_n"), F.asc("_ty"))
+    preds = (
+        votes.withColumn("_rv", F.row_number().over(wv))
+        .filter(F.col("_rv") == 1)
+        .select(id_col, label_col, F.col("_ty").cast("int").alias(prediction_col))
+    )
+    # bucket-miss fallback: global mode label (deterministic tie-break)
+    mode_row = (
+        train.groupBy(F.col(label_col).alias("_ty"))
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("_ty"))
+        .limit(1)
+        .select(F.col("_ty").cast("int").alias(prediction_col))
+    )
+    missing = (
+        te.select(id_col, label_col)
+        .join(preds.select(id_col), id_col, "left_anti")
+        .crossJoin(F.broadcast(mode_row))
+    )
+    return preds.unionByName(missing)
 
 
 def multinomial_nb(

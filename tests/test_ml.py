@@ -85,15 +85,33 @@ def test_knn_separable(spark):
 
 
 def test_knn_train_size_gate(spark):
-    """An over-budget train set must raise (bounded-collect contract), not
-    silently collect toward a driver OOM."""
+    """An over-budget train set raises only when the LSH route is disabled
+    (bounded-collect contract); by default it re-routes."""
     import pytest
 
     from compss_python_spark.ml.classification import knn
 
     df = _separable(spark)
     with pytest.raises(ValueError, match="broadcast budget"):
-        knn(df, df, k=1, max_train_rows=10)
+        knn(df, df, k=1, max_train_rows=10, approx_above_budget=False)
+
+
+def test_knn_lsh_route_above_budget(spark):
+    """Over-budget train sets route through the distributed LSH candidate
+    join + exact re-rank: one prediction per test row, and measured
+    agreement with exact KNN on the same (separable) data."""
+    from compss_python_spark.ml.classification import knn
+
+    df = _separable(spark)
+    train, test = df.filter("vec_id % 2 = 0"), df.filter("vec_id % 2 = 1")
+    exact = {r["vec_id"]: r["prediction"]
+             for r in knn(train, test, k=3).collect()}
+    approx_df = knn(train, test, k=3, max_train_rows=10)  # forces LSH route
+    rows = approx_df.collect()
+    assert len(rows) == test.count()  # exactly one prediction per test row
+    approx = {r["vec_id"]: r["prediction"] for r in rows}
+    agree = sum(approx[i] == exact[i] for i in exact) / len(exact)
+    assert agree > 0.9, f"LSH-route recall vs exact KNN too low: {agree}"
 
 
 def test_gaussian_nb(emb):
