@@ -5,12 +5,16 @@ with Arrow-batched ``mapInPandas`` featurizers.  Container-HEADER decode is
 REAL byte-level parsing (PNG IHDR / JPEG SOFn marker walk / WAV fmt chunk —
 ``parse_media_header``/``probe_media``; PNG even has a zero-UDF JVM
 expression path, ``png_dims_expr``), verified end-to-end against real
-container bytes built by ``synthesize_real_media``.  PNG PIXEL decode is
-REAL too (stdlib zlib inflate + the five inverse scanline filters,
-``decode_png_pixels``/``encode_png``); only entropy-coded pixel/sample
-decode (JPEG DCT, compressed audio) is stubbed (no PIL/ffmpeg in this
-container) — schemas, batch iteration and partitioning are the production
-contract (tests/test_multimodal.py).
+container bytes built by ``synthesize_real_media``.  PIXEL/SAMPLE decode is
+REAL for all three container families: PNG (stdlib zlib inflate + the five
+inverse scanline filters, ``decode_png_pixels``/``encode_png``), WAV PCM
+(``decode_wav_samples``), and baseline-sequential JPEG (full entropy
+decode — Huffman → dequant → IDCT → clamp — in ``llm.jpeg``, grayscale and
+4:4:4 color).  Only codec families needing external libraries (progressive
+/subsampled JPEG, compressed audio, video) fall back to the deterministic
+stub — the documented codec-adapter seam: schemas, batch iteration and
+partitioning are the production contract (tests/test_multimodal.py), and a
+native codec drops into the same per-batch kernel without touching a plan.
 
 At 100 TB: payloads stay columnar in parquet; mapInPandas streams
 Arrow batches so an executor never materializes a partition of blobs at
@@ -88,11 +92,21 @@ def _decode_stub(payload: bytes, media_type: str) -> list[float]:
 
 
 def _featurize_payload(payload, media_type: str) -> list[float]:
-    """Real PNG pixel features (per-channel mean/std over decoded pixels)
-    when the payload is a decodable PNG; deterministic stub otherwise
-    (JPEG/WAV entropy decode needs codec libs this container lacks)."""
+    """Real pixel features (per-channel mean/std over decoded pixels) when
+    the payload is a decodable PNG or baseline JPEG (see llm.jpeg);
+    deterministic stub otherwise (e.g. progressive/subsampled JPEG, codecs
+    outside the stdlib-only scope)."""
     if payload is not None:
         arr = decode_png_pixels(bytes(payload))
+        if arr is None:
+            from compss_python_spark.llm.jpeg import decode_jpeg_pixels
+
+            try:
+                arr = decode_jpeg_pixels(bytes(payload))
+            except ValueError:  # real JPEG but outside baseline-4:4:4 scope
+                arr = None
+            if arr is not None and arr.ndim == 2:
+                arr = arr[:, :, None]
         if arr is not None:
             feat = []
             for c in range(arr.shape[2]):
@@ -670,4 +684,84 @@ def wav_sample_stats(
         stats,
         f"{id_col} {id_type}, channels int, n_samples long, sum_pcm long, "
         "sumsq_pcm long, peak long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real baseline JPEG decode (see llm/jpeg.py — stdlib+numpy codec)
+
+
+def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline JPEGs, deterministically derived from the id: a
+    grayscale image of (1 + id%3) × (1 + id%2) constant 8×8 blocks with
+    block value v(bx, by) = 2·((id·7 + bx·13 + by·29) mod 128).  EVEN
+    values make every quantize/round step land exactly on an x.5 pre-floor
+    value (maximally far from float boundaries), so with the Annex K q00=16
+    the decoded pixels equal the generation formula EXACTLY — an SQL oracle
+    recomputes them without touching a DCT.  The payloads are genuine
+    entropy-coded JPEGs (Huffman DC chains across blocks, byte stuffing,
+    marker structure), so a hash match proves the full decode path."""
+    from compss_python_spark.llm.jpeg import encode_jpeg
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+
+            def payload(i):
+                wb, hb = 1 + i % 3, 1 + i % 2
+                bx = np.arange(wb)[None, :]
+                by = np.arange(hb)[:, None]
+                vals = 2 * ((i * 7 + bx * 13 + by * 29) % 128)
+                arr = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+                return encode_jpeg(arr)
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [payload(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(build, "media_id long, payload binary")
+
+
+def jpeg_pixel_stats(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL JPEG feature extraction over binary payloads: decode the
+    entropy-coded stream (Huffman → dequant → IDCT → clamp, llm.jpeg) and
+    reduce to exact-integer pixel stats (id, width, height, sum_pix,
+    sumsq_pix) over channel 0 — the single plane for grayscale, R for
+    color.  Integer sums make the stats bit-stable across engines and
+    partitionings, the same oracle-at-the-sample-level trick as the PNG
+    and WAV paths.  Non-JPEG or out-of-baseline-scope payloads are skipped
+    (filter upstream on format)."""
+    id_type = dict(media.dtypes)[id_col]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from compss_python_spark.llm.jpeg import decode_jpeg_pixels
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    arr = decode_jpeg_pixels(payload)
+                except ValueError:
+                    continue
+                if arr is None:
+                    continue
+                plane = (arr if arr.ndim == 2 else arr[:, :, 0]).astype(np.int64)
+                out.append(
+                    (
+                        mid,
+                        int(plane.shape[1]),
+                        int(plane.shape[0]),
+                        int(plane.sum()),
+                        int((plane * plane).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "width", "height", "sum_pix", "sumsq_pix"]
+            )
+
+    return media.mapInPandas(
+        stats,
+        f"{id_col} {id_type}, width int, height int, sum_pix long, sumsq_pix long",
     )

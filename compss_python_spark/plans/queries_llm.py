@@ -645,6 +645,41 @@ def multimodal_png_pixel_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_pixel_stats",
+    headline=True,
+    sql="""
+    WITH g AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, wb, hb,
+             2 * ((doc_id * 7 + bx.i * 13 + by.i * 29) % 128) AS v
+      FROM g, UNNEST(range(0, wb)) bx(i), UNNEST(range(0, hb)) by(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(wb * 8 AS INT) AS width, CAST(hb * 8 AS INT) AS height,
+           CAST(SUM(64 * v) AS BIGINT) AS sum_pix,
+           CAST(SUM(64 * v * v) AS BIGINT) AS sumsq_pix
+    FROM blocks GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_jpeg_pixel_stats(spark, sf_dir):
+    """REAL baseline JPEG decode, end-to-end: genuine entropy-coded JPEGs
+    (Annex K Huffman/quant tables, DC prediction chains, byte stuffing)
+    are built from doc_id with constant 8×8 blocks of EVEN value
+    2·((id·7 + 13bx + 29by) mod 128) — chosen so every quantize/round
+    lands on an x.5 pre-floor value and decode returns the generation
+    formula EXACTLY — then decoded back by llm.jpeg (marker walk → Huffman
+    → dequant → IDCT → clamp) and reduced to exact integer pixel sums.
+    A hash match proves the full decoder on every block of every image.
+    The AC-coefficient and color paths are unit-tested against an
+    independent reference reconstruction (tests/test_multimodal.py)."""
+    media = multimodal.synthesize_jpeg_media(table(spark, sf_dir, "documents"))
+    return multimodal.jpeg_pixel_stats(media)
+
+
+@query(
     "pipeline_corpus_curation",
     headline=True,
     sql=r"""
