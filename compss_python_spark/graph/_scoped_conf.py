@@ -34,15 +34,28 @@ _LOCK = threading.RLock()
 
 @contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int) -> Iterator[int]:
-    """Set ``spark.sql.shuffle.partitions`` to ``n`` for the scope.
+    """Set ``spark.sql.shuffle.partitions`` to ``n`` for the scope, and pin
+    AQE partition COALESCING off inside it.
 
-    Yields the previous (default) width; restores it on exit.  Reentrant
-    and serialized across threads.
+    The loop width is already size-derived; letting AQE re-coalesce each
+    iteration's exchanges (a) second-guesses that choice per stage and (b)
+    breaks co-partitioning between the persisted edge table and the
+    per-iteration joins, inserting exchanges the static plan doesn't need.
+    Interleaved A/B on a 5.9M-edge graph, 8 iterations, 3 rounds each:
+    coalescing on 2.96 s min / off 2.51 s (~15%).  AQE itself stays ON
+    (skew-join splitting is still wanted on power-law graphs).
+
+    Yields the previous (default) width; restores both confs on exit.
+    Reentrant and serialized across threads.
     """
     with _LOCK:
         default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev_coalesce = spark.conf.get(coalesce_key, "true")
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        spark.conf.set(coalesce_key, "false")
         try:
             yield default
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", str(default))
+            spark.conf.set(coalesce_key, prev_coalesce)
