@@ -12,10 +12,11 @@ arithmetic when q00 divides 8·(v−128) rounding, see jpeg_pixel_stats).
 
 Scope (documented, enforced with loud ValueErrors):
 - baseline sequential DCT, 8-bit samples (SOF0);
-- grayscale or 3-component 4:4:4 (sampling factors 0x11) — no chroma
-  subsampling, no progressive (SOF2), no restart intervals, no arithmetic
-  coding.  Real-world baseline 4:4:4/grayscale files decode; anything else
-  raises with the reason.
+- grayscale and 3-component color with sampling factors up to 2×2 — i.e.
+  4:4:4, 4:2:2 and 4:2:0 (nearest-neighbor chroma upsampling), which
+  covers the overwhelming majority of real-world baseline files;
+- no progressive (SOF2), no restart intervals, no arithmetic coding,
+  no 12-bit — each raises with the reason.
 
 Tables are the public JPEG Annex K luminance set (quantization, DC/AC
 Huffman); the encoder references table 0 for every component (legal), the
@@ -253,12 +254,17 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def encode_jpeg(arr: np.ndarray, qtab: np.ndarray = QUANT_LUMA) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, qtab: np.ndarray = QUANT_LUMA, subsampling: str = "444"
+) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 to a real baseline
-    JPEG (4:4:4, Annex K tables, table 0 for every component).  Dimensions
-    must be multiples of 8 (fixture builder — keeps the closed-form oracle
-    free of edge-replication partial blocks)."""
+    JPEG (Annex K tables, table 0 for every component).  ``subsampling``:
+    '444' (default), '422' or '420' (2×2-mean chroma downsample) for color
+    input.  Dimensions must be multiples of the MCU size (8 / 16×8 / 16 —
+    fixture builder; keeps the closed-form oracle free of partial-block
+    edge replication)."""
     if arr.ndim == 2:
+        samps = [(1, 1)]
         comps = [arr.astype(np.float64)]
     elif arr.ndim == 3 and arr.shape[2] == 3:
         r = arr[:, :, 0].astype(np.float64)
@@ -267,11 +273,33 @@ def encode_jpeg(arr: np.ndarray, qtab: np.ndarray = QUANT_LUMA) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        comps = [np.clip(_round_half_up(c), 0, 255) for c in (y, cb, cr)]
+        y, cb, cr = (np.clip(_round_half_up(c), 0, 255) for c in (y, cb, cr))
+        if subsampling == "444":
+            samps = [(1, 1), (1, 1), (1, 1)]
+            comps = [y, cb, cr]
+        elif subsampling in ("420", "422"):
+            fh, fv = (2, 2) if subsampling == "420" else (2, 1)
+            hh, ww = y.shape
+            if hh % (8 * fv) or ww % (8 * fh):
+                raise ValueError(
+                    "encode_jpeg: dimensions must be multiples of the MCU size"
+                )
+
+            def down(c):
+                return _round_half_up(
+                    c.reshape(hh // fv, fv, ww // fh, fh).mean(axis=(1, 3))
+                )
+
+            samps = [(fh, fv), (1, 1), (1, 1)]
+            comps = [y, down(cb), down(cr)]
+        else:
+            raise ValueError(f"encode_jpeg: unknown subsampling {subsampling!r}")
     else:
         raise ValueError("encode_jpeg: expected (H,W) or (H,W,3) array")
-    h, w = comps[0].shape
-    if h % 8 or w % 8:
+    h, w = (arr.shape[0], arr.shape[1])
+    max_h = max(s[0] for s in samps)
+    max_v = max(s[1] for s in samps)
+    if h % (8 * max_v) or w % (8 * max_h):
         raise ValueError("encode_jpeg: dimensions must be multiples of 8")
 
     dc_codes = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
@@ -283,7 +311,7 @@ def encode_jpeg(arr: np.ndarray, qtab: np.ndarray = QUANT_LUMA) -> bytes:
     nc = len(comps)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, quant table 0
+        sof += bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], 0])
     out += _seg(0xC0, sof)  # SOF0 baseline
     out += _seg(
         0xC4,
@@ -301,12 +329,21 @@ def encode_jpeg(arr: np.ndarray, qtab: np.ndarray = QUANT_LUMA) -> bytes:
 
     writer = _BitWriter()
     preds = [0] * nc
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    mcux = w // (8 * max_h)
+    mcuy = h // (8 * max_v)
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, comp in enumerate(comps):
-                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                zz = _fdct_quant(block, qtab).flatten()[ZIGZAG]
-                preds[ci] = _encode_block(writer, zz, preds[ci], dc_codes, ac_codes)
+                fh, fv = samps[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        block = comp[y0 : y0 + 8, x0 : x0 + 8]
+                        zz = _fdct_quant(block, qtab).flatten()[ZIGZAG]
+                        preds[ci] = _encode_block(
+                            writer, zz, preds[ci], dc_codes, ac_codes
+                        )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -368,11 +405,12 @@ def decode_jpeg_pixels(payload: bytes | None) -> np.ndarray | None:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                ch_, cv_ = samp >> 4, samp & 0x0F
+                if ch_ not in (1, 2) or cv_ not in (1, 2):
                     raise ValueError(
-                        "jpeg: only 4:4:4 / grayscale (1x1 sampling) supported"
+                        "jpeg: sampling factors beyond 2x2 unsupported"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, ch_, cv_))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: only baseline sequential (SOF0) supported")
@@ -391,47 +429,81 @@ def decode_jpeg_pixels(payload: bytes | None) -> np.ndarray | None:
         raise ValueError("jpeg: missing SOF or SOS")
 
     reader = _BitReader(d, pos)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    nblocks = bw * bh
-    coeff = [np.zeros((nblocks, 64), dtype=np.int64) for _ in comps]
+    # MCU geometry (B.2.3).  A single-component scan is NON-interleaved:
+    # the MCU is one block and the sampling factors don't tile it.
+    if len(scan) == 1:
+        eff = {scan[0][0]: (1, 1)}
+        max_h = max_v = 1
+    else:
+        eff = {cid: (ch_, cv_) for cid, _, ch_, cv_ in comps}
+        max_h = max(ch_ for _, _, ch_, _ in comps)
+        max_v = max(cv_ for _, _, _, cv_ in comps)
+    mcux = (w + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (h + 8 * max_v - 1) // (8 * max_v)
+    geom = []  # per component: (blocks_per_row, blocks_per_col)
+    for cid, _, _, _ in comps:
+        ch_, cv_ = eff[cid]
+        geom.append((mcux * ch_, mcuy * cv_))
+    coeff = [
+        np.zeros((bwc * bhc, 64), dtype=np.int64) for bwc, bhc in geom
+    ]
     preds = [0] * len(comps)
     comp_tabs = []
     for cs, tdc, tac in scan:
-        idx = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
+        idx = next(i for i, (cid, *_rest) in enumerate(comps) if cid == cs)
         comp_tabs.append((idx, dc_luts[tdc], ac_luts[tac]))
-    for b in range(nblocks):
-        for idx, dct, act in comp_tabs:
-            zz = coeff[idx][b]
-            s = _decode_huff(reader, dct)
-            diff = _extend(reader.take(s), s)
-            preds[idx] += diff
-            zz[0] = preds[idx]
-            i = 1
-            while i <= 63:
-                rs = _decode_huff(reader, act)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:
-                        i += 16  # ZRL
-                        continue
-                    break  # EOB
-                i += r
-                if i > 63:
-                    raise ValueError("jpeg: AC index overflow")
-                zz[i] = _extend(reader.take(s), s)
-                i += 1
 
-    # batched dequant + inverse zigzag + IDCT (numpy over all blocks)
+    def _decode_block(idx, dct, act, bi):
+        zz = coeff[idx][bi]
+        s = _decode_huff(reader, dct)
+        diff = _extend(reader.take(s), s)
+        preds[idx] += diff
+        zz[0] = preds[idx]
+        i = 1
+        while i <= 63:
+            rs = _decode_huff(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    i += 16  # ZRL
+                    continue
+                break  # EOB
+            i += r
+            if i > 63:
+                raise ValueError("jpeg: AC index overflow")
+            zz[i] = _extend(reader.take(s), s)
+            i += 1
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for idx, dct, act in comp_tabs:
+                cid = comps[idx][0]
+                ch_, cv_ = eff[cid]
+                bwc = geom[idx][0]
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        bi = (my * cv_ + by) * bwc + (mx * ch_ + bx)
+                        _decode_block(idx, dct, act, bi)
+
+    # batched dequant + inverse zigzag + IDCT (numpy over all blocks),
+    # then nearest-neighbor upsample of subsampled chroma planes
     planes = []
-    for (cid, tq), zzc in zip(comps, coeff):
-        blocks = np.zeros((nblocks, 64), dtype=np.float64)
+    for (cid, tq, *_rest), zzc, (bwc, bhc) in zip(comps, coeff, geom):
+        nb = bwc * bhc
+        blocks = np.zeros((nb, 64), dtype=np.float64)
         blocks[:, ZIGZAG] = zzc * qtabs[tq].flatten()[ZIGZAG]
-        blocks = blocks.reshape(nblocks, 8, 8)
+        blocks = blocks.reshape(nb, 8, 8)
         pix = np.einsum("ij,njk,kl->nil", _M.T, blocks, _M) + 128.0
-        plane = np.zeros((bh * 8, bw * 8))
-        for b in range(nblocks):
-            by, bx = divmod(b, bw)
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix[b]
+        plane = (
+            pix.reshape(bhc, bwc, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bhc * 8, bwc * 8)
+        )
+        ch_, cv_ = eff[cid]
+        if ch_ < max_h or cv_ < max_v:
+            plane = np.repeat(
+                np.repeat(plane, max_v // cv_, axis=0), max_h // ch_, axis=1
+            )
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return np.clip(_round_half_up(planes[0]), 0, 255).astype(np.uint8)

@@ -274,10 +274,39 @@ def test_jpeg_color_and_guards():
     assert np.abs(dec3.astype(int) - arr3.astype(int)).mean() < 30  # 4:4:4 lossy
     assert jpeg.decode_jpeg_pixels(b"not a jpeg") is None
     assert jpeg.decode_jpeg_pixels(None) is None
-    with _pt.raises(ValueError, match="sampling"):
-        jpeg.decode_jpeg_pixels(mm._build_jpeg(16, 16))  # 4:2:0 header stub
+    with _pt.raises(ValueError, match="missing SOF or SOS"):
+        jpeg.decode_jpeg_pixels(mm._build_jpeg(16, 16))  # header-only stub
     with _pt.raises(ValueError, match="multiples of 8"):
         jpeg.encode_jpeg(np.zeros((10, 8), dtype=np.uint8))
+
+
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:0 and 4:2:2 — the dominant real-world baseline formats — decode
+    through the general MCU walk with nearest-neighbor chroma upsampling;
+    constant-chroma content survives nearly losslessly and smooth gradients
+    stay within quantization error."""
+    import numpy as np
+
+    from compss_python_spark.llm import jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = np.stack(
+        [(yy * 3 + xx * 2) % 256, (yy * 2 + xx * 5) % 256, (xx * 4) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    for sub in ("420", "422"):
+        dec = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(smooth, subsampling=sub))
+        assert dec.shape == smooth.shape
+        assert np.abs(dec.astype(int) - smooth.astype(int)).mean() < 10
+
+    flat = np.full((32, 32, 3), 200, dtype=np.uint8)
+    flat[:, :, 1] = 100
+    d = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(flat, subsampling="420"))
+    assert np.abs(d.astype(int) - flat.astype(int)).max() <= 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="MCU size"):
+        jpeg.encode_jpeg(np.zeros((24, 24, 3), dtype=np.uint8), subsampling="420")
 
 
 def test_jpeg_pixel_stats_spark(spark, sf_dir):
