@@ -1,0 +1,80 @@
+"""Stratified corpus rebalancing: deterministic downsampling to a target
+stratum distribution (e.g. "make the training mix 40% en / 30% de / 30%
+fr" from a crawl that is 90% en) — a first-class step of every
+large-scale data mix.
+
+Mechanism: per-stratum keep RATES are derived from the largest total T
+that the corpus can supply at the target proportions
+(T = min_s count_s / p_s, so at least one stratum is kept whole and every
+rate ≤ 1), then rows are kept by a DETERMINISTIC hash threshold —
+md5-derived uniform u(key) < rate — so the sample is reproducible across
+runs/partitionings, refreshes incrementally (a re-crawl keeps the same
+survivors), and is exactly recomputable by a SQL oracle, unlike
+rand()-based sampling.
+
+Plan shape: ONE map-combined count aggregate (|strata| rows to the
+driver), then a narrow filter with the rates inlined as a literal map —
+the corpus is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_U48 = float(1 << 48)
+
+
+def hash_uniform(col) -> "F.Column":
+    """Deterministic uniform [0, 1) from the first 48 bits of md5(key) —
+    engine-portable (DuckDB: CAST('0x'||substr(md5(k),1,12) AS BIGINT) /
+    2^48), the same digest family as llm.bloom / functions.sketches."""
+    h = F.conv(
+        F.substring(F.md5(F.encode(col.cast("string"), "UTF-8")), 1, 12), 16, 10
+    ).cast("long")
+    return h / F.lit(_U48)
+
+
+def stratified_rebalance(
+    df: DataFrame,
+    stratum_col: str,
+    targets: dict,
+    key_col: str,
+) -> DataFrame:
+    """Downsample ``df`` so the strata in ``targets`` appear in the given
+    proportions (values must sum to ~1).  Strata absent from ``targets``
+    are DROPPED (explicit mix control).  Returns the surviving rows plus a
+    ``keep_rate`` column for observability.
+
+    The realized total is the largest feasible T = min_s count_s/p_s;
+    expected kept rows per stratum ≈ p_s·T.  Rates are exact arithmetic on
+    one tiny collected aggregate; membership is the deterministic
+    hash-threshold test, so an oracle reproduces every surviving row."""
+    total_p = sum(targets.values())
+    if not targets or abs(total_p - 1.0) > 1e-6:
+        raise ValueError(
+            f"stratified_rebalance: target proportions must sum to 1 "
+            f"(got {total_p})"
+        )
+    counts = {
+        r["s"]: r["c"]
+        for r in df.filter(F.col(stratum_col).isin(list(targets)))
+        .groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    missing = [s for s in targets if counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"stratified_rebalance: target strata absent from corpus: {missing}"
+        )
+    t_max = min(counts[s] / p for s, p in targets.items())
+    rates = {s: (p * t_max) / counts[s] for s, p in targets.items()}
+    rate_map = F.create_map(
+        *[F.lit(x) for s, r in sorted(rates.items()) for x in (s, r)]
+    )
+    out = df.withColumn("keep_rate", rate_map[F.col(stratum_col)])
+    return out.filter(
+        F.col("keep_rate").isNotNull()
+        & (hash_uniform(F.col(key_col)) < F.col("keep_rate"))
+    ).withColumn("keep_rate", F.round("keep_rate", 6))

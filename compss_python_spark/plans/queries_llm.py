@@ -1605,3 +1605,138 @@ def text_corpus_drift_kl(spark, sf_dir):
             F.min("ts").cast("long").alias("n_occurrences"),
         )
     )
+
+
+@query(
+    "llm_pack_sequences",
+    sql=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents
+    ),
+    ord AS (
+      SELECT doc_id, shard, t,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM docs
+    ),
+    pack(shard, rn, doc_id, t, seq, acc) AS (
+      SELECT shard, rn, doc_id, t, 0, t FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.t,
+             CASE WHEN p.acc > 0 AND p.acc + o.t > 256
+                  THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.acc > 0 AND p.acc + o.t > 256
+                  THEN o.t ELSE p.acc + o.t END
+      FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(shard * 1000000000 + seq AS BIGINT) AS seq_id,
+           CAST(t AS BIGINT) AS n_tokens, t > 256 AS truncated
+    FROM pack
+    """,
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM training: shard-local exact greedy
+    assignment of documents into 256-token sequences (8 shards, id order).
+    The oracle re-runs the greedy scan as a per-shard recursive CTE, so a
+    hash match proves every sequence assignment, overflow boundary and
+    truncation flag.  One shuffle (groupBy shard) + an Arrow-batched
+    integer scan per shard — no global order, no driver state."""
+    from compss_python_spark.llm.packing import pack_sequences
+    from compss_python_spark.llm.text import tokens
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=256, n_shards=8)
+
+
+@query(
+    "llm_packing_stats",
+    sql=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents
+    ),
+    ord AS (
+      SELECT doc_id, shard, t,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM docs
+    ),
+    pack(shard, rn, doc_id, t, seq, acc) AS (
+      SELECT shard, rn, doc_id, t, 0, t FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.t,
+             CASE WHEN p.acc > 0 AND p.acc + o.t > 256
+                  THEN p.seq + 1 ELSE p.seq END,
+             CASE WHEN p.acc > 0 AND p.acc + o.t > 256
+                  THEN o.t ELSE p.acc + o.t END
+      FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+    ),
+    per_seq AS (
+      SELECT shard * 1000000000 + seq AS seq_id,
+             SUM(LEAST(t, 256)) AS fill, COUNT(*) AS docs,
+             SUM(CASE WHEN t > 256 THEN 1 ELSE 0 END) AS truncs
+      FROM pack GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_sequences, CAST(SUM(docs) AS BIGINT) AS n_docs,
+           CAST(SUM(fill) AS BIGINT) AS total_tokens,
+           ROUND(SUM(fill) / (COUNT(*) * 256.0), 6) AS fill_rate,
+           CAST(SUM(truncs) AS BIGINT) AS n_truncated_docs
+    FROM per_seq
+    """,
+)
+def llm_packing_stats(spark, sf_dir):
+    """Loader-facing packing efficiency: fill rate of the 256-token
+    sequences produced by `llm_pack_sequences` (budget utilization is THE
+    cost metric of a packed dataset — wasted budget is wasted compute).
+    One map-combined aggregate pair over the packed table."""
+    from compss_python_spark.llm.packing import pack_sequences, packing_stats
+    from compss_python_spark.llm.text import tokens
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    return packing_stats(pack_sequences(docs, budget=256, n_shards=8), budget=256)
+
+
+@query(
+    "llm_stratified_rebalance",
+    sql="""
+    WITH counts AS (
+      SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS c FROM documents
+      WHERE lang IN ('en', 'de', 'fr') GROUP BY lang
+    ),
+    tmax AS (
+      SELECT MIN(c / CAST(CASE s WHEN 'en' THEN 0.5 ELSE 0.25 END AS DOUBLE))
+             AS t
+      FROM counts
+    ),
+    rates AS (
+      SELECT s,
+             CAST(CASE s WHEN 'en' THEN 0.5 ELSE 0.25 END AS DOUBLE)
+               * tmax.t / c AS rate
+      FROM counts, tmax
+    )
+    SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS keep_rate
+    FROM documents d JOIN rates r ON r.s = d.lang
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+          / 281474976710656.0 < r.rate
+    """,
+)
+def llm_stratified_rebalance(spark, sf_dir):
+    """Deterministic corpus rebalancing to a target language mix
+    (en 50% / de 25% / fr 25%): keep rates derived from the largest
+    feasible total, membership by md5-hash threshold — reproducible across
+    runs and engines, so the oracle recomputes every surviving row (other
+    languages drop by contract).  One tiny count aggregate + a narrow
+    filter; the corpus never shuffles."""
+    from compss_python_spark.llm.sampling import stratified_rebalance
+
+    docs = table(spark, sf_dir, "documents")
+    out = stratified_rebalance(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, "doc_id"
+    )
+    return out.select("doc_id", "lang", "keep_rate")

@@ -653,3 +653,75 @@ def test_fuzzy_string_pairs_complete(spark):
     # sanity: the expectation actually crosses the short/long boundary
     assert ("abcde", "abcdefg") in {(a, b) for a, b, _ in expect_m}
     assert ("ab", "abc") in {(a, b) for a, b, _ in expect_m}
+
+
+def test_pack_sequences_greedy_and_determinism(spark):
+    """Exact shard-local greedy: budget boundaries, oversized docs get
+    their own flagged sequence, and the assignment is partition-invariant."""
+    import pandas as pd
+
+    from compss_python_spark.llm.packing import (
+        SEQ_SPAN,
+        pack_sequences,
+        packing_stats,
+    )
+
+    rows = pd.DataFrame({
+        "doc_id": [0, 8, 16, 24, 32],       # all shard 0 (mod 8)
+        "n_tokens": [50, 60, 200, 90, 10],  # budget 100: [50,60?]no ->
+    })
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, budget=100, n_shards=8).collect()}
+    # greedy in id order: 50 | 60 | 200(own, truncated) | 90, 10
+    assert out[0]["seq_id"] == 0 * SEQ_SPAN + 0
+    assert out[8]["seq_id"] == 1          # 50+60 > 100 -> new seq
+    assert out[16]["seq_id"] == 2 and out[16]["truncated"]
+    assert out[24]["seq_id"] == 3 and out[32]["seq_id"] == 3  # 90+10 fits
+    a = sorted((r["doc_id"], r["seq_id"])
+               for r in pack_sequences(df, budget=100, n_shards=8).collect())
+    b = sorted((r["doc_id"], r["seq_id"])
+               for r in pack_sequences(df.repartition(5), budget=100,
+                                       n_shards=8).collect())
+    assert a == b  # partition-invariant
+    st = packing_stats(pack_sequences(df, budget=100, n_shards=8), 100).first()
+    assert st["n_sequences"] == 4 and st["n_docs"] == 5
+    assert st["n_truncated_docs"] == 1
+    assert st["total_tokens"] == 50 + 60 + 100 + 90 + 10  # truncated capped
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positive"):
+        pack_sequences(df, budget=0)
+
+
+def test_stratified_rebalance_rates_and_guards(spark):
+    """Rates follow the max-feasible-total formula, one stratum is kept
+    whole, off-target strata drop, and the sample is deterministic."""
+    import pandas as pd
+    import pytest as _pt
+
+    from compss_python_spark.llm.sampling import stratified_rebalance
+
+    rows = pd.DataFrame({
+        "k": range(1000),
+        "s": ["a"] * 700 + ["b"] * 200 + ["c"] * 100,
+    })
+    df = spark.createDataFrame(rows)
+    out = stratified_rebalance(df, "s", {"a": 0.5, "b": 0.5}, "k")
+    got = out.groupBy("s").count().collect()
+    counts = {r["s"]: r["count"] for r in got}
+    # T = min(700/.5, 200/.5) = 400 -> b kept whole (rate 1), a at 200/700
+    assert counts["b"] == 200 and "c" not in counts
+    assert 140 <= counts["a"] <= 260  # hash-binomial around 200
+    rates = {r["s"]: r["keep_rate"] for r in
+             out.select("s", "keep_rate").distinct().collect()}
+    assert rates["b"] == 1.0 and abs(rates["a"] - 200 / 700) < 1e-4
+    # determinism across partitionings
+    ka = sorted(r["k"] for r in out.collect())
+    kb = sorted(r["k"] for r in stratified_rebalance(
+        df.repartition(7), "s", {"a": 0.5, "b": 0.5}, "k").collect())
+    assert ka == kb
+    with _pt.raises(ValueError, match="sum to 1"):
+        stratified_rebalance(df, "s", {"a": 0.5}, "k")
+    with _pt.raises(ValueError, match="absent"):
+        stratified_rebalance(df, "s", {"a": 0.5, "zz": 0.5}, "k")
