@@ -171,11 +171,28 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     drop_metrics: dict | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated Jaccard
     (signature agreement fraction) ≥ threshold.
+
+    ``collapse_exact``: collapse EXACT duplicates (identical normalized
+    text) to their min-id representative BEFORE the LSH stages, run LSH
+    over representatives only, and emit (rep, member, 1.0) edges for the
+    collapsed members.  Under duplicate storms (crawl snapshots, mirrored
+    boilerplate) the true near-dup pair count grows QUADRATICALLY with
+    copy multiplicity — the 100× scale probe measured 167 s for the
+    all-pairs form vs single-digit seconds collapsed, because ~25M of the
+    pairs were exact-copy cross products carrying no information.  With
+    the flag on, the output is no longer ALL qualifying pairs: cross
+    pairs between members of different exact-groups are represented by
+    their rep-level pair (identical signatures ⇒ identical est_jaccard),
+    so CONNECTIVITY — and therefore any downstream connected-components /
+    survivor computation — is exactly preserved (the standard
+    exact-before-near dedup ordering).  Leave False when the caller needs
+    the literal pair list.
 
     ``drop_metrics``: optional dict filled in-place with ``dropped_buckets``
     (bucket count over ``max_bucket``), ``dropped_bucket_rows`` (their total
@@ -196,6 +213,32 @@ def minhash_lsh_pairs(
     window pass for the bucket-size cap plus both sides of a self-join),
     and the size cap is a free filter on the aggregated bucket.
     """
+    if collapse_exact:
+        # Narrow (id, md5) table → one map-combined min-id aggregate per
+        # exact-hash → member→rep edges + LSH over representatives only.
+        # The document text never shuffles: reps rejoin the input by id.
+        norm = F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        )
+        keyed = df.select(F.col(id_col).alias("_kid"), norm.alias("_eh"))
+        reps = keyed.groupBy("_eh").agg(F.min("_kid").alias("_rep"))
+        exact_edges = (
+            keyed.join(reps, "_eh")
+            .filter(F.col("_kid") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("_kid").alias("id_b"),
+                F.lit(1.0).alias("est_jaccard"),
+            )
+        )
+        rep_docs = df.join(
+            reps.select(F.col("_rep").alias(id_col)), id_col
+        )
+        rep_pairs = minhash_lsh_pairs(
+            rep_docs, id_col, text_col, num_hashes, bands, shingle_n,
+            threshold, max_bucket, drop_metrics, collapse_exact=False,
+        )
+        return rep_pairs.unionByName(exact_edges)
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
 

@@ -940,15 +940,19 @@ def decontaminate_corpus(spark, sf_dir):
 
 @query("dedup_lsh_cc_survivors", sql=None, headline=True)
 def dedup_lsh_cc_survivors(spark, sf_dir):
-    """End-to-end near-dup dedup: MinHash-LSH candidate pairs → connected
-    components → min-id survivor per component.  The LSH stage is
-    xxhash-family-specific → rows-only; the CC stage has exact driver
-    parity via `graph_connected_components` and the survivor rule via
-    `dedup_exact_survivors`."""
+    """End-to-end near-dup dedup: exact-duplicate collapse → MinHash-LSH
+    pairs over representatives → connected components → min-id survivor
+    per component (collapse_exact preserves connectivity exactly while
+    cutting the quadratic exact-copy pair blow-up the 100× probe caught:
+    167 s all-pairs vs single-digit collapsed under a 100-copy storm).
+    The LSH stage is xxhash-family-specific → rows-only; the CC stage has
+    exact driver parity via `graph_connected_components`, the survivor
+    rule via `dedup_exact_survivors`, and the full pipeline an oracled
+    md5 twin (`dedup_lsh_cc_survivors_md5`)."""
     from compss_python_spark.graph.components import connected_components
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, collapse_exact=True)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return (
         comp.groupBy("component")
@@ -1609,6 +1613,7 @@ def text_corpus_drift_kl(spark, sf_dir):
 
 @query(
     "llm_pack_sequences",
+    headline=True,
     sql=r"""
     WITH RECURSIVE docs AS (
       SELECT doc_id, doc_id % 8 AS shard,

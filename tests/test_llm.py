@@ -725,3 +725,34 @@ def test_stratified_rebalance_rates_and_guards(spark):
         stratified_rebalance(df, "s", {"a": 0.5}, "k")
     with _pt.raises(ValueError, match="absent"):
         stratified_rebalance(df, "s", {"a": 0.5, "zz": 0.5}, "k")
+
+
+def test_collapse_exact_preserves_components(spark):
+    """collapse_exact cuts exact-copy pair cross products but yields the
+    SAME connected components and survivors as the all-pairs form."""
+    from compss_python_spark.graph.components import connected_components
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different text about oceans and mountains " * 6
+    rows = []
+    for copy in range(8):  # 8 exact copies of each text, distinct ids
+        rows += [(copy * 100 + 1, base), (copy * 100 + 2, near),
+                 (copy * 100 + 3, other)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    def survivors(pairs):
+        comp = connected_components(pairs, src="id_a", dst="id_b")
+        return {(r["component"], r["survivor"], r["n_members"]) for r in
+                comp.groupBy("component")
+                .agg(F.min("node").alias("survivor"),
+                     F.count("*").alias("n_members"))
+                .collect()}
+
+    full = dedup.minhash_lsh_pairs(df, threshold=0.5)
+    coll = dedup.minhash_lsh_pairs(df, threshold=0.5, collapse_exact=True)
+    assert coll.count() < full.count()  # the cross products are gone
+    assert survivors(full) == survivors(coll)
+    # members of an exact group attach to their rep at est 1.0
+    ones = coll.filter("est_jaccard = 1.0").count()
+    assert ones >= 21  # 3 texts x 7 non-rep copies
