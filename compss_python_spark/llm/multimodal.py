@@ -142,7 +142,9 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize plumbing: updates meta, passes payload through the same
-    mapInPandas contract (decode+resize stubbed)."""
+    mapInPandas contract (decode+resize stubbed).  Kept for payloads whose
+    codec is outside the stdlib decoders; :func:`resize_images` is the
+    REAL path for PNG / baseline JPEG."""
     return media.withColumn(
         "meta",
         F.struct(
@@ -153,6 +155,64 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.codec").alias("codec"),
         ),
     )
+
+
+def resize_pixels(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample with the SQL-reproducible index map
+    src = floor(dst · src_dim / dst_dim) — pure integer gather, no
+    interpolation arithmetic to drift between engines."""
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(height, dtype=np.int64) * h) // height
+    xs = (np.arange(width, dtype=np.int64) * w) // width
+    return arr[ys][:, xs]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize over binary payloads: decode (PNG via
+    decode_png_pixels, baseline JPEG via llm.jpeg), nearest-neighbor
+    resample (deterministic integer index map), re-encode as PNG (always:
+    the resample output is exact pixels, so the lossless container is the
+    correct carrier), and update meta.  Payloads that are neither PNG nor
+    in-scope JPEG pass through UNCHANGED with a ``resized`` = false flag —
+    the pipeline keeps moving, the caller can route the residue to an
+    external codec.  Arrow-batched mapInPandas; per-image cost is decode +
+    an O(out_pixels) gather."""
+    out_schema = f"{id_col} long, payload binary, resized boolean"
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from compss_python_spark.llm.jpeg import decode_jpeg_pixels
+
+        for pdf in batches:
+            ids, payloads, flags = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = None
+                if payload is not None:
+                    arr = decode_png_pixels(bytes(payload))
+                    if arr is None:
+                        try:
+                            arr = decode_jpeg_pixels(bytes(payload))
+                        except ValueError:
+                            arr = None
+                        if arr is not None and arr.ndim == 2:
+                            arr = arr[:, :, None]
+                ids.append(mid)
+                if arr is None:
+                    payloads.append(payload)
+                    flags.append(False)
+                else:
+                    payloads.append(encode_png(resize_pixels(arr, width, height)))
+                    flags.append(True)
+            yield pd.DataFrame(
+                {id_col: ids, "payload": payloads, "resized": flags}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(rs, out_schema)
 
 
 def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:

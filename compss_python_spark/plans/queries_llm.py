@@ -645,6 +645,43 @@ def multimodal_png_pixel_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_resize_pixel_stats",
+    sql="""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h,
+             doc_id % 64 AS s
+      FROM documents
+    ),
+    sx AS (
+      SELECT doc_id, SUM((x.i * w) // 16) AS sxs
+      FROM p, UNNEST(range(0, 16)) x(i) GROUP BY doc_id
+    ),
+    sy AS (
+      SELECT doc_id, SUM((y.i * h) // 12) AS sys
+      FROM p, UNNEST(range(0, 12)) y(i) GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id, CAST(16 AS INT) AS width,
+           CAST(12 AS INT) AS height,
+           CAST(12 * sxs + 32 * sys + 192 * (0 + s) AS BIGINT) AS sum_r,
+           CAST(12 * sxs + 32 * sys + 192 * (3 + s) AS BIGINT) AS sum_g,
+           CAST(12 * sxs + 32 * sys + 192 * (6 + s) AS BIGINT) AS sum_b
+    FROM p JOIN sx USING (doc_id) JOIN sy USING (doc_id)
+    """,
+)
+def multimodal_resize_pixel_stats(spark, sf_dir):
+    """REAL image resize end-to-end: spec-compliant PNGs (pixel value
+    x + 2y + 3c + s) are decoded, nearest-neighbor-resampled to 16×12
+    with the integer index map src = floor(dst·src_dim/dst_dim),
+    re-encoded as PNG, decoded AGAIN by the pixel-stats reducer, and the
+    per-channel sums compared against the closed form
+    Σ val(sx(x'), sy(y'), c) — proving decode → resample → re-encode →
+    decode reproduces every pixel of every image exactly."""
+    media = multimodal.synthesize_pixel_media(table(spark, sf_dir, "documents"))
+    resized = multimodal.resize_images(media, 16, 12)
+    return multimodal.png_pixel_stats(resized)
+
+
+@query(
     "multimodal_jpeg_pixel_stats",
     headline=True,
     sql="""

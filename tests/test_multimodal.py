@@ -330,3 +330,33 @@ def test_jpeg_pixel_stats_spark(spark, sf_dir):
         assert (row["width"], row["height"]) == (8 * wb, 8 * hb)
         assert row["sum_pix"] == 64 * int(v.sum())
         assert row["sumsq_pix"] == 64 * int((v * v).sum())
+
+
+def test_resize_images_real_and_passthrough(spark, sf_dir):
+    """Real nearest-neighbor resize: decoded output pixels equal the
+    integer index-map gather of the source; JPEG inputs re-encode to PNG;
+    non-decodable payloads pass through flagged."""
+    import numpy as np
+    import pandas as pd
+
+    from compss_python_spark.llm import jpeg
+
+    rng = np.random.default_rng(9)
+    src_png = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    vals = 2 * rng.integers(0, 128, size=(2, 2))
+    src_jpg = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": [1, 2, 3],
+        "payload": [mm.encode_png(src_png), jpeg.encode_jpeg(src_jpg),
+                    b"not an image"],
+    }))
+    out = {r["media_id"]: r for r in mm.resize_images(df, 10, 7).collect()}
+    dec1 = mm.decode_png_pixels(bytes(out[1]["payload"]))
+    assert out[1]["resized"] and dec1.shape == (7, 10, 3)
+    assert np.array_equal(dec1, mm.resize_pixels(src_png, 10, 7))
+    dec2 = mm.decode_png_pixels(bytes(out[2]["payload"]))
+    assert out[2]["resized"] and dec2.shape == (7, 10, 1)
+    assert np.array_equal(
+        dec2[:, :, 0], mm.resize_pixels(src_jpg[:, :, None], 10, 7)[:, :, 0]
+    )
+    assert not out[3]["resized"] and bytes(out[3]["payload"]) == b"not an image"
