@@ -217,7 +217,9 @@ def resize_images(
 
 def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame-sampling plumbing: explodes n_frames into frame rows
-    (payload decode stubbed — frame index is the real output)."""
+    (payload decode stubbed — frame index is the real output).  Kept for
+    codec-external formats; :func:`frame_sample` is the REAL path for
+    MJPEG AVI."""
     return media.filter(F.col("media_type") == "video").select(
         "media_id",
         F.explode(
@@ -225,6 +227,187 @@ def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:
         ).alias("frame_idx"),
         "payload",
     )
+
+
+# ---------------------------------------------------------------------------
+# Real MJPEG-AVI video: container build + frame extraction (RIFF walk) +
+# per-frame JPEG decode — completing the image/audio/VIDEO trio with zero
+# codec libraries (AVI is RIFF, frames are the baseline JPEGs llm.jpeg
+# already decodes).
+
+
+def _build_avi_mjpeg(frames: list, width: int, height: int, fps: int = 10) -> bytes:
+    """A real RIFF/AVI container with MJPG video: LIST hdrl (avih + strl
+    with 'vids'/'MJPG' strh + BITMAPINFOHEADER strf) + LIST movi holding
+    one word-aligned '00dc' chunk per JPEG frame.  Standard enough that
+    ffmpeg-class tools read it; simple enough to build byte-by-byte."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    us_per_frame = 1_000_000 // max(fps, 1)
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = (
+        us_per_frame.to_bytes(4, "little")
+        + (max_bytes * fps).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")          # padding granularity
+        + (0x10).to_bytes(4, "little")       # AVIF_HASINDEX off; flags minimal
+        + len(frames).to_bytes(4, "little")  # dwTotalFrames
+        + (0).to_bytes(4, "little")          # initial frames
+        + (1).to_bytes(4, "little")          # streams
+        + max_bytes.to_bytes(4, "little")    # suggested buffer
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + b"\x00" * 16                       # reserved
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + (0).to_bytes(4, "little") * 2      # flags, prio/lang
+        + (0).to_bytes(4, "little")          # initial frames
+        + (1).to_bytes(4, "little")          # scale
+        + max(fps, 1).to_bytes(4, "little")  # rate (fps = rate/scale)
+        + (0).to_bytes(4, "little")          # start
+        + len(frames).to_bytes(4, "little")  # length
+        + max_bytes.to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")  # quality
+        + (0).to_bytes(4, "little")          # sample size
+        + (0).to_bytes(2, "little") * 4      # rcFrame
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (width * height * 3).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def decode_avi_frames(payload: bytes | None) -> list:
+    """Extract the encoded JPEG frame payloads from an MJPEG AVI: RIFF
+    walk to LIST movi, collect '00dc'/'00db' chunks in order.  Returns []
+    for non-AVI payloads; the frames themselves are decoded by
+    llm.jpeg.decode_jpeg_pixels."""
+    if payload is None or len(payload) < 12:
+        return []
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return []
+    frames = []
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"LIST":
+            kind = b[i + 8 : i + 12]
+            if kind == b"movi":
+                j = i + 12
+                end = i + 8 + csize
+                while j + 8 <= min(end, len(b)):
+                    fid = b[j : j + 4]
+                    fsize = int.from_bytes(b[j + 4 : j + 8], "little")
+                    if fid in (b"00dc", b"00db"):
+                        frames.append(b[j + 8 : j + 8 + fsize])
+                    j += 8 + fsize + (fsize & 1)
+                return frames
+            i += 12  # descend into other lists (hdrl)
+            continue
+        i += 8 + csize + (csize & 1)
+    return frames
+
+
+def frame_sample(
+    media: DataFrame,
+    every_n: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling: walk each AVI payload's movi list,
+    keep every ``every_n``-th frame, decode it (baseline JPEG) and emit
+    exact-integer pixel stats per sampled frame — the canonical
+    keyframe-extraction stage of a video training pipeline.  One
+    Arrow-batched mapInPandas; per-row cost is container walk + decode of
+    only the SAMPLED frames (undecoded frames are never entropy-decoded).
+    Non-AVI payloads yield no rows (filter upstream on format)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from compss_python_spark.llm.jpeg import decode_jpeg_pixels
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_avi_frames(payload)
+                for idx in range(0, len(frames), every_n):
+                    try:
+                        arr = decode_jpeg_pixels(frames[idx])
+                    except ValueError:
+                        continue
+                    if arr is None:
+                        continue
+                    plane = (arr if arr.ndim == 2 else arr[:, :, 0]).astype(
+                        np.int64
+                    )
+                    out.append(
+                        (
+                            mid,
+                            idx,
+                            int(plane.shape[1]),
+                            int(plane.shape[0]),
+                            int(plane.sum()),
+                            int((plane * plane).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "frame_idx", "width", "height", "sum_pix", "sumsq_pix",
+                ],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        sample,
+        f"{id_col} long, frame_idx int, width int, height int, "
+        "sum_pix long, sumsq_pix long",
+    )
+
+
+def synthesize_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL MJPEG AVI fixtures from the id: (1 + id%4) frames of 16×16
+    constant-block grayscale JPEG, block value
+    2·((id·7 + f·11 + bx·13 + by·29) mod 128) for frame f — the same
+    even-value exactness trick as synthesize_jpeg_media, extended with a
+    per-frame term so every frame differs and sampling order matters."""
+    from compss_python_spark.llm.jpeg import encode_jpeg
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+
+            def payload(i):
+                frames = []
+                for f in range(1 + i % 4):
+                    bx = np.arange(2)[None, :]
+                    by = np.arange(2)[:, None]
+                    vals = 2 * ((i * 7 + f * 11 + bx * 13 + by * 29) % 128)
+                    arr = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+                    frames.append(encode_jpeg(arr))
+                return _build_avi_mjpeg(frames, 16, 16)
+
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [payload(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(build, "media_id long, payload binary")
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +428,10 @@ PROBE_SCHEMA = (
 
 def parse_media_header(payload: bytes | None):
     """(format, width, height, channels, sample_rate) from container bytes;
-    format=None when the payload matches no known magic."""
+    format=None when the payload matches no known magic.  For AVI video
+    the fixed probe schema's ``channels`` slot carries dwTotalFrames (the
+    video analogue of a per-sample channel count); width/height come from
+    the avih main header."""
     if not payload:
         return (None, None, None, None, None)
     b = bytes(payload)
@@ -283,6 +469,24 @@ def parse_media_header(payload: bytes | None):
                 return ("jpeg", w, h, channels, None)
             i += 2 + seg_len
         return ("jpeg", None, None, None, None)
+    if b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"AVI ":
+        # Walk RIFF chunks/LISTs to the 'avih' main header (width/height/
+        # total frames); same word-aligned chunk discipline as WAV.
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            csize = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+                i += 12  # descend into the header list
+                continue
+            if cid == b"avih" and i + 8 + 40 <= len(b):
+                body = b[i + 8 :]
+                n_frames = int.from_bytes(body[16:20], "little")
+                w = int.from_bytes(body[32:36], "little")
+                h = int.from_bytes(body[36:40], "little")
+                return ("avi", w, h, n_frames, None)
+            i += 8 + csize + (csize & 1)
+        return ("avi", None, None, None, None)
     if b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"WAVE":
         # Walk RIFF chunks to the 'fmt ' chunk — bext/LIST/JUNK chunks
         # commonly precede it in broadcast-WAV files; fixed offsets would

@@ -645,6 +645,39 @@ def multimodal_png_pixel_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_video_frame_stats",
+    sql="""
+    WITH g AS (SELECT doc_id, 1 + doc_id % 4 AS nf FROM documents),
+    fr AS (
+      SELECT doc_id, f.i AS frame_idx
+      FROM g, UNNEST(range(0, nf)) f(i) WHERE f.i % 2 = 0
+    ),
+    blocks AS (
+      SELECT doc_id, frame_idx,
+             2 * ((doc_id * 7 + frame_idx * 11 + bx.i * 13 + by.i * 29) % 128)
+               AS v
+      FROM fr, UNNEST(range(0, 2)) bx(i), UNNEST(range(0, 2)) by(i)
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(SUM(64 * v) AS BIGINT) AS sum_pix,
+           CAST(SUM(64 * v * v) AS BIGINT) AS sumsq_pix
+    FROM blocks GROUP BY 1, 2
+    """,
+)
+def multimodal_video_frame_stats(spark, sf_dir):
+    """REAL video frame sampling end-to-end: genuine MJPEG AVI containers
+    (RIFF hdrl/movi structure, one '00dc' JPEG chunk per frame) are built
+    from doc_id, every 2nd frame is extracted by the container walk and
+    entropy-decoded by llm.jpeg, and per-frame exact pixel sums are
+    compared against the closed-form generation formula — proving the AVI
+    chunk walk, the frame sampling stride AND the per-frame JPEG decode.
+    Sampled-only decode: skipped frames are never entropy-decoded."""
+    media = multimodal.synthesize_video_media(table(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(media, every_n=2)
+
+
+@query(
     "multimodal_resize_pixel_stats",
     sql="""
     WITH p AS (

@@ -360,3 +360,55 @@ def test_resize_images_real_and_passthrough(spark, sf_dir):
         dec2[:, :, 0], mm.resize_pixels(src_jpg[:, :, None], 10, 7)[:, :, 0]
     )
     assert not out[3]["resized"] and bytes(out[3]["payload"]) == b"not an image"
+
+
+def test_avi_container_roundtrip_and_probe():
+    """MJPEG AVI: frames come back in order byte-identical; avih header
+    parses (total frames in the channels slot of the fixed probe schema);
+    garbage and WAV payloads yield no frames."""
+    import numpy as np
+
+    from compss_python_spark.llm import jpeg
+
+    frames = []
+    for f in range(3):
+        vals = 2 * np.full((2, 2), 10 + 7 * f)
+        frames.append(jpeg.encode_jpeg(
+            np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)))
+    avi = mm._build_avi_mjpeg(frames, 16, 16, fps=5)
+    assert mm.decode_avi_frames(avi) == frames
+    assert mm.parse_media_header(avi) == ("avi", 16, 16, 3, None)
+    assert mm.decode_avi_frames(b"garbage") == []
+    assert mm.decode_avi_frames(mm._build_wav(8000, 1)) == []
+    # odd-sized frame payloads stay word-aligned in the container
+    odd = frames[0] + b"\x00"  # force odd length
+    avi2 = mm._build_avi_mjpeg([odd, frames[1]], 16, 16)
+    assert mm.decode_avi_frames(avi2) == [odd, frames[1]]
+
+
+def test_frame_sample_real_decode(spark, sf_dir):
+    """frame_sample extracts every 2nd frame and decodes it to the exact
+    generation formula; sampled indices follow the stride."""
+    import numpy as np
+
+    from compss_python_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(12)
+    media = mm.synthesize_video_media(docs)
+    rows = mm.frame_sample(media, every_n=2).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    for r in docs.select("doc_id").collect():
+        i = r["doc_id"]
+        nf = 1 + i % 4
+        expect_idx = list(range(0, nf, 2))
+        got = sorted(by_doc[i], key=lambda x: x["frame_idx"])
+        assert [g["frame_idx"] for g in got] == expect_idx
+        for g in got:
+            f = g["frame_idx"]
+            bx = np.arange(2)[None, :]
+            by = np.arange(2)[:, None]
+            v = 2 * ((i * 7 + f * 11 + bx * 13 + by * 29) % 128)
+            assert g["sum_pix"] == 64 * int(v.sum())
+            assert g["sumsq_pix"] == 64 * int((v * v).sum())
