@@ -951,6 +951,54 @@ def wav_sample_stats(
     )
 
 
+def wav_frame_features(
+    media: DataFrame,
+    frame_size: int = 16,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio frame features over decoded PCM — the energy-gating /
+    VAD primitive of an audio curation pipeline: channel 0 is split into
+    ``frame_size``-sample frames (last partial frame kept) and each frame
+    reduces to (n_samples, energy = Σv², zero_crossings = adjacent
+    sign-flip count with the v<0 convention).  All exact integers, so the
+    oracle recomputes every frame from the synthesized waveform's closed
+    form.  Vectorized numpy per payload inside Arrow batches."""
+    id_type = dict(media.dtypes)[id_col]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    ch, samples = decode_wav_samples(payload)
+                except ValueError:
+                    continue
+                c0 = samples[::ch].astype(np.int64)
+                neg = c0 < 0
+                flips = neg[1:] != neg[:-1]
+                for fi in range(0, max(1, -(-len(c0) // frame_size))):
+                    fr = c0[fi * frame_size : (fi + 1) * frame_size]
+                    if not len(fr):
+                        continue
+                    lo = fi * frame_size
+                    zc = int(flips[lo : lo + len(fr) - 1].sum())
+                    out.append(
+                        (mid, fi, len(fr), int((fr * fr).sum()), zc)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "frame_idx", "n_samples", "energy",
+                         "zero_crossings"],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        feats,
+        f"{id_col} {id_type}, frame_idx int, n_samples int, energy long, "
+        "zero_crossings long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real baseline JPEG decode (see llm/jpeg.py — stdlib+numpy codec)
 

@@ -645,6 +645,45 @@ def multimodal_png_pixel_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_wav_frame_features",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, 1 + doc_id % 2 AS ch, 32 + doc_id % 97 AS ns
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    s AS (
+      SELECT doc_id, i.i AS s,
+             ((doc_id * 31 + (i.i * ch) * 7919) % 65536) - 32768 AS v
+      FROM w, UNNEST(range(0, ns)) i(i)
+    ),
+    l AS (
+      SELECT doc_id, s, v, s // 16 AS frame_idx,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY s) AS pv,
+             LAG(s // 16) OVER (PARTITION BY doc_id ORDER BY s) AS pf
+      FROM s
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN pf = frame_idx AND ((v < 0) != (pv < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM l GROUP BY 1, 2
+    """,
+)
+def multimodal_wav_frame_features(spark, sf_dir):
+    """REAL audio frame features end-to-end: the synthesized PCM WAVs
+    decode to channel 0, split into 16-sample frames, and reduce to
+    exact-integer energy and zero-crossing counts per frame — the
+    VAD/energy-gating stage of an audio curation pipeline.  The oracle
+    recomputes every frame from the waveform's closed form (channel-0
+    sample s lives at interleaved index s·ch), so a hash match proves
+    decode, de-interleave, framing and both features."""
+    media = multimodal.synthesize_real_media(table(spark, sf_dir, "documents"))
+    wavs = media.filter(F.col("media_id") % 3 == 2)
+    return multimodal.wav_frame_features(wavs, frame_size=16)
+
+
+@query(
     "multimodal_video_frame_stats",
     sql="""
     WITH g AS (SELECT doc_id, 1 + doc_id % 4 AS nf FROM documents),

@@ -412,3 +412,33 @@ def test_frame_sample_real_decode(spark, sf_dir):
             v = 2 * ((i * 7 + f * 11 + bx * 13 + by * 29) % 128)
             assert g["sum_pix"] == 64 * int(v.sum())
             assert g["sumsq_pix"] == 64 * int((v * v).sum())
+
+
+def test_wav_frame_features_exact(spark):
+    """Frame energy and zero crossings equal a direct numpy computation on
+    the generated waveform, including the partial last frame and channel-0
+    de-interleave of stereo payloads."""
+    import numpy as np
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(
+        [(i, mm._build_wav(8000, 1 + i % 2, n_samples=37, seed=i))
+         for i in (2, 5)], columns=["media_id", "payload"]))
+    rows = mm.wav_frame_features(df, frame_size=16).collect()
+    by = {}
+    for r in rows:
+        by[(r["media_id"], r["frame_idx"])] = r
+    for i in (2, 5):
+        ch = 1 + i % 2
+        j = np.arange(37 * ch, dtype=np.int64)
+        vals = ((i * 31 + j * 7919) % 65536) - 32768
+        c0 = vals[::ch]
+        neg = c0 < 0
+        for fi in range(3):  # 16, 16, 5
+            fr = c0[fi * 16 : (fi + 1) * 16]
+            r = by[(i, fi)]
+            assert r["n_samples"] == len(fr)
+            assert r["energy"] == int((fr.astype(np.int64) ** 2).sum())
+            lo = fi * 16
+            zc = int((neg[lo + 1 : lo + len(fr)] != neg[lo : lo + len(fr) - 1]).sum())
+            assert r["zero_crossings"] == zc
