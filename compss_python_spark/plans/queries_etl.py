@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from compss_python_spark.operators import etl, joins, setops
 from compss_python_spark.operators import sort as sort_ops
+from compss_python_spark.operators.layout import zorder_sql
 from compss_python_spark.plans.registry import query, table
 
 
@@ -835,4 +836,33 @@ def cohort_retention_weekly(spark, sf_dir):
         first.join(act, "user_id")
         .groupBy("cohort", week_no.alias("week_no"))
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "layout_zorder_value",
+    sql="""
+    SELECT o_orderkey,
+           CAST(
+    """
+    + zorder_sql(["(o_custkey % 1024)", "(o_orderkey % 1024)"], 10)
+    + """
+           AS BIGINT) AS z
+    FROM orders
+    """,
+)
+def layout_zorder_value(spark, sf_dir):
+    """Morton Z-values over two bucketed order dimensions (10 bits each):
+    the clustering key behind multi-dimensional layout optimization
+    (write_zordered range-partitions + sorts on it so min/max stats prune
+    scans on EITHER dimension).  Pure unrolled shift/mask JVM expression;
+    the oracle recomputes every interleaved bit in SQL."""
+    from compss_python_spark.operators.layout import zorder_value
+
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        zorder_value(
+            [F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024], 10
+        ).alias("z"),
     )

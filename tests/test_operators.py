@@ -402,3 +402,45 @@ def test_resample_interpolate_linear(spark):
     out = {r["bucket"].day: r["v_interp"]
            for r in resample_interpolate(df, "k", "ts", "value").collect()}
     assert out == {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0, 5: 50.0}
+
+
+def test_zorder_locality_and_write(spark, tmp_path):
+    """Z-ordered layout keeps BOTH dimensions tight within contiguous
+    blocks (the property row-group pruning exploits), and write_zordered
+    round-trips all rows with per-file min/max ranges far narrower than a
+    single-dimension sort would give the other dimension."""
+    import numpy as np
+    import pandas as pd
+
+    from compss_python_spark.operators.layout import zorder_value, write_zordered
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    pdf = pd.DataFrame({
+        "x": rng.integers(0, 1024, size=n),
+        "y": rng.integers(0, 1024, size=n),
+    })
+    df = spark.createDataFrame(pdf)
+    rows = (df.withColumn("z", zorder_value(["x", "y"], 10))
+            .orderBy("z").collect())
+    # within each 256-row contiguous z block, both dims span far less than
+    # the full 0..1023 domain (x-sorted data would leave y unconstrained)
+    spans = []
+    for i in range(0, n, 256):
+        blk = rows[i : i + 256]
+        xs = [r["x"] for r in blk]
+        ys = [r["y"] for r in blk]
+        spans.append(max(max(xs) - min(xs), max(ys) - min(ys)))
+    assert sum(spans) / len(spans) < 600  # uniform-random would be ~1020
+
+    out = str(tmp_path / "zord")
+    write_zordered(df, out, ["x", "y"], bits=10, num_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert sorted(r["x"] for r in back.collect()) == sorted(pdf["x"].tolist())
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least 2"):
+        zorder_value(["x"], 10)
+    with _pt.raises(ValueError, match="exceeds a long"):
+        zorder_value(["x", "y", "x", "y"], 16)
