@@ -33,6 +33,47 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize an array<float/double> column (zero vectors pass
+    through unchanged to avoid NaNs).  Pure JVM higher-order expression."""
+    nrm = norm_expr(a)
+    return F.when(nrm == 0.0, a).otherwise(
+        F.transform(a, lambda x: x / nrm)
+    )
+
+
+def mean_pool(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    output_col: str = "pooled",
+) -> DataFrame:
+    """Element-wise MEAN of vectors per group — chunk-to-document
+    embedding pooling.  Shape: one narrow (group, dim_idx, value) explode
+    (posexplode — no UDF) and ONE map-combined groupBy; the pooled array
+    reassembles via sort_array over (idx, avg) structs, so the result is
+    deterministic regardless of partitioning.  Dimensions never shuffle
+    separately from their group: the exchange is keyed on
+    (group, dim_idx), perfectly spreadable."""
+    g = [F.col(c) for c in group_cols]
+    exploded = df.select(
+        *g, F.posexplode(F.col(vec_col)).alias("_i", "_v")
+    )
+    agg = exploded.groupBy(*group_cols, "_i").agg(F.avg("_v").alias("_m"))
+    return (
+        agg.groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_i"), F.col("_m")))
+            ).alias("_sm")
+        )
+        .select(
+            *group_cols,
+            F.transform("_sm", lambda s: s["_m"]).alias(output_col),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -203,6 +203,46 @@ def pii_redact(
     return df.withColumn(alias, out)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-embedding / pre-RAG chunking step.  Returns (id_col, chunk_idx,
+    chunk_text, n_tokens): chunk c covers tokens [c·stride, c·stride +
+    chunk_tokens) with stride = chunk_tokens − overlap; the last chunk may
+    be short; a document shorter than one chunk yields exactly one chunk.
+
+    Entirely narrow JVM expressions (tokenize → sequence explode → array
+    slice → join) — no shuffle, no UDF; chunk count per doc is
+    max(1, ceil((n − overlap) / stride)) in exact integer arithmetic, so
+    a SQL oracle reproduces every chunk id and every chunk text."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("chunk_documents: need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    n_chunks = F.greatest(
+        F.lit(1),
+        (n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride),
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice("_t", F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", alias: str = "fp") -> DataFrame:
     """Deterministic document fingerprint: md5 of case/whitespace-normalized
     text.  Used as the exact-dedup key; md5 keeps the DuckDB oracle

@@ -1854,3 +1854,68 @@ def llm_stratified_rebalance(spark, sf_dir):
         docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, "doc_id"
     )
     return out.select("doc_id", "lang", "keep_rate")
+
+
+@query(
+    "llm_chunk_documents",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t,
+             GREATEST(1, (len(t) - 8 + 23) // 24) AS nc
+      FROM tok
+    )
+    SELECT doc_id, CAST(ci.i AS INT) AS chunk_idx,
+           array_to_string(list_slice(t, ci.i * 24 + 1, ci.i * 24 + 32), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(t, ci.i * 24 + 1, ci.i * 24 + 32)) AS INT)
+             AS n_tokens
+    FROM c, UNNEST(range(0, nc)) ci(i)
+    """,
+)
+def llm_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap) — the pre-embedding / pre-RAG split.  Entirely narrow JVM
+    expressions (tokenize → sequence explode → array slice); the oracle
+    reproduces every chunk id, every chunk text and the ceil-div chunk
+    count exactly."""
+    from compss_python_spark.llm.text import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@query(
+    "embedding_mean_pool",
+    sql="""
+    WITH ex AS (
+      SELECT vec_id % 50 AS grp, d.i - 1 AS dim_idx,
+             CAST(embedding[d.i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) d(i)
+    ),
+    m AS (SELECT grp, dim_idx, AVG(v) AS mv FROM ex GROUP BY grp, dim_idx),
+    nrm AS (SELECT grp, SQRT(SUM(mv * mv)) AS nn FROM m GROUP BY grp)
+    SELECT m.grp, CAST(dim_idx AS INT) AS dim_idx,
+           ROUND(CASE WHEN nn = 0 THEN mv ELSE mv / nn END, 5) AS v
+    FROM m JOIN nrm USING (grp)
+    """,
+)
+def embedding_mean_pool(spark, sf_dir):
+    """Chunk→document embedding pooling: element-wise mean per group
+    (posexplode + ONE map-combined groupBy keyed on (group, dim) — no
+    UDF, no per-group collect) followed by L2 normalization of the pooled
+    vector.  Long-form output (group, dim_idx, value) keeps the oracle
+    comparison array-free."""
+    from compss_python_spark.llm.similarity import l2_normalize, mean_pool
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "grp", F.col("vec_id") % 50
+    )
+    pooled = mean_pool(emb, ["grp"], "embedding")
+    normed = pooled.select("grp", l2_normalize(F.col("pooled")).alias("nv"))
+    return normed.select(
+        "grp", F.posexplode("nv").alias("dim_idx", "_v")
+    ).select("grp", "dim_idx", F.round("_v", 5).alias("v"))

@@ -756,3 +756,53 @@ def test_collapse_exact_preserves_components(spark):
     # members of an exact group attach to their rep at est 1.0
     ones = coll.filter("est_jaccard = 1.0").count()
     assert ones >= 21  # 3 texts x 7 non-rep copies
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries, overlap, short-doc single chunk, and guards."""
+    from compss_python_spark.llm.text import chunk_documents
+
+    toks = " ".join(str(i) for i in range(10))  # tokens 0..9
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": [toks, "only three words"],
+    }))
+    out = {(r["doc_id"], r["chunk_idx"]): r for r in
+           chunk_documents(df, chunk_tokens=4, overlap=2).collect()}
+    # stride 2, ceil((10-2)/2) = 4 chunks: [0..3], [2..5], [4..7], [6..9]
+    assert out[(1, 0)]["chunk_text"] == "0 1 2 3"
+    assert out[(1, 1)]["chunk_text"] == "2 3 4 5"
+    assert out[(1, 3)]["chunk_text"] == "6 7 8 9"
+    assert (1, 4) not in out  # the 4th chunk already reaches the last token
+    assert (2, 0) in out and (2, 1) not in out  # short doc: one chunk
+    # ragged tail: 11 tokens -> 5th chunk holds the leftover 3 tokens
+    df11 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [3], "text": [" ".join(str(i) for i in range(11))],
+    }))
+    tail = {r["chunk_idx"]: r for r in
+            chunk_documents(df11, chunk_tokens=4, overlap=2).collect()}
+    assert tail[4]["chunk_text"] == "8 9 10" and tail[4]["n_tokens"] == 3
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_mean_pool_and_l2_normalize(spark):
+    import numpy as np
+
+    from compss_python_spark.llm.similarity import l2_normalize, mean_pool
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": [1, 1, 2],
+        "embedding": [[1.0, 2.0, 3.0], [3.0, 2.0, 1.0], [0.0, 0.0, 0.0]],
+    }))
+    pooled = {r["g"]: r["pooled"] for r in mean_pool(df, ["g"]).collect()}
+    assert pooled[1] == [2.0, 2.0, 2.0] and pooled[2] == [0.0, 0.0, 0.0]
+    normed = {r["g"]: r["nv"] for r in
+              mean_pool(df, ["g"])
+              .select("g", l2_normalize(F.col("pooled")).alias("nv"))
+              .collect()}
+    assert np.allclose(normed[1], [1 / np.sqrt(3)] * 3)
+    assert normed[2] == [0.0, 0.0, 0.0]  # zero vector passes through
+    # partition invariance
+    p2 = {r["g"]: r["pooled"] for r in
+          mean_pool(df.repartition(5), ["g"]).collect()}
+    assert p2 == pooled
