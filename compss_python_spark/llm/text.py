@@ -203,6 +203,67 @@ def pii_redact(
     return df.withColumn(alias, out)
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Language-model quality scoring (the CCNet-style perplexity signal):
+    train an add-α-smoothed bigram LM on the corpus itself and score each
+    document by its per-token cross-entropy
+    −mean ln P(w2|w1), P = (c(w1,w2)+α)/(c(w1)+α·V).
+    Lower = more 'typical' text; boilerplate and word salad both stand
+    out.  Returns (id_col, n_pairs, cross_entropy) for documents with ≥ 2
+    tokens.
+
+    Plan shape: two map-combined count aggregates (unigram, bigram — the
+    LM 'training'), then the per-doc pair stream joins those counts on
+    their natural keys and one final per-doc aggregate.  All shuffles are
+    keyed on well-distributed grams.  At 100 TB, prune the bigram table to
+    top-k per head word and let misses fall to the smoothing floor — the
+    join shape is unchanged.
+    """
+    t = tokens(text_col)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        df.select(F.explode(t).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    v = uni.count()  # vocab size: one tiny blocking agg (scalar)
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            id_col,
+            F.log(
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * v)
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(-F.avg("_lp"), 5).alias("cross_entropy"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1919,3 +1919,40 @@ def embedding_mean_pool(spark, sf_dir):
     return normed.select(
         "grp", F.posexplode("nv").alias("dim_idx", "_v")
     ).select("grp", "dim_idx", F.round("_v", 5).alias("v"))
+
+
+@query(
+    "text_lm_cross_entropy",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM tok, UNNEST(range(1, len(t))) i(i)
+      WHERE len(t) >= 2
+    ),
+    uni AS (
+      SELECT u.w AS w1, COUNT(*) AS c1
+      FROM tok, UNNEST(t) u(w) GROUP BY 1
+    ),
+    v AS (SELECT COUNT(*) AS v FROM uni),
+    bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2)
+    SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(-AVG(LN((c2 + 0.1) / (c1 + 0.1 * v.v))), 5) AS cross_entropy
+    FROM pairs p
+    JOIN bi USING (w1, w2)
+    JOIN uni USING (w1)
+    CROSS JOIN v
+    GROUP BY p.doc_id
+    """,
+)
+def text_lm_cross_entropy(spark, sf_dir):
+    """CCNet-style LM quality signal: add-0.1-smoothed bigram LM trained
+    on the corpus, each document scored by per-token cross-entropy.  Two
+    count aggregates train the LM; the doc pair stream joins them and one
+    per-doc aggregate closes.  The oracle retrains the identical LM and
+    reproduces every score to 5 dp."""
+    from compss_python_spark.llm.text import bigram_lm_score
+
+    return bigram_lm_score(table(spark, sf_dir, "documents"))

@@ -806,3 +806,24 @@ def test_mean_pool_and_l2_normalize(spark):
     p2 = {r["g"]: r["pooled"] for r in
           mean_pool(df.repartition(5), ["g"]).collect()}
     assert p2 == pooled
+
+
+def test_bigram_lm_score_orders_quality(spark):
+    """Cross-entropy separates typical text from word salad: repeated
+    natural bigrams score low, a doc of never-repeated transitions scores
+    high; single-token docs are excluded."""
+    from compss_python_spark.llm.text import bigram_lm_score
+
+    common = "the cat sat on the mat"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [common, common, common,
+                 "zq xv jk wp mn bz qx vz",  # salad: every bigram unique
+                 "one"],                      # < 2 tokens -> no row
+    })
+    out = {r["doc_id"]: r for r in
+           bigram_lm_score(spark.createDataFrame(docs)).collect()}
+    assert 5 not in out
+    assert out[1]["cross_entropy"] == out[2]["cross_entropy"]
+    assert out[4]["cross_entropy"] > out[1]["cross_entropy"]
+    assert out[1]["n_pairs"] == 5 and out[4]["n_pairs"] == 7
