@@ -44,10 +44,13 @@ def pack_sequences(
 
     Plan shape: one narrow projection (shard key + token count), ONE
     shuffle on shard, and an applyInPandas greedy scan per shard whose
-    state is two integers — memory O(shard rows) for the Arrow batch,
-    never O(corpus).  n_shards scales with the cluster (each shard is an
-    independent sequential scan); the only cross-shard waste is ≤ one
-    partial sequence per shard.
+    loop state is two integers.  SIZING CONTRACT: applyInPandas
+    materializes one whole shard (id + count, ~16 B/row) per task, so
+    pick ``n_shards`` ≈ corpus_rows / 10M to keep a shard's Arrow batch
+    in the low hundreds of MB — at 100 TB / ~100 B docs that is ~10k
+    shards, each an independent sequential scan; the only cross-shard
+    waste is ≤ one partial sequence per shard.  The default suits tests
+    and small corpora, not a cluster run.
     """
     if budget <= 0:
         raise ValueError("pack_sequences: budget must be positive")
