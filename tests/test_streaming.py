@@ -153,3 +153,46 @@ def test_stream_cms_equals_batch(spark, events, events_us_parquet):
         "t_cms", output_mode="complete",
     )
     assert _canon(streamed) == _canon(batch)
+
+
+def test_streaming_curation_equals_batch(spark, sf_dir, tmp_path_factory):
+    """End-to-end STREAMING corpus curation: a document stream runs the
+    batch pipeline's expressions (quality score -> filter -> fingerprint
+    dedup within watermark) and must keep exactly the batch survivors.
+    Quality/fingerprint are shared narrow expressions, so stream==batch is
+    the same-semantics guarantee the rest of the streaming module rides."""
+    from compss_python_spark.llm import dedup, text
+    from compss_python_spark.plans.registry import table
+    from compss_python_spark.streaming import windows as W
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .limit(300)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")))
+    )
+    path = str(tmp_path_factory.mktemp("stream") / "docs")
+    docs.write.mode("overwrite").parquet(path)
+
+    def curate(df):
+        scored = text.quality_score(df)
+        kept = scored.filter(F.col("quality") >= 0.4)
+        return text.fingerprint(kept).select("doc_id", "ts", "fp", "quality")
+
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    out = W.streaming_dedup(curate(stream), keys=("fp",), watermark="100 days")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("t_cur").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.table("t_cur").collect()}
+    # batch survivors: one doc per fingerprint among quality-kept docs
+    batch = dedup.exact_dedup(curate(docs), "fp", "doc_id")
+    expect = {r["doc_id"] for r in batch.collect()}
+    # streaming keeps the FIRST arrival per fp (arrival order unspecified
+    # within a micro-batch), batch keeps min-id: counts must match and the
+    # kept fingerprints must be identical
+    assert len(got) == len(expect) > 0
+    fps = {r["fp"] for r in spark.table("t_cur").collect()}
+    assert fps == {r["fp"] for r in batch.collect()}
