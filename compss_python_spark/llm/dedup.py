@@ -396,6 +396,53 @@ def minhash_lsh_pairs_md5(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_fraction: float = 0.2,
+    threshold: float = 0.5,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Train/test split that near-duplicates cannot straddle — the
+    eval-hygiene counterpart of decontamination: a near-dup of a test
+    document leaking into train silently inflates eval scores, so the
+    split unit is the NEAR-DUP CLUSTER, not the document.
+
+    Pipeline: exact-collapse + LSH candidate pairs → connected components
+    → every document keyed by its cluster id (singletons: their own id) →
+    deterministic md5-threshold assignment of whole clusters to
+    test/train.  Returns df + (cluster_id, split).  ``use_md5`` switches
+    the signature family to the engine-portable md5 twin so an SQL oracle
+    can reproduce the entire assignment (production keeps xxhash64)."""
+    from compss_python_spark.graph.components import connected_components
+    from compss_python_spark.llm.sampling import hash_uniform
+
+    if not 0.0 < test_fraction < 1.0:
+        raise ValueError("leakage_safe_split: test_fraction must be in (0, 1)")
+    if use_md5:
+        pairs = minhash_lsh_pairs_md5(
+            df, id_col, text_col, num_hashes=16, bands=4, threshold=threshold
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, threshold=threshold, collapse_exact=True
+        )
+    comp = connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
+        "node", id_col
+    )
+    out = df.join(comp, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    return out.drop("component").withColumn(
+        "split",
+        F.when(
+            hash_uniform(F.col("cluster_id")) < F.lit(test_fraction),
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

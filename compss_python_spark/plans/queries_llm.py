@@ -1307,6 +1307,78 @@ def dedup_bloom_membership(spark, sf_dir):
 
 
 @query(
+    "llm_leakage_safe_split",
+    sql=r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok
+    ),
+    mh AS (
+      SELECT doc_id, g.j AS seed,
+             MIN(CAST('0x' || substr(md5(u.sg || '#' || g.j), 1, 12) AS BIGINT)) AS mh
+      FROM sh, UNNEST(sh.s) AS u(sg), generate_series(0, 15) AS g(j)
+      GROUP BY doc_id, g.j
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b.b AS band,
+             array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',') AS bkey
+      FROM sig, generate_series(0, 3) AS b(b)
+    ),
+    bsz AS (SELECT band, bkey, COUNT(*) AS n FROM banded GROUP BY band, bkey),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      JOIN bsz ON bsz.band = a.band AND bsz.bkey = a.bkey AND bsz.n <= 1000
+    ),
+    agree AS (
+      SELECT c.id_a, c.id_b, SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS na
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.id_a
+      JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+      GROUP BY c.id_a, c.id_b
+    ),
+    e0 AS (SELECT id_a, id_b FROM agree WHERE ROUND(na / 16.0, 6) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+              UNION SELECT id_b, id_a FROM e0),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 12)
+                          AS BIGINT) / 281474976710656.0 < 0.2
+                THEN 'test' ELSE 'train' END AS split
+    FROM keyed
+    """,
+)
+def llm_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split: near-dup CLUSTERS (md5 MinHash-LSH
+    pairs → connected components; singletons = the doc itself) are
+    assigned whole to test or train by a deterministic md5 threshold — a
+    near-duplicate of a test document can never leak into train.  The
+    oracle re-derives signatures, pairs, the closure, cluster keys and
+    every split verdict."""
+    out = dedup.leakage_safe_split(
+        table(spark, sf_dir, "documents"), test_fraction=0.2, use_md5=True
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+@query(
     "dedup_bloom_membership_sharded",
     sql="""
     WITH ref AS (SELECT md5(text) AS rk FROM documents WHERE doc_id % 7 = 0),

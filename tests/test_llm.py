@@ -827,3 +827,24 @@ def test_bigram_lm_score_orders_quality(spark):
     assert out[1]["cross_entropy"] == out[2]["cross_entropy"]
     assert out[4]["cross_entropy"] > out[1]["cross_entropy"]
     assert out[1]["n_pairs"] == 5 and out[4]["n_pairs"] == 7
+
+
+def test_leakage_safe_split_cluster_integrity(spark):
+    """Near-dup clusters never straddle the split; exact copies follow
+    their representative; fractions are sane; guard raises."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("dog", "cat")
+    rows = [(i, f"unique filler document number {i} {i*13} {i*29}")
+            for i in range(40)]
+    rows += [(100, base), (101, near), (102, base)]  # one cluster of 3
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup.leakage_safe_split(df, test_fraction=0.3).collect()
+    splits = {r["doc_id"]: r["split"] for r in out}
+    clusters = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert clusters[100] == clusters[101] == clusters[102] == 100
+    assert splits[100] == splits[101] == splits[102]
+    assert {"train", "test"} >= set(splits.values()) and len(out) == 43
+    n_test = sum(1 for s in splits.values() if s == "test")
+    assert 1 <= n_test <= 25  # hash-binomial around 0.3 * 41 clusters
+    with pytest.raises(ValueError, match="test_fraction"):
+        dedup.leakage_safe_split(df, test_fraction=1.5)
