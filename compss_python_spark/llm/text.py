@@ -203,6 +203,121 @@ def pii_redact(
     return df.withColumn(alias, out)
 
 
+# The Gopher stopword-presence list (Rae et al. 2021 §A1.1): a document must
+# contain at least `stop_hits` distinct words from this list to pass the
+# "contains common English words" rule.
+GOPHER_STOPWORDS: list[str] = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.80,
+    max_bullet_frac: float = 0.90,
+    max_ellipsis_frac: float = 0.30,
+    stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, Appendix A1.1).
+
+    Adds one boolean column per rule plus ``gopher_keep`` (AND of all):
+
+    - ``r_word_count``: word count in [min_words, max_words];
+    - ``r_mean_word_len``: mean word length in [min, max];
+    - ``r_symbol_ratio``: ('#' + '...') occurrences / words ≤ max_symbol_ratio;
+    - ``r_alpha_words``: fraction of words containing ≥1 alphabetic char
+      ≥ min_alpha_word_frac;
+    - ``r_bullets``: fraction of lines starting with a bullet marker
+      (-, *, •) ≤ max_bullet_frac;
+    - ``r_ellipsis``: fraction of lines ending with '...' or '…'
+      ≤ max_ellipsis_frac;
+    - ``r_stopwords``: ≥ stop_hits distinct words from GOPHER_STOPWORDS.
+
+    Every rule is a narrow JVM expression over the tokenized text — zero
+    shuffle, whole-stage codegen, embarrassingly parallel at 100 TB.  The
+    thresholds are the paper's defaults; pipelines tune them per corpus.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_words1 = F.greatest(n_words, F.lit(1))
+    # mean word length over non-space characters
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wl = non_space / n_words1
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.")) + F.regexp_count(
+        t, F.lit("…")
+    )
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    lines = F.split(t, r"\n")
+    n_lines1 = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda w: F.lower(w)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_symbol_ratio": (n_symbols / n_words1) <= max_symbol_ratio,
+        "r_alpha_words": (alpha_words / n_words1) >= min_alpha_word_frac,
+        "r_bullets": (bullet_lines / n_lines1) <= max_bullet_frac,
+        "r_ellipsis": (ellipsis_lines / n_lines1) <= max_ellipsis_frac,
+        "r_stopwords": stop_distinct >= stop_hits,
+    }
+    out = df.withColumns(rules)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
+    """Least-squares Zipf fit over the corpus token-frequency distribution.
+
+    Token frequencies → rank by (count desc, term asc) → restrict to the
+    top_n ranks → ordinary least squares of ln(count) on ln(rank).  A
+    healthy natural-language corpus shows slope ≈ −1 (Zipf's law); heavily
+    deduplicated or templated corpora drift away — a cheap corpus-health
+    metric.
+
+    Returns ONE row: (slope, intercept, r2, n_terms), rounded to 6 dp.
+    Plan: one map-combined token count, one rank window over the top_n
+    slice (bounded rows after the count pushes down via a count-desc
+    ORDER/LIMIT), one scalar aggregate.  The only full-corpus work is the
+    token count — everything after runs on ≤ top_n rows.
+    """
+    freq = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    top = freq.orderBy(F.desc("cnt"), F.asc("term")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.pow(F.corr("y", "x"), 2), 6).alias("r2"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+
+
 def bigram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2028,3 +2028,105 @@ def text_lm_cross_entropy(spark, sf_dir):
     from compss_python_spark.llm.text import bigram_lm_score
 
     return bigram_lm_score(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_gopher_rules",
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks,
+             LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS non_space,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             GREATEST(len(toks), 1) AS n_words1,
+             non_space,
+             len(regexp_extract_all(text, '#|\.\.\.'))
+               + len(regexp_extract_all(text, '…')) AS n_symbols,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS alpha_words,
+             GREATEST(len(lines), 1) AS n_lines1,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+               AS bullet_lines,
+             len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+               AS ellipsis_lines,
+             len(list_intersect(
+                 list_transform(toks, w -> lower(w)),
+                 ['the','be','to','of','and','that','have','with']))
+               AS stop_distinct
+      FROM s)
+    SELECT doc_id,
+           n_words >= 50 AND n_words <= 100000            AS r_word_count,
+           non_space / n_words1 >= 3.0
+             AND non_space / n_words1 <= 10.0             AS r_mean_word_len,
+           n_symbols / n_words1 <= 0.1                    AS r_symbol_ratio,
+           alpha_words / n_words1 >= 0.80                 AS r_alpha_words,
+           bullet_lines / n_lines1 <= 0.90                AS r_bullets,
+           ellipsis_lines / n_lines1 <= 0.30              AS r_ellipsis,
+           stop_distinct >= 1                             AS r_stopwords,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (non_space / n_words1 >= 3.0 AND non_space / n_words1 <= 10.0)
+             AND (n_symbols / n_words1 <= 0.1)
+             AND (alpha_words / n_words1 >= 0.80)
+             AND (bullet_lines / n_lines1 <= 0.90)
+             AND (ellipsis_lines / n_lines1 <= 0.30)
+             AND (stop_distinct >= 1)                     AS gopher_keep
+    FROM r
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1): per-doc
+    boolean verdicts for the seven classic filters plus the combined keep
+    flag.  All rules are narrow JVM expressions (zero shuffle); the oracle
+    re-derives every rule in DuckDB list/regex functions.  stop_hits=1
+    because the synthetic corpus vocabulary contains only one Gopher
+    stopword family."""
+    from compss_python_spark.llm.text import gopher_rules
+
+    out = gopher_rules(table(spark, sf_dir, "documents"), stop_hits=1)
+    return out.select(
+        "doc_id",
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_alpha_words",
+        "r_bullets",
+        "r_ellipsis",
+        "r_stopwords",
+        "gopher_keep",
+    )
+
+
+@query(
+    "text_zipf_slope",
+    sql=r"""
+    WITH freq AS (
+      SELECT u.term, COUNT(*) AS cnt
+      FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents) d,
+           UNNEST(d.t) u(term)
+      WHERE u.term <> ''
+      GROUP BY 1),
+    top AS (SELECT term, cnt FROM freq ORDER BY cnt DESC, term LIMIT 100),
+    rk AS (
+      SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+             LN(CAST(cnt AS DOUBLE)) AS y
+      FROM top)
+    SELECT ROUND(REGR_SLOPE(y, x), 6) AS slope,
+           ROUND(REGR_INTERCEPT(y, x), 6) AS intercept,
+           ROUND(POWER(CORR(y, x), 2), 6) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM rk
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Corpus-health Zipf fit: OLS of ln(count) on ln(rank) over the top-100
+    terms.  Natural corpora fit slope ≈ −1; templated/deduplicated corpora
+    drift.  One map-combined token count is the only full-corpus work; the
+    regression runs on ≤ 100 rows."""
+    from compss_python_spark.llm.text import zipf_fit
+
+    return zipf_fit(table(spark, sf_dir, "documents"))

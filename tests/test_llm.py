@@ -848,3 +848,40 @@ def test_leakage_safe_split_cluster_integrity(spark):
     assert 1 <= n_test <= 25  # hash-binomial around 0.3 * 41 clusters
     with pytest.raises(ValueError, match="test_fraction"):
         dedup.leakage_safe_split(df, test_fraction=1.5)
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    rows = [
+        # long clean doc with a stopword: passes everything
+        (0, "the quick brown fox jumps over lazy dogs " * 8),
+        # too short
+        (1, "the tiny doc"),
+        # symbol-heavy: '#' per word ratio above 0.1
+        (2, " ".join(["word #"] * 40)),
+        # bullet lines dominate
+        (3, "\n".join(["- bullet item here"] * 10) + "\n" + "the tail " * 45),
+        # no stopwords at all
+        (4, "zzz qqq vvv www " * 20),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_rules(df, min_words=20, stop_hits=1).collect()
+    }
+    assert out[0]["gopher_keep"]
+    assert not out[1]["r_word_count"] and not out[1]["gopher_keep"]
+    assert not out[2]["r_symbol_ratio"]
+    assert not out[3]["r_bullets"]
+    assert not out[4]["r_stopwords"]
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    # Plant an exact Zipf corpus: term t_r appears round(1000 / r) times.
+    words = []
+    for r in range(1, 51):
+        words += [f"t{r:03d}"] * round(1000 / r)
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    row = text.zipf_fit(df, top_n=50).collect()[0]
+    assert row["n_terms"] == 50
+    assert abs(row["slope"] - (-1.0)) < 0.01
+    assert row["r2"] > 0.999
