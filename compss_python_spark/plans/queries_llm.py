@@ -2130,3 +2130,102 @@ def text_zipf_slope(spark, sf_dir):
     from compss_python_spark.llm.text import zipf_fit
 
     return zipf_fit(table(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle_ctes(num_merges: int) -> str:
+    """Unrolled-training CTE chain shared by both BPE oracles: wf (word
+    frequencies), s0 (char states), then per round r: p{r} (weighted
+    adjacent-pair counts), m{r} (deterministic argmax), s{r+1} (literal
+    '(a)(b)'→'(ab)' state replace).  The same unrolling trick that oracles
+    ml_logreg_gd — the SQL retrains the identical tokenizer."""
+    parts = [
+        r"""wf AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+            FROM documents)
+      WHERE w <> '' AND w NOT LIKE '%(%' AND w NOT LIKE '%)%'
+      GROUP BY w),
+    s0 AS (SELECT word,
+                  '(' || array_to_string(regexp_extract_all(word, '.'), ')(')
+                      || ')(</w>)' AS state,
+                  freq
+           FROM wf)"""
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""p{r} AS (
+      SELECT syms[i.i] AS lhs, syms[i.i + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM (SELECT string_split(substring(state, 2, length(state) - 2),
+                                ')(') AS syms,
+                   freq
+            FROM s{r}),
+           UNNEST(range(1, len(syms))) i(i)
+      GROUP BY 1, 2),
+    m{r} AS (SELECT lhs, rhs, pair_count FROM p{r}
+             ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    s{r + 1} AS (SELECT word,
+                      replace(state, '(' || m.lhs || ')(' || m.rhs || ')',
+                              '(' || m.lhs || m.rhs || ')') AS state,
+                      freq
+               FROM s{r}, m{r} m)"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_MERGES = 6
+
+
+def _bpe_train_oracle() -> str:
+    rows = "\n     UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, pair_count FROM m{r}"
+        for r in range(_BPE_MERGES)
+    )
+    return f"WITH {_bpe_oracle_ctes(_BPE_MERGES)}\n    {rows}"
+
+
+def _bpe_subtokens_oracle() -> str:
+    return f"""
+    WITH {_bpe_oracle_ctes(_BPE_MERGES)},
+    vocab AS (
+      SELECT word,
+             len(string_split(substring(state, 2, length(state) - 2),
+                              ')(')) AS n_sub
+      FROM s{_BPE_MERGES}),
+    doc AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents)
+    SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_subtokens
+    FROM doc JOIN vocab USING (word)
+    GROUP BY doc_id
+    """
+
+
+@query("text_bpe_train_merges", sql=_bpe_train_oracle())
+def text_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016), the
+    scalable shape: ONE corpus scan builds the vocabulary-sized word-freq
+    table; each of the 6 merge rounds is a pair-count aggregate + 1-row
+    argmax over that small table only.  The oracle unrolls all 6 rounds in
+    SQL and retrains the identical tokenizer — every merge and its count
+    is hash-checked."""
+    from compss_python_spark.llm.bpe import bpe_train
+
+    return bpe_train(table(spark, sf_dir, "documents"), num_merges=_BPE_MERGES)
+
+
+@query("text_bpe_subtoken_count", sql=_bpe_subtokens_oracle())
+def text_bpe_subtoken_count(spark, sf_dir):
+    """Per-document token budget under the corpus-trained 6-merge BPE:
+    segmentation is applied to the VOCABULARY (small, broadcast), and the
+    corpus token stream joins that map — the 100 TB shape, since the
+    expensive side never recomputes segmentation per occurrence."""
+    from compss_python_spark.llm.bpe import bpe_doc_subtoken_counts, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, num_merges=_BPE_MERGES).collect()
+    ]
+    return bpe_doc_subtoken_counts(docs, merges)

@@ -885,3 +885,79 @@ def test_zipf_fit_recovers_planted_slope(spark):
     assert row["n_terms"] == 50
     assert abs(row["slope"] - (-1.0)) < 0.01
     assert row["r2"] > 0.999
+
+
+def _reference_bpe(word_freqs, num_merges):
+    """Pure-Python reference BPE (Sennrich et al. 2016 pseudo-code),
+    greedy left-to-right pair replacement, tie-break (count desc, lhs, rhs)."""
+    states = {w: tuple(list(w) + ["</w>"]) for w in word_freqs}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, syms in states.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w, syms in states.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            states[w] = tuple(out)
+    return merges, states
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    from compss_python_spark.llm import bpe
+
+    corpus = [
+        (0, "low low low low lower lower newest newest newest widest"),
+        (1, "new new newer wider wide widest lowest low"),
+        # repeated symbols: greedy left-to-right merge of (a, a)
+        (2, "aaa aaaa aa aaa aaa banana bananas"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    freqs = {}
+    for _, t in corpus:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    ref_merges, ref_states = _reference_bpe(freqs, 8)
+
+    got = [
+        (r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe.bpe_train(df, num_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == ref_merges
+
+    seg = {
+        r["word"]: tuple(r["subtokens"])
+        for r in bpe.bpe_segment_words(df, [(a, b) for a, b, _ in got]).collect()
+    }
+    assert seg == ref_states
+
+
+def test_bpe_subtoken_counts_sum_over_doc_tokens(spark, docs):
+    from compss_python_spark.llm import bpe
+
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe.bpe_train(docs, num_merges=4).collect()
+    ]
+    out = bpe.bpe_doc_subtoken_counts(docs, merges)
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    # every doc has at least (n_tokens) subtokens (each word >= 1 symbol
+    # even fully merged, plus </w> can merge away only into the last piece)
+    joined = (
+        out.join(docs.select("doc_id", F.size(text.tokens("text")).alias("nt")), "doc_id")
+        .filter(F.col("n_subtokens") < F.col("nt"))
+        .count()
+    )
+    assert joined == 0
