@@ -689,3 +689,65 @@ def ivfpq_topk(
         F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
         "rn",
     )
+
+
+def int8_quantize_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of an embedding corpus,
+    with order-independent reconstruction-error statistics.
+
+    Storage-side op for 100 TB embedding stores: q_i = clamp(round(v_i /
+    s_i * 127), ±127) with s_i = corpus max|v_i| per dimension.  The scale
+    pass is one narrow posexplode + map-combined max keyed on (dim) — 64
+    groups, no skew — reassembled into ONE broadcast scales row (never a
+    driver collect).  Quantization itself is a zero-shuffle zip_with over
+    the broadcast array.
+
+    Outputs are deliberately order-INDEPENDENT so a SQL oracle hash-matches
+    bit-exact: integer aggregates (sum|q|, sum q², saturation count) and a
+    MAX-based reconstruction error (max is exact on doubles regardless of
+    reduction order; an AVG would pick up summation-order ulps).
+
+    Returns (id_col, sum_abs_q, sum_sq_q, n_sat, max_abs_err).
+    """
+    dims = df.select(
+        F.posexplode(vec_col).alias("_i", "_v")
+    )
+    scales = dims.groupBy("_i").agg(
+        F.max(F.abs(F.col("_v").cast("double"))).alias("_s")
+    )
+    srow = scales.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_s"))),
+            lambda x: x["_s"],
+        ).alias("_scales")
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.zip_with(
+        vec_d,
+        F.col("_scales"),
+        lambda v, s: F.when(s == 0.0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.lit(-127.0), F.least(F.lit(127.0), F.round(v / s * 127))
+            )
+        ),
+    )
+    dq = F.zip_with(
+        q, F.col("_scales"), lambda qq, s: qq * s / F.lit(127.0)
+    )
+    err = F.zip_with(vec_d, dq, lambda v, d: F.abs(v - d))
+    return (
+        df.crossJoin(F.broadcast(srow))
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x).cast("long")
+            ).alias("sum_abs_q"),
+            F.aggregate(
+                q, F.lit(0).cast("long"), lambda acc, x: acc + (x * x).cast("long")
+            ).alias("sum_sq_q"),
+            F.size(F.filter(q, lambda x: F.abs(x) == 127.0)).alias("n_sat"),
+            F.round(F.array_max(err), 12).alias("max_abs_err"),
+        )
+    )

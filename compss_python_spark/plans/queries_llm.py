@@ -2229,3 +2229,41 @@ def text_bpe_subtoken_count(spark, sf_dir):
         for r in bpe_train(docs, num_merges=_BPE_MERGES).collect()
     ]
     return bpe_doc_subtoken_counts(docs, merges)
+
+
+@query(
+    "embedding_int8_quantize",
+    sql="""
+    WITH scales AS (
+      SELECT i.i AS pos, MAX(ABS(CAST(embedding[i.i] AS DOUBLE))) AS s
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) i(i)
+      GROUP BY 1),
+    sarr AS (SELECT list(s ORDER BY pos) AS scales FROM scales),
+    q AS (
+      SELECT vec_id,
+             CAST(embedding[i.i] AS DOUBLE) AS v,
+             scales[i.i] AS s,
+             CASE WHEN scales[i.i] = 0 THEN 0.0
+                  ELSE GREATEST(-127.0, LEAST(127.0,
+                       ROUND(CAST(embedding[i.i] AS DOUBLE)
+                             / scales[i.i] * 127.0))) END AS q
+      FROM embeddings CROSS JOIN sarr,
+           UNNEST(range(1, len(embedding) + 1)) i(i))
+    SELECT vec_id,
+           CAST(SUM(CAST(ABS(q) AS BIGINT)) AS BIGINT) AS sum_abs_q,
+           CAST(SUM(CAST(q * q AS BIGINT)) AS BIGINT) AS sum_sq_q,
+           CAST(SUM(CASE WHEN ABS(q) = 127.0 THEN 1 ELSE 0 END) AS INT) AS n_sat,
+           ROUND(MAX(ABS(v - q * s / 127.0)), 12) AS max_abs_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Symmetric per-dimension int8 quantization of the embedding corpus
+    with reconstruction-error stats.  Scale pass = one narrow posexplode +
+    map-combined per-dim max reassembled into ONE broadcast row (no driver
+    collect); quantization is a zero-shuffle zip_with.  Outputs are
+    order-independent (integer sums + max error) so the oracle is
+    hash-exact."""
+    from compss_python_spark.llm.similarity import int8_quantize_stats
+
+    return int8_quantize_stats(table(spark, sf_dir, "embeddings"))

@@ -961,3 +961,19 @@ def test_bpe_subtoken_counts_sum_over_doc_tokens(spark, docs):
         .count()
     )
     assert joined == 0
+
+
+def test_int8_quantize_error_bounded_by_half_step(spark, emb):
+    out = similarity.int8_quantize_stats(emb).persist()
+    n = emb.count()
+    assert out.count() == n
+    # per-dim scale s => dequant error <= s/254 + eps (half a quant step);
+    # with corpus max|v| ~ 0.6 the bound is ~0.0024
+    dims = emb.select(F.posexplode("embedding").alias("i", "v"))
+    max_s = dims.agg(F.max(F.abs("v"))).collect()[0][0]
+    bad = out.filter(F.col("max_abs_err") > max_s / 254.0 + 1e-9).count()
+    assert bad == 0
+    # q in [-127, 127] always => sum_sq_q <= 127^2 * dim
+    dim = len(emb.select("embedding").first()[0])
+    assert out.filter(F.col("sum_sq_q") > 127 * 127 * dim).count() == 0
+    out.unpersist()
