@@ -78,3 +78,31 @@ def stratified_rebalance(
         F.col("keep_rate").isNotNull()
         & (hash_uniform(F.col(key_col)) < F.col("keep_rate"))
     ).withColumn("keep_rate", F.round("keep_rate", 6))
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    rank_col: str = "pick_rank",
+) -> DataFrame:
+    """Hard per-group cap: keep at most ``cap`` rows per ``group_col``,
+    prioritized by the deterministic pseudo-random draw md5(key) — the
+    crawl-curation "max N documents per domain" rule (complements
+    stratified_rebalance, which is proportional, not capped).
+
+    Plan: ONE shuffle keyed on the group + a rank-≤-cap filter that
+    Spark's WindowGroupLimit optimization pushes map-side, so a mega-domain
+    contributes at most ``cap`` rows per input partition to the exchange —
+    the skew-killer that makes this survive a domain holding 1% of a
+    100 TB crawl.  Ordering by (md5(key), key) is total, so the survivor
+    set is deterministic and oracle-reproducible."""
+    from pyspark.sql import Window
+
+    draw = F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8"))
+    w = Window.partitionBy(group_col).orderBy(draw, F.col(key_col))
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= cap)
+    )

@@ -2267,3 +2267,28 @@ def embedding_int8_quantize(spark, sf_dir):
     from compss_python_spark.llm.similarity import int8_quantize_stats
 
     return int8_quantize_stats(table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "llm_domain_cap",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+      FROM documents)
+    SELECT doc_id, source, CAST(pick_rank AS INT) AS pick_rank
+    FROM ranked WHERE pick_rank <= 10
+    """,
+)
+def llm_domain_cap(spark, sf_dir):
+    """Max-N-docs-per-domain crawl rule: deterministic md5-draw top-10 per
+    source.  WindowGroupLimit prunes the rank filter map-side, bounding a
+    mega-domain's shuffle contribution to cap×partitions."""
+    from compss_python_spark.llm.sampling import domain_cap
+
+    docs = table(spark, sf_dir, "documents")
+    return domain_cap(docs, "source", "doc_id", cap=10).select(
+        "doc_id", "source", "pick_rank"
+    )

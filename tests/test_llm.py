@@ -977,3 +977,19 @@ def test_int8_quantize_error_bounded_by_half_step(spark, emb):
     dim = len(emb.select("embedding").first()[0])
     assert out.filter(F.col("sum_sq_q") > 127 * 127 * dim).count() == 0
     out.unpersist()
+
+
+def test_domain_cap_bounds_every_group_deterministically(spark, docs):
+    from compss_python_spark.llm.sampling import domain_cap
+
+    out = domain_cap(docs, "source", "doc_id", cap=7)
+    sizes = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in sizes)
+    # deterministic: same survivors on re-run
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in domain_cap(docs, "source", "doc_id", cap=7).select("doc_id").collect())
+    assert a == b
+    # groups smaller than the cap survive whole
+    small = docs.filter("source = 'src3'").count()
+    kept3 = out.filter("source = 'src3'").count()
+    assert kept3 == min(small, 7)
