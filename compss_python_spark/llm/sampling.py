@@ -106,3 +106,40 @@ def domain_cap(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= cap)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006
+    A-Res), derandomized: each row's priority is u^(1/w) with the
+    deterministic uniform u = md5-uniform(key) and w = ``weight_col``;
+    the k highest priorities are the sample — inclusion probability is
+    proportional to weight, and the same corpus always yields the same
+    sample (reproducible pipelines, oracle-checkable).
+
+    Quality-weighted corpus subsetting is the LLM-pipeline use: w = a
+    quality score or length, k = the token budget in documents.
+
+    Plan: priority is a narrow expression; top-k runs as TakeOrdered
+    (per-partition heaps, NO global sort — the 100 TB shape); the rank
+    window then orders only the k survivors.  Priorities of distinct keys
+    are continuous draws, so cross-engine ordering is stable (a flip
+    would need two priorities within one double ulp)."""
+    from pyspark.sql import Window
+
+    pr = F.pow(hash_uniform(F.col(key_col)), F.lit(1.0) / F.col(weight_col))
+    top = (
+        df.withColumn("_priority", pr)
+        .orderBy(F.desc("_priority"), F.col(key_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("_priority"), F.col(key_col))
+    return (
+        top.withColumn(rank_col, F.row_number().over(w))
+        .drop("_priority")
+    )

@@ -169,3 +169,135 @@ def hypertable_rollup(
         ]
     )
     return out.withColumn("grain", grain)
+
+
+def transition_matrix(
+    df,
+    entity_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+):
+    """First-order Markov transition estimates over an event stream: for
+    each observed (from_state, to_state) pair, its count and the row-
+    normalized probability P(to|from).
+
+    Plan: ONE lag window per entity (single exchange keyed on the entity),
+    a map-combined pair count, then a broadcast-sized from-state total
+    joined back — the from-state table is |states| rows, so the join never
+    shuffles the pair table.  The classic clickstream / user-journey
+    operator, linear at 100 TB.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        df.select(
+            F.lag(state_col).over(w).alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("_tot"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
+    )
+
+
+def ntile_distributed(
+    df,
+    order_cols: list[str],
+    buckets: int,
+    output_col: str,
+    num_range_parts: int = 32,
+):
+    """Exact SQL NTILE semantics WITHOUT a single-partition window.
+
+    ``order_cols`` must form a total order (include a unique tiebreak).
+    Ordinal ranks come from the same distributed prefix-sum that powers
+    functions.statistics.global_avg_ranks: range-repartition on the order
+    key (boundaries pinned by eager localCheckpoint), per-partition local
+    row counts, and a ≤ num_range_parts-row offset collect.  The bucket is
+    then NTILE's exact remainder rule — the first (n mod b) buckets get
+    ceil(n/b) rows — computed as an expression from (rank, n).  A global
+    Window.orderBy would collapse 100 TB onto one task; this shape keeps
+    every stage spread.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.col(c).asc() for c in order_cols]
+    c = (
+        df.repartitionByRange(num_range_parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wp = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = c.withColumn("_local_less", F.coalesce(F.count(F.lit(1)).over(wp), F.lit(0)))
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in c.groupBy("_pid").agg(F.count("*").alias("_t")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t
+    n, b = acc, buckets
+    omap = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    r0 = F.element_at(omap, F.col("_pid")) + F.col("_local_less")  # rank - 1
+    q, rem = divmod(n, b)
+    big = F.lit(rem * (q + 1))
+    bucket = (
+        F.when(r0 < big, F.floor(r0 / F.lit(q + 1)))
+        .otherwise(F.lit(rem) + F.floor((r0 - big) / F.lit(max(q, 1))))
+        + 1
+    )
+    return c.withColumn(output_col, bucket.cast("int")).drop(
+        "_pid", "_local_less"
+    )
+
+
+def rfm_segmentation(
+    orders,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    buckets: int = 4,
+):
+    """RFM (recency / frequency / monetary) customer segmentation: per
+    customer, last order date, order count, and total spend, each scored
+    into ``buckets`` NTILE bands under a total order (metric + customer id
+    tiebreak, so band edges are deterministic and oracle-reproducible);
+    segment code = R·100 + F·10 + M.
+
+    Plan: one map-combined per-customer aggregate, then three
+    :func:`ntile_distributed` passes over the customer-level table — exact
+    NTILE semantics with no single-partition window anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    per = orders.groupBy(customer_col).agg(
+        F.max(date_col).alias("last_order"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum(amount_col), 2).alias("spend"),
+    )
+    out = ntile_distributed(per, ["last_order", customer_col], buckets, "r_score")
+    out = ntile_distributed(out, ["n_orders", customer_col], buckets, "f_score")
+    out = ntile_distributed(out, ["spend", customer_col], buckets, "m_score")
+    return out.withColumn(
+        "rfm", F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+    )

@@ -1932,3 +1932,65 @@ def timeseries_resample_interpolate(spark, sf_dir):
         "user_id", "bucket", F.round("v", 4).alias("v"),
         F.round("v_interp", 4).alias("v_interp"), "is_gap",
     )
+
+
+@query(
+    "events_transition_matrix",
+    sql="""
+    WITH l AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_state,
+             event_type AS to_state
+      FROM events),
+    pr AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+           FROM l WHERE from_state IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_state, SUM(n) AS tot FROM pr GROUP BY 1)
+    SELECT pr.from_state, pr.to_state, pr.n,
+           ROUND(pr.n / t.tot, 6) AS prob
+    FROM pr JOIN t USING (from_state)
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transitions over the event stream (clickstream /
+    user-journey analysis): one lag window keyed on the user, a
+    map-combined pair count, and a broadcast |states|-row normalizer."""
+    from compss_python_spark.operators.aggregation import transition_matrix
+
+    ev = table(spark, sf_dir, "events")
+    out = transition_matrix(ev, "user_id", "event_type", "ts", "event_id")
+    return out.select("from_state", "to_state", "n", F.col("p").alias("prob"))
+
+
+@query(
+    "rfm_segmentation",
+    sql="""
+    WITH per AS (
+      SELECT o_custkey, MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS spend
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT *,
+             NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY spend, o_custkey) AS m_score
+      FROM per)
+    SELECT o_custkey, last_order, n_orders, spend,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM s
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation with EXACT SQL NTILE semantics but no
+    single-partition window: ordinal ranks come from the distributed
+    range-partitioned prefix-sum (ntile_distributed), and the oracle's
+    plain NTILE(4) windows must agree band-for-band."""
+    from compss_python_spark.operators.aggregation import rfm_segmentation
+
+    orders = table(spark, sf_dir, "orders")
+    out = rfm_segmentation(orders)
+    return out.select(
+        "o_custkey", "last_order", "n_orders", "spend",
+        "r_score", "f_score", "m_score", "rfm",
+    )

@@ -866,3 +866,82 @@ def layout_zorder_value(spark, sf_dir):
             [F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024], 10
         ).alias("z"),
     )
+
+
+@query(
+    "cdc_apply_changelog",
+    sql="""
+    WITH snap AS (
+      SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+             'I' AS op, CAST(-1 AS BIGINT) AS seq
+      FROM customer),
+    chg AS (
+      SELECT o_custkey AS c_custkey,
+             'CDC_' || o_orderkey AS c_name,
+             ROUND(o_totalprice, 2) AS c_acctbal,
+             CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderkey AS seq
+      FROM orders),
+    u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                       ORDER BY seq DESC) AS rn
+          FROM u)
+    SELECT c_custkey, c_name, c_acctbal FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """MERGE / upsert semantics: apply a CDC batch (I/U/D + sequence
+    number) to a snapshot via ONE last-writer-wins window keyed on the
+    business key (map-side pruned), tombstones dropped.  The changelog is
+    derived deterministically from orders (op by custkey mod, seq =
+    orderkey) so the oracle replays the identical merge."""
+    from compss_python_spark.operators.cdc import apply_changelog
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    changes = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("CDC_"), F.col("o_orderkey")).alias("c_name"),
+        F.round("o_totalprice", 2).alias("c_acctbal"),
+        F.when(F.col("o_custkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return apply_changelog(cust, changes, ["c_custkey"], "seq")
+
+
+@query(
+    "cdc_scd2_intervals",
+    sql="""
+    WITH l AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    h AS (
+      SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                     THEN 1 ELSE 0 END AS head
+      FROM l),
+    r AS (
+      SELECT *, SUM(head) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM h),
+    a AS (
+      SELECT user_id, run, MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from
+      FROM r GROUP BY 1, 2)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+             AS valid_to
+    FROM a
+    """,
+)
+def cdc_scd2_intervals(spark, sf_dir):
+    """SCD2 dimension build from an event stream: runs of equal
+    event_type per user become validity intervals [valid_from, valid_to),
+    open-ended for the current run.  Two windows over one
+    (user → ts, event_id) sort — a single exchange, no self-join."""
+    from compss_python_spark.operators.cdc import scd2_intervals
+
+    ev = table(spark, sf_dir, "events")
+    return scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")

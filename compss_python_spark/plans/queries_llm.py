@@ -2292,3 +2292,30 @@ def llm_domain_cap(spark, sf_dir):
     return domain_cap(docs, "source", "doc_id", cap=10).select(
         "doc_id", "source", "pick_rank"
     )
+
+
+@query(
+    "llm_weighted_sample",
+    sql="""
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             POWER(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) / 281474976710656.0,
+                   1.0 / n_chars) AS p
+      FROM documents)
+    SELECT doc_id, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY p DESC, doc_id) AS INT)
+             AS sample_rank
+    FROM pr ORDER BY p DESC, doc_id LIMIT 100
+    """,
+)
+def llm_weighted_sample(spark, sf_dir):
+    """Derandomized Efraimidis–Spirakis weighted sampling without
+    replacement: top-100 documents by priority u^(1/n_chars), u =
+    md5-uniform(doc_id) — longer documents proportionally likelier.
+    TakeOrdered top-k (per-partition heaps), rank window only on the 100
+    survivors."""
+    from compss_python_spark.llm.sampling import weighted_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100)

@@ -444,3 +444,90 @@ def test_zorder_locality_and_write(spark, tmp_path):
         zorder_value(["x"], 10)
     with _pt.raises(ValueError, match="exceeds a long"):
         zorder_value(["x", "y", "x", "y"], 16)
+
+
+def test_apply_changelog_merge_semantics(spark):
+    from compss_python_spark.operators.cdc import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "val"]
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 5),   # update, later overwritten
+            (2, "b3", 22.0, "U", 9),   # last writer wins
+            (3, None, None, "D", 4),   # delete
+            (4, "d", 40.0, "I", 7),    # insert new key
+            (5, "e", 50.0, "D", 2),    # delete of absent key: no row
+        ],
+        "k int, name string, val double, op string, seq long",
+    )
+    got = {
+        r["k"]: (r["name"], r["val"])
+        for r in apply_changelog(snap, chg, ["k"], "seq").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d", 40.0)}
+
+
+def test_scd2_intervals_compress_runs(spark):
+    from compss_python_spark.operators.cdc import scd2_intervals
+
+    rows = [
+        (1, "x", 1, 1), (1, "x", 2, 2), (1, "y", 3, 3), (1, "x", 4, 4),
+        (2, "z", 1, 5),
+    ]
+    df = spark.createDataFrame(rows, ["ent", "attr", "t", "eid"])
+    out = sorted(
+        (r["ent"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_intervals(df, "ent", "attr", "t", "eid").collect()
+    )
+    assert out == [
+        (1, "x", 1, 3), (1, "x", 4, None), (1, "y", 3, 4),
+        (2, "z", 1, None),
+    ]
+
+
+def test_ntile_distributed_matches_window_ntile(spark):
+    from pyspark.sql import Window
+
+    rng = pd.DataFrame(
+        {"id": range(997), "v": [(i * 131) % 467 for i in range(997)]}
+    )
+    df = spark.createDataFrame(rng)
+    for b in (3, 4, 7):
+        got = aggregation.ntile_distributed(df, ["v", "id"], b, "nt")
+        ref = df.withColumn(
+            "nt_ref", F.ntile(b).over(Window.orderBy(F.asc("v"), F.asc("id")))
+        )
+        diff = (
+            got.join(ref, ["id", "v"])
+            .filter(F.col("nt") != F.col("nt_ref"))
+            .count()
+        )
+        assert diff == 0, f"ntile mismatch at b={b}"
+
+
+def test_transition_matrix_rows_normalize(spark):
+    rows = [
+        (1, "a", 1, 1), (1, "b", 2, 2), (1, "a", 3, 3), (1, "a", 4, 4),
+        (2, "b", 1, 5), (2, "a", 2, 6),
+    ]
+    df = spark.createDataFrame(rows, ["u", "s", "t", "eid"])
+    out = aggregation.transition_matrix(df, "u", "s", "t", "eid")
+    per = out.groupBy("from_state").agg(F.round(F.sum("p"), 4).alias("tot")).collect()
+    assert all(abs(r["tot"] - 1.0) < 1e-3 for r in per)
+    got = {(r["from_state"], r["to_state"]): r["n"] for r in out.collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 2, ("a", "a"): 1}
+
+
+def test_weighted_sample_scale_invariant_and_sized(spark):
+    from compss_python_spark.llm.sampling import weighted_sample
+
+    pdf = pd.DataFrame({"k": range(300), "w": [1.0 + (i % 17) for i in range(300)]})
+    df = spark.createDataFrame(pdf)
+    a = [r["k"] for r in weighted_sample(df, "k", "w", 40).collect()]
+    assert len(a) == 40 and len(set(a)) == 40
+    # scaling all weights by a constant must not change the selection
+    df2 = df.withColumn("w", F.col("w") * 1000.0)
+    b = [r["k"] for r in weighted_sample(df2, "k", "w", 40).collect()]
+    assert sorted(a) == sorted(b)
