@@ -638,3 +638,100 @@ def graph_k_core(spark, sf_dir):
         (F.col("l_suppkey") + 1000000).alias("dst"),
     )
     return k_core(edges, k=3)
+
+
+_GRAPH_EDGE_BASE_SQL = """base AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 45
+    ),
+    e0 AS (SELECT src AS s, dst AS d FROM base
+           UNION SELECT dst, src FROM base)"""
+
+_LPA_ROUNDS = 4
+_BFS_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous-LPA oracle: R rounds of neighbor-label counting
+    + deterministic argmax (count desc, label asc) — the same unroll trick
+    as graph_k_core's peel chain."""
+    parts = [
+        _GRAPH_EDGE_BASE_SQL,
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM e0)",
+    ]
+    for r in range(_LPA_ROUNDS):
+        parts.append(
+            f"""c{r} AS (
+      SELECT e.s, l.label, COUNT(*) AS cnt
+      FROM e0 e JOIN l{r} l ON l.node = e.d GROUP BY 1, 2),
+    l{r + 1} AS (
+      SELECT s AS node, FIRST(label ORDER BY cnt DESC, label) AS label
+      FROM c{r} GROUP BY s)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, CAST(label AS BIGINT) AS label FROM l{_LPA_ROUNDS}"
+    )
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        _GRAPH_EDGE_BASE_SQL,
+        """seeds AS (SELECT DISTINCT s AS node FROM e0 WHERE s % 100 = 0),
+    d0 AS (SELECT node, 0 AS dist FROM seeds)""",
+    ]
+    for r in range(_BFS_ROUNDS):
+        parts.append(
+            f"""d{r + 1} AS (
+      SELECT node, CAST(MIN(dist) AS INT) AS dist FROM (
+        SELECT node, dist FROM d{r}
+        UNION ALL
+        SELECT e.s AS node, d.dist + 1 AS dist
+        FROM e0 e JOIN d{r} d ON d.node = e.d) u
+      GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, dist FROM d{_BFS_ROUNDS}"
+    )
+
+
+def _copurchase_edges(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    orders = table(spark, sf_dir, "orders")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+
+
+@query("graph_label_propagation", sql=_lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Community detection: 4 rounds of SYNCHRONOUS label propagation
+    (Raghavan et al. 2007) with total tie-break (count desc, label asc) —
+    the deterministic variant, so the unrolled SQL oracle reproduces every
+    label.  Per round: one edge⋈label shuffle + one map-combined
+    max(struct) argmax (no per-node sort window)."""
+    from compss_python_spark.graph.lpa import label_propagation
+
+    return label_propagation(_copurchase_edges(spark, sf_dir), num_rounds=_LPA_ROUNDS)
+
+
+@query("graph_bfs_layers", sql=_bfs_oracle())
+def graph_bfs_layers(spark, sf_dir):
+    """Multi-source BFS hop distances (4 rounds of min-plus relaxation —
+    exact for all nodes within 4 hops) from the seed set node%100=0.
+    One expansion join + one min aggregate per round, frontier never on
+    the driver."""
+    from compss_python_spark.graph.lpa import bfs_layers
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node") % 100 == 0)
+    )
+    return bfs_layers(edges, seeds, num_rounds=_BFS_ROUNDS)

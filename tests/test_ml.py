@@ -610,3 +610,29 @@ def test_k_core_known_and_random(spark):
     assert got == {n: len(nb) for n, nb in adj.items()}
     with pytest.raises(ValueError, match="k must be"):
         k_core(rdf, 0)
+
+
+def test_label_propagation_two_cliques(spark):
+    from compss_python_spark.graph.lpa import label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA should settle each
+    # clique on its own min label (synchronous, min-label tie-break)
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], ["src", "dst"])
+    out = {r["node"]: r["label"] for r in label_propagation(edges, 6).collect()}
+    assert set(out) == set(range(4)) | set(range(10, 14))
+    # both cliques collapse to a single community label each
+    assert len({out[n] for n in range(3)}) == 1
+    assert len({out[n] for n in range(11, 14)}) == 1
+
+
+def test_bfs_layers_path_graph(spark):
+    from compss_python_spark.graph.lpa import bfs_layers
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    out = {r["node"]: r["dist"] for r in bfs_layers(edges, seeds, 4).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # exactly 4 hops reached
