@@ -425,3 +425,104 @@ def fingerprint(df: DataFrame, text_col: str = "text", alias: str = "fp") -> Dat
     expressible (same function both engines)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(alias, F.md5(norm))
+
+
+def top_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-k terms by
+    tf · (ln((N+1)/(df+1)) + 1) (smoothed idf), tie-break term asc.
+    Returns (id_col, term, score, kw_rank).
+
+    Plan: one (doc, term) count, one term document-frequency count, the
+    corpus size N as a broadcast 1-row aggregate (never a driver collect),
+    and a per-doc top-k window that WindowGroupLimit prunes map-side.
+    Shuffles are keyed on (doc, term) / term — high-cardinality, no skew.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1.0),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return scored.withColumn("kw_rank", F.row_number().over(w)).filter(
+        F.col("kw_rank") <= k
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs, PMI = ln(c_ab · T / (c_a· · c_·b)) with left/right marginals
+    over the pair stream (T = total pairs).  Returns the ``top`` pairs
+    with c_ab ≥ min_count by (PMI desc, w1, w2), with a rank column.
+
+    Plan: ONE pair count feeds everything — marginals are two more
+    map-combined aggregates OF THE PAIR TABLE (vocabulary-sized, not
+    corpus-sized), T is a broadcast scalar, and the final top-N is
+    TakeOrdered.  The corpus is scanned once.
+    """
+    t = tokens(text_col)
+    pair_stream = df.select(
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = pair_stream.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    left = pairs.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    right = pairs.groupBy("w2").agg(F.sum("c_ab").alias("c_b"))
+    total = pairs.agg(F.sum("c_ab").alias("_t"))
+    from pyspark.sql import Window
+
+    scored = (
+        pairs.filter(F.col("c_ab") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(F.col("c_ab") * F.col("_t") / (F.col("c_a") * F.col("c_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    topn = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(top)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return topn.withColumn("pmi_rank", F.row_number().over(w))

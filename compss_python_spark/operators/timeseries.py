@@ -148,3 +148,75 @@ def resample_interpolate(
     return base.select(
         key_col, "bucket", "v", interp.alias("v_interp"), "is_gap"
     )
+
+
+def ewma_bounded(
+    df,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha: float = 0.3,
+    lookback: int = 20,
+):
+    """Exponentially weighted moving average with a BOUNDED lookback of
+    ``lookback`` observations: ewma_t = Σ_{j<L} (1−α)^j·x_{t−j} /
+    Σ_{j<L} (1−α)^j, renormalized over the rows actually present (so the
+    series head isn't biased toward zero).
+
+    The unbounded EWMA recurrence is inherently sequential; the bounded
+    form is exact and embarrassingly parallel: one row_number window per
+    entity, then a banded self-join on (entity, rank distance < L) with
+    closed-form weights — fan-out is a constant L per row, the join keys
+    on the entity, and both engines express it identically (which is what
+    makes the oracle hash-exact; a float recurrence would accumulate
+    engine-ordering ulps).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("_e").orderBy(F.col("_ts").asc(), F.col("_tb").asc())
+    base = df.select(
+        F.col(entity_col).alias("_e"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).withColumn("_rn", F.row_number().over(w))
+    # Banded equi-join: bucket = rn div L; a row b can only serve rows a
+    # with a.rn ∈ [b.rn, b.rn+L), i.e. a.bucket ∈ {b.bucket, b.bucket+1}.
+    # Duplicating the b side into those two buckets turns the band into an
+    # EQUI join on (entity, bucket) with fan-out ≤ 2L per row — a bare
+    # join on the entity would be O(n²) per entity at 100 TB.
+    a = base.select(
+        F.col("_e"),
+        F.col("_ts"),
+        F.col("_tb"),
+        F.col("_rn").alias("_rna"),
+        F.floor(F.col("_rn") / lookback).alias("_bkt"),
+    )
+    b = base.select(
+        F.col("_e"),
+        F.col("_rn").alias("_rnb"),
+        F.col("_v"),
+        F.explode(
+            F.array(
+                F.floor(F.col("_rn") / lookback),
+                F.floor(F.col("_rn") / lookback) + 1,
+            )
+        ).alias("_bkt"),
+    )
+    wgt = F.pow(F.lit(1.0 - alpha), F.col("_rna") - F.col("_rnb"))
+    joined = a.join(b, ["_e", "_bkt"]).filter(
+        (F.col("_rnb") <= F.col("_rna"))
+        & (F.col("_rnb") > F.col("_rna") - lookback)
+    )
+    return (
+        joined.groupBy("_e", "_ts", "_tb")
+        .agg(F.round(F.sum(wgt * F.col("_v")) / F.sum(wgt), 6).alias("ewma"))
+        .select(
+            F.col("_e").alias(entity_col),
+            F.col("_ts").alias(ts_col),
+            F.col("_tb").alias(tiebreak_col),
+            "ewma",
+        )
+    )

@@ -1994,3 +1994,92 @@ def rfm_segmentation(spark, sf_dir):
         "o_custkey", "last_order", "n_orders", "spend",
         "r_score", "f_score", "m_score", "rfm",
     )
+
+
+@query(
+    "events_covisitation",
+    sql="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS item,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, item,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM g),
+    si AS (SELECT DISTINCT user_id, session_no, item FROM s
+           WHERE item IS NOT NULL),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM si a JOIN si b
+        ON a.user_id = b.user_id AND a.session_no = b.session_no
+       AND a.item < b.item)
+    SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def events_covisitation(spark, sf_dir):
+    """Item co-visitation counts (the classic co-occurrence recommender
+    signal): JSON item ids, 30-min sessionization, distinct (session,
+    item), ordered-pair self-join keyed on the session, one count.  The
+    self-join keys on (user, session) — bounded fan-out per session."""
+    from compss_python_spark.streaming.windows import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", 1800.0, tiebreak="event_id")
+    si = (
+        sess.select(
+            "user_id",
+            "session_no",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = si.select("user_id", "session_no", F.col("item").alias("item_a"))
+    b = si.select("user_id", "session_no", F.col("item").alias("item_b"))
+    pairs = a.join(b, ["user_id", "session_no"]).filter(
+        F.col("item_a") < F.col("item_b")
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 2)
+    )
+
+
+@query(
+    "timeseries_ewma",
+    sql="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    j AS (
+      SELECT a.user_id, a.ts, a.event_id,
+             POWER(0.7, a.rn - b.rn) AS w, b.v
+      FROM base a JOIN base b
+        ON a.user_id = b.user_id
+       AND b.rn <= a.rn AND b.rn > a.rn - 20)
+    SELECT user_id, ts, event_id,
+           ROUND(SUM(w * v) / SUM(w), 6) AS ewma
+    FROM j GROUP BY 1, 2, 3
+    """,
+)
+def timeseries_ewma(spark, sf_dir):
+    """Bounded-lookback EWMA (α=0.3, 20 observations) per user over the
+    event value series — exact closed-form weights via a BANDED equi-join
+    (bucket = rn div L, b-side duplicated into 2 buckets → fan-out ≤ 2L;
+    a bare per-entity self-join would be O(n²) per entity).  The oracle's
+    naive band join produces the identical result."""
+    from compss_python_spark.operators.timeseries import ewma_bounded
+
+    ev = table(spark, sf_dir, "events")
+    return ewma_bounded(ev, "user_id", "ts", "value", "event_id", 0.3, 20)

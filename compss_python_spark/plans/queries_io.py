@@ -379,3 +379,31 @@ def io_compaction(spark, sf_dir):
         F.sum("l_orderkey").alias("key_sum"),
         F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("qty"),
     )
+
+
+@query(
+    "io_text_roundtrip",
+    sql="""
+    SELECT doc_id, md5(text) AS text_md5 FROM documents
+    """,
+)
+def io_text_roundtrip(spark, sf_dir):
+    """documents → tab-separated lines → spark.read.text → parse back →
+    per-doc md5.  Proves the line-oriented text source/sink round-trips
+    content exactly (the oracle fingerprints the ORIGINAL table).  Tab is
+    safe: the corpus is whitespace-normalized single-line text."""
+    from compss_python_spark.sources.io import read_text, write_text
+
+    path = _scratch(sf_dir, "text_documents")
+    src = table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("text")).alias("value")
+    )
+    write_text(src, path)
+    back = read_text(spark, path)
+    split_at = F.instr(F.col("value"), "\t")
+    return back.select(
+        F.substring(F.col("value"), 1, split_at - 1).cast("bigint").alias("doc_id"),
+        F.md5(
+            F.encode(F.expr("substring(value, instr(value, '\t') + 1)"), "UTF-8")
+        ).alias("text_md5"),
+    )

@@ -2319,3 +2319,71 @@ def llm_weighted_sample(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(docs, "doc_id", "n_chars", k=100)
+
+
+@query(
+    "text_top_keywords",
+    sql=r"""
+    WITH tf AS (
+      SELECT doc_id, u.term, COUNT(*) AS tf
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents) d, UNNEST(d.t) u(term)
+      WHERE u.term <> ''
+      GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * (LN((n_docs + 1) / (df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS INT) AS kw_rank
+      FROM scored)
+    SELECT doc_id, term, score, kw_rank FROM ranked WHERE kw_rank <= 3
+    """,
+)
+def text_top_keywords(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction (top-3 terms, smoothed idf,
+    deterministic tie-break).  Corpus size is a broadcast 1-row aggregate;
+    the per-doc top-k window is map-side pruned (WindowGroupLimit)."""
+    from compss_python_spark.llm.text import top_keywords
+
+    return top_keywords(table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "text_bigram_pmi",
+    sql=r"""
+    WITH tok AS (
+      SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+    ps AS (
+      SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM tok, UNNEST(range(1, len(t))) i(i)
+      WHERE len(t) >= 2),
+    pairs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+              FROM ps GROUP BY 1, 2),
+    lm AS (SELECT w1, SUM(c_ab) AS c_a FROM pairs GROUP BY 1),
+    rm AS (SELECT w2, SUM(c_ab) AS c_b FROM pairs GROUP BY 1),
+    tot AS (SELECT SUM(c_ab) AS t FROM pairs),
+    scored AS (
+      SELECT w1, w2, c_ab,
+             ROUND(LN(c_ab * tot.t / (c_a * c_b)), 6) AS pmi
+      FROM pairs JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+      WHERE c_ab >= 5),
+    topn AS (SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50)
+    SELECT w1, w2, c_ab, pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS INT)
+             AS pmi_rank
+    FROM topn
+    """,
+)
+def text_bigram_pmi(spark, sf_dir):
+    """Collocation mining: PMI of adjacent token pairs (min count 5,
+    top-50).  One corpus scan builds the pair table; marginals and the
+    total are aggregates OF that vocabulary-sized table; top-N is
+    TakeOrdered."""
+    from compss_python_spark.llm.text import bigram_pmi
+
+    return bigram_pmi(table(spark, sf_dir, "documents"))

@@ -189,3 +189,20 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source: one row per line, column ``value``.
+    The raw-corpus ingestion format (one document/record per line)."""
+    return spark.read.text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a single STRING column as line-oriented text.  Raises if the
+    frame has more than one column (text files carry no schema — callers
+    concat/serialize explicitly, keeping the escaping contract visible)."""
+    if len(df.columns) != 1:
+        raise ValueError(
+            f"write_text: expected exactly 1 string column, got {df.columns}"
+        )
+    df.write.mode(mode).text(path)

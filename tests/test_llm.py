@@ -993,3 +993,34 @@ def test_domain_cap_bounds_every_group_deterministically(spark, docs):
     small = docs.filter("source = 'src3'").count()
     kept3 = out.filter("source = 'src3'").count()
     assert kept3 == min(small, 7)
+
+
+def test_top_keywords_prefers_rare_terms(spark):
+    rows = [
+        (0, "alpha alpha alpha common common"),
+        (1, "beta beta common common"),
+        (2, "gamma common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.top_keywords(df, k=1).collect()
+    best = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears in every doc -> idf-flattened; doc-specific terms win
+    assert best == {0: "alpha", 1: "beta", 2: "gamma"}
+
+
+def test_bigram_pmi_finds_planted_collocation(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(40):
+        ws = [rng.choice(vocab) for _ in range(30)]
+        # plant a strong collocation
+        for j in range(0, 30, 10):
+            ws[j:j + 2] = ["san", "francisco"]
+        docs.append((d, " ".join(ws)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = text.bigram_pmi(df, min_count=5, top=10).collect()
+    top1 = min(out, key=lambda r: r["pmi_rank"])
+    assert (top1["w1"], top1["w2"]) == ("san", "francisco")

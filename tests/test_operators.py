@@ -531,3 +531,22 @@ def test_weighted_sample_scale_invariant_and_sized(spark):
     df2 = df.withColumn("w", F.col("w") * 1000.0)
     b = [r["k"] for r in weighted_sample(df2, "k", "w", 40).collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_ewma_bounded_matches_sequential_reference(spark):
+    from compss_python_spark.operators.timeseries import ewma_bounded
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(
+        [(1, i, i, v) for i, v in enumerate(vals)], ["u", "t", "eid", "v"]
+    )
+    alpha, L = 0.3, 4
+    out = {
+        r["t"]: r["ewma"]
+        for r in ewma_bounded(df, "u", "t", "v", "eid", alpha, L).collect()
+    }
+    for t in range(len(vals)):
+        lo = max(0, t - L + 1)
+        ws = [(1 - alpha) ** (t - i) for i in range(lo, t + 1)]
+        ref = sum(w * v for w, v in zip(ws, vals[lo:t + 1])) / sum(ws)
+        assert abs(out[t] - ref) < 1e-6, t
