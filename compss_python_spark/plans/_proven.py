@@ -246,6 +246,16 @@ CHANGED_MODULES: frozenset[str] = frozenset({
     "llm.dedup",              # fuzzy short-string path, LSH md5 twin
     "graph.pagerank",         # loop-scope AQE pinning
     "graph._scoped_conf",     # coalescing pinned off in loop scopes
+    # round 7, second wave:
+    "llm.text",               # gopher rules, zipf fit, keywords, PMI
+    "llm.bpe",                # new: distributed BPE trainer
+    "llm.similarity",         # int8 quantization
+    "llm.sampling",           # domain cap, weighted sampling
+    "operators.aggregation",  # ntile_distributed, RFM, transition matrix
+    "operators.cdc",          # new: changelog apply, SCD2
+    "operators.timeseries",   # bounded EWMA banded join
+    "graph.lpa",              # new: label propagation, BFS layers
+    "sources.io",             # text source/sink
 })
 
 # Hand-pinned re-slots beyond what the dependency map finds (rarely
