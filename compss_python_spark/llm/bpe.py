@@ -99,14 +99,19 @@ def bpe_train(
                 "freq",
             )
             .select(
+                # guard: a fully-merged word has ONE symbol; sequence(1, 0)
+                # would generate DESCENDING [1, 0] and overflow element_at
                 F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_s") - 1),
-                        lambda i: F.struct(
-                            F.element_at("_s", i).alias("lhs"),
-                            F.element_at("_s", i + 1).alias("rhs"),
+                    F.when(
+                        F.size("_s") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("_s") - 1),
+                            lambda i: F.struct(
+                                F.element_at("_s", i).alias("lhs"),
+                                F.element_at("_s", i + 1).alias("rhs"),
+                            ),
                         ),
-                    )
+                    ).otherwise(F.array()),
                 ).alias("p"),
                 "freq",
             )

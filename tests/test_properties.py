@@ -352,3 +352,90 @@ def test_cms_upper_bound_property(spark, vals, width):
     for v, c in true.items():
         assert est[v] >= c          # never underestimates
         assert est[v] <= total      # bounded by stream size
+
+
+CDC_CHANGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),      # key
+        st.integers(min_value=0, max_value=99),     # payload
+        st.sampled_from(["I", "U", "D"]),           # op
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(changes=CDC_CHANGES)
+@SETTINGS
+def test_apply_changelog_matches_sequential_replay(spark, changes):
+    from compss_python_spark.operators.cdc import apply_changelog
+
+    snap_rows = [(k, -k) for k in range(0, 4)]
+    snap = spark.createDataFrame(
+        pd.DataFrame(snap_rows, columns=["k", "val"]).astype("int64")
+    )
+    chg_rows = [
+        (k, val, op, seq) for seq, (k, val, op) in enumerate(changes)
+    ]
+    chg = spark.createDataFrame(
+        chg_rows, "k long, val long, op string, seq long"
+    ) if chg_rows else spark.createDataFrame([], "k long, val long, op string, seq long")
+
+    got = {
+        r["k"]: r["val"] for r in apply_changelog(snap, chg, ["k"], "seq").collect()
+    }
+    # sequential replay reference
+    state = dict(snap_rows)
+    for k, val, op in changes:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = val
+    assert got == state
+
+
+NTILE_ROWS = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+)
+
+
+@given(vals=NTILE_ROWS, b=st.integers(min_value=1, max_value=9))
+@SETTINGS
+def test_ntile_distributed_matches_sql_ntile_property(spark, vals, b):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": vals}).astype("int64")
+    df = spark.createDataFrame(pdf)
+    got = aggregation.ntile_distributed(df, ["v", "id"], b, "nt", num_range_parts=4)
+    ref = df.withColumn(
+        "nt_ref", F.ntile(b).over(Window.orderBy(F.asc("v"), F.asc("id")))
+    )
+    assert (
+        got.join(ref, ["id", "v"]).filter(F.col("nt") != F.col("nt_ref")).count()
+        == 0
+    )
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=5), min_size=1, max_size=20
+)
+
+
+@given(words=WORDS, r=st.integers(min_value=1, max_value=5))
+@SETTINGS
+def test_bpe_train_matches_reference_property(spark, words, r):
+    from compss_python_spark.llm.bpe import bpe_train
+    from tests.test_llm import _reference_bpe
+
+    corpus = " ".join(words)
+    df = spark.createDataFrame([(0, corpus)], ["doc_id", "text"])
+    freqs = {}
+    for w in corpus.split():
+        freqs[w] = freqs.get(w, 0) + 1
+    ref, _ = _reference_bpe(freqs, r)
+    got = [
+        (x["lhs"], x["rhs"], x["pair_count"])
+        for x in bpe_train(df, num_merges=r).orderBy("merge_rank").collect()
+    ]
+    assert got == ref
