@@ -402,3 +402,33 @@ def mann_whitney_u(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
     )
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass data-profiling report: per column, row count, null count,
+    distinct count, and min/max (canonicalized to strings) in LONG format
+    (col_name, n, n_null, n_distinct, min_val, max_val).
+
+    All statistics ride ONE aggregate job (a single map-combined pass plus
+    the distinct-count expansion Spark plans for multiple count_distinct) —
+    the profiler never scans the table per column.  Callers canonicalize
+    float columns themselves (round/cast) if they need min/max of doubles
+    to be engine-portable strings."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n, _null_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in columns
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(columns)}, {stack_args}) "
+            "AS (col_name, n, n_null, n_distinct, min_val, max_val)"
+        )
+    )

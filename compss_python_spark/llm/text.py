@@ -526,3 +526,53 @@ def bigram_pmi(
     topn = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(top)
     w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
     return topn.withColumn("pmi_rank", F.row_number().over(w))
+
+
+def source_vocabulary_jaccard(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus slices (sources /
+    domains / dumps) — the corpus-comparison companion to
+    ``text_corpus_drift_kl``.  Returns (src_a, src_b, n_common, jaccard)
+    for every unordered slice pair.
+
+    Plan: one distinct (slice, term) projection, slice vocabulary sizes by
+    map-combined count, intersections via a term-keyed self-join (fan-out
+    per term is bounded by the SLICE count, not the corpus).  Designed for
+    moderate slice cardinality (sources, languages, dumps — up to ~10³);
+    for millions of slices switch to per-slice MinHash signatures and the
+    set-similarity join (llm/dedup.py), which this function intentionally
+    does not replicate."""
+    vocab = (
+        df.select(F.col(group_col).alias("_g"), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("_g").agg(F.count("*").alias("_n"))
+    a = vocab.select(F.col("_g").alias("src_a"), "term")
+    b = vocab.select(F.col("_g").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("_g").alias("src_a"), F.col("_n").alias("_na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_g").alias("src_b"), F.col("_n").alias("_nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -2387,3 +2387,33 @@ def text_bigram_pmi(spark, sf_dir):
     from compss_python_spark.llm.text import bigram_pmi
 
     return bigram_pmi(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_source_similarity",
+    sql=r"""
+    WITH vocab AS (
+      SELECT DISTINCT source AS g, u.term
+      FROM (SELECT source, string_split_regex(trim(text), '\s+') AS t
+            FROM documents) d, UNNEST(d.t) u(term)
+      WHERE u.term <> ''),
+    sizes AS (SELECT g, COUNT(*) AS n FROM vocab GROUP BY 1),
+    inter AS (
+      SELECT a.g AS src_a, b.g AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM vocab a JOIN vocab b ON a.term = b.term AND a.g < b.g
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_common,
+           ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.g = src_a
+    JOIN sizes sb ON sb.g = src_b
+    """,
+)
+def text_source_similarity(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources (corpus-slice
+    comparison): distinct (source, term) projection, term-keyed
+    intersection join (fan-out bounded by slice count), broadcast size
+    lookups."""
+    from compss_python_spark.llm.text import source_vocabulary_jaccard
+
+    return source_vocabulary_jaccard(table(spark, sf_dir, "documents"))

@@ -530,3 +530,46 @@ def stats_hll_per_group(spark, sf_dir):
         F.count_distinct("user_id").cast("long").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+@query(
+    "profile_orders",
+    sql="""
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders(spark, sf_dir):
+    """Data-profiling report (null rate / distinct count / min / max per
+    column, long format) over orders — ONE aggregate pass for all
+    columns.  Float columns are excluded from this query's min/max
+    surface (double→string formatting is not engine-portable); the
+    operator itself profiles any type."""
+    from compss_python_spark.functions.statistics import profile_columns
+
+    orders = table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    )

@@ -1024,3 +1024,17 @@ def test_bigram_pmi_finds_planted_collocation(spark):
     out = text.bigram_pmi(df, min_count=5, top=10).collect()
     top1 = min(out, key=lambda r: r["pmi_rank"])
     assert (top1["w1"], top1["w2"]) == ("san", "francisco")
+
+
+def test_source_vocab_jaccard_bounds_and_identity(spark):
+    rows = [
+        (0, "a b c d", "s1"), (1, "a b c d", "s2"),   # identical vocab
+        (2, "x y z", "s3"),                            # disjoint from s1/s2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r["src_a"], r["src_b"]): r["jaccard"]
+        for r in text.source_vocabulary_jaccard(df).collect()
+    }
+    assert got[("s1", "s2")] == 1.0
+    assert ("s1", "s3") not in got or got[("s1", "s3")] == 0.0  # no common term -> no row

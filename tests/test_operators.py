@@ -550,3 +550,17 @@ def test_ewma_bounded_matches_sequential_reference(spark):
         ws = [(1 - alpha) ** (t - i) for i in range(lo, t + 1)]
         ref = sum(w * v for w, v in zip(ws, vals[lo:t + 1])) / sum(ws)
         assert abs(out[t] - ref) < 1e-6, t
+
+
+def test_profile_columns_one_pass_stats(spark):
+    from compss_python_spark.functions.statistics import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "c")], "k int, s string"
+    )
+    got = {r["col_name"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert got["k"]["n"] == 4 and got["k"]["n_null"] == 1
+    assert got["k"]["n_distinct"] == 2
+    assert got["k"]["min_val"] == "1" and got["k"]["max_val"] == "2"
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 3
+    assert got["s"]["min_val"] == "a" and got["s"]["max_val"] == "c"
