@@ -248,3 +248,43 @@ def test_depmap_canary_rotates_deterministically():
     assert c1 == _depmap.canary(pool, round_no=1, k=4)  # deterministic
     assert c1 != c2  # walks the pool
     assert set(c1) | set(c2) <= set(pool) and len(c1) == 4
+
+
+def test_domain_cap_plans_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_domain_cap")
+    assert "WindowGroupLimit" in plan, "rank<=cap must prune map-side"
+
+
+def test_cdc_changelog_plans_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cdc_apply_changelog")
+    assert "WindowGroupLimit" in plan, "last-writer-wins rank must prune map-side"
+
+
+def test_int8_quantize_scales_broadcast_once(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_int8_quantize")
+    # one posexplode feeds the per-dim scale pass; the 1-row scales frame
+    # broadcasts; the fact side itself never shuffles
+    assert plan.count("Generate") >= 1
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(_i" in plan  # the 64-group dim agg exchange
+    assert "hashpartitioning(vec_id" not in plan, "fact side must never shuffle"
+
+
+def test_ewma_banded_join_is_equi_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "timeseries_ewma")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "the band must ride the (entity, bucket) EQUI join, not a theta join"
+    )
+
+
+def test_keywords_plans_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_top_keywords")
+    assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, (
+        "global top-k must run as per-partition heaps, not a global sort"
+    )
