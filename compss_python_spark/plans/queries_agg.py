@@ -2056,6 +2056,7 @@ def events_covisitation(spark, sf_dir):
 
 @query(
     "timeseries_ewma",
+    headline=True,
     sql="""
     WITH base AS (
       SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v,

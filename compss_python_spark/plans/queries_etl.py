@@ -870,6 +870,7 @@ def layout_zorder_value(spark, sf_dir):
 
 @query(
     "cdc_apply_changelog",
+    headline=True,
     sql="""
     WITH snap AS (
       SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,

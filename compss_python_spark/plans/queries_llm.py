@@ -2202,7 +2202,7 @@ def _bpe_subtokens_oracle() -> str:
     """
 
 
-@query("text_bpe_train_merges", sql=_bpe_train_oracle())
+@query("text_bpe_train_merges", sql=_bpe_train_oracle(), headline=True)
 def text_bpe_train_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016), the
     scalable shape: ONE corpus scan builds the vocabulary-sized word-freq
@@ -2233,6 +2233,7 @@ def text_bpe_subtoken_count(spark, sf_dir):
 
 @query(
     "embedding_int8_quantize",
+    headline=True,
     sql="""
     WITH scales AS (
       SELECT i.i AS pos, MAX(ABS(CAST(embedding[i.i] AS DOUBLE))) AS s
