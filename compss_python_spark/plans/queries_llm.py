@@ -2418,3 +2418,48 @@ def text_source_similarity(spark, sf_dir):
     from compss_python_spark.llm.text import source_vocabulary_jaccard
 
     return source_vocabulary_jaccard(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_quality_buckets",
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tok,
+             LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS non_space,
+             LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND((LEAST(n_tok / 20.0, 1.0)
+                    + CASE WHEN non_space / GREATEST(n_tok, 1) BETWEEN 3 AND 12
+                           THEN 1.0 ELSE 0.0 END
+                    + alpha / GREATEST(non_space, 1)) / 3.0, 6) AS quality
+      FROM s),
+    b AS (
+      SELECT *, NTILE(10) OVER (ORDER BY quality, doc_id) AS bucket FROM q)
+    SELECT bucket, COUNT(*) AS n_docs,
+           ROUND(MIN(quality), 6) AS q_min,
+           ROUND(MAX(quality), 6) AS q_max,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY bucket
+    """,
+)
+def llm_quality_buckets(spark, sf_dir):
+    """Curriculum/mixing buckets: quality-score deciles over the corpus
+    (exact NTILE semantics via the distributed range-partitioned prefix
+    sum — no single-partition window) with per-bucket size and char
+    budget.  The standard input to quality-weighted training mixes."""
+    from compss_python_spark.llm.text import quality_score
+    from compss_python_spark.operators.aggregation import ntile_distributed
+
+    docs = quality_score(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars", "quality"
+    )
+    b = ntile_distributed(docs, ["quality", "doc_id"], 10, "bucket")
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("q_min"),
+        F.round(F.max("quality"), 6).alias("q_max"),
+        F.sum("n_chars").alias("total_chars"),
+    )
