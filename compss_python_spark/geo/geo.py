@@ -229,3 +229,83 @@ def geo_within(
         .filter(F.col("_cross") % 2 == 1)
         .drop("_ring", "_minx", "_maxx", "_miny", "_maxy", "_cross")
     )
+
+
+# Geohash base32 alphabet (Niemeyer) — no a/i/l/o.
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_expr(lat_col, lon_col, precision: int = 8):
+    """Geohash of (lat, lon) as a pure JVM expression — the geo-layout
+    companion to operators/layout.zorder_value (prefix-shared geohashes
+    are spatial neighbors, so sorting/partitioning by geohash clusters
+    scans the same way Z-ordering does, and the string prefix doubles as
+    a join key for coarse spatial blocking).
+
+    Standard Niemeyer construction: quantize lon to ceil(5p/2) bits and
+    lat to floor(5p/2), interleave MSB-first starting with lon, emit 5-bit
+    groups through the base32 alphabet.  Integer arithmetic end-to-end
+    (one floor per axis), so the SQL twin is bit-identical."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash_expr: precision must be in [1, 12]")
+    total = 5 * precision
+    lonb = (total + 1) // 2
+    latb = total // 2
+    lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lon = F.col(lon_col) if isinstance(lon_col, str) else lon_col
+    lon_q = F.least(
+        F.lit(2**lonb - 1),
+        F.greatest(F.lit(0), F.floor((lon + 180.0) / 360.0 * F.lit(float(2**lonb)))),
+    ).cast("long")
+    lat_q = F.least(
+        F.lit(2**latb - 1),
+        F.greatest(F.lit(0), F.floor((lat + 90.0) / 180.0 * F.lit(float(2**latb)))),
+    ).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(total):
+        if i % 2 == 0:
+            src, srcbits, idx = lon_q, lonb, i // 2
+        else:
+            src, srcbits, idx = lat_q, latb, i // 2
+        bit = F.shiftright(src, srcbits - 1 - idx).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(bit, total - 1 - i)
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            (F.shiftright(z, 5 * (precision - 1 - j)).bitwiseAND(F.lit(31)) + 1).cast("int"),
+            1,
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 8) -> str:
+    """The identical geohash as DuckDB SQL (oracle twin of geohash_expr)."""
+    total = 5 * precision
+    lonb = (total + 1) // 2
+    latb = total // 2
+    lon_q = (
+        f"LEAST({2**lonb - 1}, GREATEST(0, "
+        f"CAST(FLOOR((({lon_expr}) + 180.0) / 360.0 * {float(2**lonb)}) AS BIGINT)))"
+    )
+    lat_q = (
+        f"LEAST({2**latb - 1}, GREATEST(0, "
+        f"CAST(FLOOR((({lat_expr}) + 90.0) / 180.0 * {float(2**latb)}) AS BIGINT)))"
+    )
+    bits = []
+    for i in range(total):
+        if i % 2 == 0:
+            src, srcbits, idx = "lonq", lonb, i // 2
+        else:
+            src, srcbits, idx = "latq", latb, i // 2
+        bits.append(f"((({src} >> {srcbits - 1 - idx}) & 1) << {total - 1 - i})")
+    z = " + ".join(bits)
+    chars = " || ".join(
+        f"substr('{_GEOHASH32}', CAST(((z >> {5 * (precision - 1 - j)}) & 31) + 1 AS INT), 1)"
+        for j in range(precision)
+    )
+    return (
+        f"(SELECT {chars} FROM (SELECT {lon_q} AS lonq, {lat_q} AS latq) q1, "
+        f"LATERAL (SELECT {z} AS z) q2)"
+    )
