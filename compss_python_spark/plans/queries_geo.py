@@ -185,3 +185,29 @@ def stdbscan_events(spark, sf_dir):
         .orderBy(F.desc("n"), "cluster")
         .limit(20)
     )
+
+
+@query(
+    "geo_geohash_encode",
+    sql="""
+    WITH pts AS (
+      SELECT c_custkey,
+             ((c_custkey % 100) + 0.5) * 1.8 - 90.0 AS lat,
+             (((c_custkey * 7) % 100) + 0.5) * 3.6 - 180.0 AS lon
+      FROM customer)
+    SELECT c_custkey, (SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> 25) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> 20) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> 15) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> 10) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> 5) & 31) + 1 AS INT), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> 0) & 31) + 1 AS INT), 1) FROM (SELECT LEAST(32767, GREATEST(0, CAST(FLOOR(((lon) + 180.0) / 360.0 * 32768.0) AS BIGINT))) AS lonq, LEAST(32767, GREATEST(0, CAST(FLOOR(((lat) + 90.0) / 180.0 * 32768.0) AS BIGINT))) AS latq) q1, LATERAL (SELECT (((lonq >> 14) & 1) << 29) + (((latq >> 14) & 1) << 28) + (((lonq >> 13) & 1) << 27) + (((latq >> 13) & 1) << 26) + (((lonq >> 12) & 1) << 25) + (((latq >> 12) & 1) << 24) + (((lonq >> 11) & 1) << 23) + (((latq >> 11) & 1) << 22) + (((lonq >> 10) & 1) << 21) + (((latq >> 10) & 1) << 20) + (((lonq >> 9) & 1) << 19) + (((latq >> 9) & 1) << 18) + (((lonq >> 8) & 1) << 17) + (((latq >> 8) & 1) << 16) + (((lonq >> 7) & 1) << 15) + (((latq >> 7) & 1) << 14) + (((lonq >> 6) & 1) << 13) + (((latq >> 6) & 1) << 12) + (((lonq >> 5) & 1) << 11) + (((latq >> 5) & 1) << 10) + (((lonq >> 4) & 1) << 9) + (((latq >> 4) & 1) << 8) + (((lonq >> 3) & 1) << 7) + (((latq >> 3) & 1) << 6) + (((lonq >> 2) & 1) << 5) + (((latq >> 2) & 1) << 4) + (((lonq >> 1) & 1) << 3) + (((latq >> 1) & 1) << 2) + (((lonq >> 0) & 1) << 1) + (((latq >> 0) & 1) << 0) AS z) q2) AS gh FROM pts
+    """,
+)
+def geo_geohash_encode(spark, sf_dir):
+    """Geohash spatial keys (precision 6) over the synthetic customer
+    lattice — integer bit arithmetic end-to-end, so the SQL twin is
+    bit-identical.  Prefix-shared geohashes are spatial neighbors: the
+    same clustering/blocking role as the Morton key in layout_zorder."""
+    from compss_python_spark.geo.geo import geohash_expr
+
+    pts = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 100 + 0.5) * 1.8 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 7 % 100 + 0.5) * 3.6 - 180.0).alias("lon"),
+    )
+    return pts.select("c_custkey", geohash_expr("lat", "lon", 6).alias("gh"))

@@ -136,3 +136,31 @@ def test_stdbscan_merges_across_grid_cells(spark):
     out = stdbscan(df, ["x", "y"], "t", eps_spatial=0.5, eps_temporal=10.0, min_pts=3)
     clusters = {r["cluster"] for r in out.collect()}
     assert clusters == {0}
+
+
+def test_geohash_reference_vectors(spark):
+    from compss_python_spark.geo.geo import geohash_expr
+    from pyspark.sql import functions as F
+
+    # classic published geohash test vectors
+    df = spark.createDataFrame(
+        [
+            (57.64911, 10.40744, "u4pruydq"),
+            (38.897, -77.036, "dqcjr0bp"),
+            (-33.8688, 151.2093, "r3gx2f77"),
+            (0.0, 0.0, "s0000000"),
+        ],
+        ["lat", "lon", "want"],
+    )
+    bad = df.select(
+        geohash_expr("lat", "lon", 8).alias("gh"), "want"
+    ).filter(F.col("gh") != F.col("want")).count()
+    assert bad == 0
+    # prefix property: nearby points share a prefix
+    near = spark.createDataFrame(
+        [(57.64911, 10.40744), (57.649, 10.407)], ["lat", "lon"]
+    ).select(geohash_expr("lat", "lon", 8).alias("gh")).collect()
+    assert near[0]["gh"][:5] == near[1]["gh"][:5]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="precision"):
+        geohash_expr("lat", "lon", 13)
