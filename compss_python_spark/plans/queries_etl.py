@@ -946,3 +946,36 @@ def cdc_scd2_intervals(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+
+
+@query(
+    "join_full_outer",
+    sql="""
+    WITH big_cust AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+    urgent AS (SELECT o_custkey, o_orderkey FROM orders
+               WHERE o_orderpriority = '1-URGENT')
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END AS only_orders,
+           CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END AS only_cust,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM big_cust FULL OUTER JOIN urgent ON c_custkey = o_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join with dangling rows on BOTH sides (high-balance
+    customers vs urgent orders): unmatched customers and unmatched order
+    owners each survive exactly once — the mode the reference's merge
+    exposes as 'outer'."""
+    cust = table(spark, sf_dir, "customer").filter("c_acctbal > 5000").select(
+        "c_custkey"
+    )
+    urgent = table(spark, sf_dir, "orders").filter(
+        "o_orderpriority = '1-URGENT'"
+    ).select("o_custkey", "o_orderkey")
+    out = joins.join(cust, urgent, "c_custkey", "o_custkey", mode="outer")
+    return out.groupBy(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), 1).otherwise(0).alias("only_orders"),
+        F.when(F.col("o_custkey").isNull(), 1).otherwise(0).alias("only_cust"),
+    ).agg(F.count("o_orderkey").alias("n_orders"))
