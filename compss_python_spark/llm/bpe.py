@@ -89,6 +89,7 @@ def bpe_train(
     state = wf.select(
         "word", initial_state("word").alias("state"), "freq"
     ).localCheckpoint(eager=True)
+    last_ckpt = state
 
     merges: list[tuple[int, str, str, int]] = []
     for r in range(num_merges):
@@ -137,6 +138,8 @@ def bpe_train(
         )
         if (r + 1) % checkpoint_every == 0:
             state = state.localCheckpoint(eager=True)
+            last_ckpt.unpersist()  # release the superseded checkpoint's blocks
+            last_ckpt = state
 
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
