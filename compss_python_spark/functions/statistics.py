@@ -432,3 +432,32 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
             "AS (col_name, n, n_null, n_distinct, min_val, max_val)"
         )
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Shuffle-key skew diagnostic: the ``top`` heaviest keys with their
+    row counts and share of the table — what you run BEFORE keying a join
+    or aggregation on a column at 100 TB (a top key holding >1% of rows
+    wants salting or an AQE skew hint).
+
+    One map-combined key count; the total rides a broadcast 1-row
+    aggregate OF the count table; top-N is TakeOrdered; the rank window
+    touches only N rows.  Returns (key_rank, key, cnt, share)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("_t"))
+    topn = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return topn.select(
+        F.row_number().over(w).alias("key_rank"),
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_t"), 6).alias("share"),
+    )

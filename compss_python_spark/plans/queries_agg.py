@@ -2084,3 +2084,64 @@ def timeseries_ewma(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return ewma_bounded(ev, "user_id", "ts", "value", "event_id", 0.3, 20)
+
+
+@query(
+    "events_last_touch_attribution",
+    sql="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM g),
+    a AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id, session_no ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM s)
+    SELECT COALESCE(touch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 2) AS attributed_value
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the most recent
+    preceding view/click in ITS session ('direct' when none).  One
+    sessionize window + ONE last_value(ignorenulls, preceding-exclusive)
+    window over the same (user → ts) sort — no self-join; the marketing
+    analytics workhorse."""
+    from pyspark.sql import Window
+
+    from compss_python_spark.streaming.windows import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 1800.0, tiebreak="event_id")
+    w = (
+        Window.partitionBy("user_id", "session_no")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    a = s.withColumn("touch", touch)
+    return (
+        a.filter("event_type = 'purchase'")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

@@ -573,3 +573,25 @@ def profile_orders(spark, sf_dir):
     return profile_columns(
         orders, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
     )
+
+
+@query(
+    "stats_key_skew",
+    sql="""
+    WITH c AS (SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT SUM(cnt) AS t FROM c),
+    topn AS (SELECT key, cnt, ROUND(cnt / t.t, 6) AS share
+             FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 10)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT)
+             AS key_rank, key, cnt, share
+    FROM topn
+    """,
+)
+def stats_key_skew(spark, sf_dir):
+    """Pre-join skew diagnostic over lineitem's supplier key: top-10
+    heaviest keys with row share.  One map-combined count; top-N is
+    TakeOrdered; the rank window orders 10 rows."""
+    from compss_python_spark.functions.statistics import key_skew_report
+
+    return key_skew_report(table(spark, sf_dir, "lineitem"), "l_suppkey")

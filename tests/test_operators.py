@@ -564,3 +564,14 @@ def test_profile_columns_one_pass_stats(spark):
     assert got["k"]["min_val"] == "1" and got["k"]["max_val"] == "2"
     assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 3
     assert got["s"]["min_val"] == "a" and got["s"]["max_val"] == "c"
+
+
+def test_key_skew_report_ranks_and_shares(spark):
+    from compss_python_spark.functions.statistics import key_skew_report
+
+    rows = [("hot",)] * 50 + [("warm",)] * 30 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_report(df, "k", top=3).collect()
+    assert [r["key"] for r in out] == ["hot", "warm", "k0"]
+    assert out[0]["share"] == 0.5 and out[1]["share"] == 0.3
+    assert [r["key_rank"] for r in out] == [1, 2, 3]
