@@ -2463,3 +2463,100 @@ def llm_quality_buckets(spark, sf_dir):
         F.round(F.max("quality"), 6).alias("q_max"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "dedup_survivors_best_quality",
+    sql=r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok
+    ),
+    mh AS (
+      SELECT doc_id, g.j AS seed,
+             MIN(CAST('0x' || substr(md5(u.sg || '#' || g.j), 1, 12) AS BIGINT)) AS mh
+      FROM sh, UNNEST(sh.s) AS u(sg), generate_series(0, 15) AS g(j)
+      GROUP BY doc_id, g.j
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b.b AS band,
+             array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',') AS bkey
+      FROM sig, generate_series(0, 3) AS b(b)
+    ),
+    bsz AS (SELECT band, bkey, COUNT(*) AS n FROM banded GROUP BY band, bkey),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      JOIN bsz ON bsz.band = a.band AND bsz.bkey = a.bkey AND bsz.n <= 1000
+    ),
+    agree AS (
+      SELECT c.id_a, c.id_b, SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS na
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.id_a
+      JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+      GROUP BY c.id_a, c.id_b
+    ),
+    e0 AS (SELECT id_a, id_b FROM agree WHERE ROUND(na / 16.0, 6) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+              UNION SELECT id_b, id_a FROM e0),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    qs AS (
+      SELECT doc_id,
+             ROUND((LEAST(len(t) / 20.0, 1.0)
+                    + CASE WHEN non_space / GREATEST(len(t), 1) BETWEEN 3 AND 12
+                           THEN 1.0 ELSE 0.0 END
+                    + alpha / GREATEST(non_space, 1)) / 3.0, 6) AS quality
+      FROM (SELECT doc_id, t,
+                   LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS non_space,
+                   LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha
+            FROM tok JOIN documents USING (doc_id))
+    )
+    SELECT component,
+           FIRST(node ORDER BY quality DESC, node) AS survivor,
+           FIRST(quality ORDER BY quality DESC, node) AS survivor_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp JOIN qs ON qs.doc_id = comp.node
+    GROUP BY component
+    """,
+)
+def dedup_survivors_best_quality(spark, sf_dir):
+    """Quality-aware near-dup survivor selection: the md5-oracled
+    LSH→CC pipeline, but each cluster keeps its HIGHEST-quality member
+    (tie → min id) instead of min-id — what production corpus dedup
+    actually ships.  The argmax is a map-combinable max(struct(quality,
+    -node)) — no per-component sort window; the oracle re-derives the
+    entire pipeline plus the quality formula."""
+    from compss_python_spark.graph.components import connected_components
+    from compss_python_spark.llm.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs_md5(
+        docs, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    q = quality_score(docs).select(F.col("doc_id").alias("node"), "quality")
+    j = comp.join(q, "node")
+    best = F.max(F.struct(F.col("quality"), (-F.col("node")).alias("_nn")))
+    return (
+        j.groupBy("component")
+        .agg(best.alias("_b"), F.count("*").alias("n_members"))
+        .select(
+            "component",
+            (-F.col("_b._nn")).alias("survivor"),
+            F.col("_b.quality").alias("survivor_quality"),
+            "n_members",
+        )
+    )
