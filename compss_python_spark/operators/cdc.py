@@ -98,3 +98,28 @@ def scd2_intervals(
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
     )
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension version valid
+    at its timestamp (valid_from ≤ ts < valid_to, NULL valid_to = open).
+    The standard consumer of :func:`scd2_intervals`.
+
+    Plan: equi-join on the entity plus a range filter — each fact matches
+    AT MOST ONE version because SCD2 intervals partition the timeline, so
+    the join output is fact-sized (never a fan-out).  The per-entity
+    version list is short (run count), so the range predicate evaluates on
+    a bounded candidate set per fact row."""
+    cond = (
+        (facts[entity_col] == dim[entity_col])
+        & (facts[ts_col] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
+    )
+    return facts.join(dim, cond, "left").drop(dim[entity_col])

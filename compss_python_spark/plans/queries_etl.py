@@ -979,3 +979,61 @@ def join_full_outer(spark, sf_dir):
         F.when(F.col("c_custkey").isNull(), 1).otherwise(0).alias("only_orders"),
         F.when(F.col("o_custkey").isNull(), 1).otherwise(0).alias("only_cust"),
     ).agg(F.count("o_orderkey").alias("n_orders"))
+
+
+@query(
+    "cdc_temporal_join",
+    sql="""
+    WITH src AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+    l AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM src),
+    h AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                         THEN 1 ELSE 0 END AS head FROM l),
+    r AS (SELECT *, SUM(head) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM h),
+    a AS (SELECT user_id, run, MIN(event_type) AS state,
+                 MIN(ts) AS valid_from FROM r GROUP BY 1, 2),
+    dim AS (SELECT user_id, state, valid_from,
+                   LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+                     AS valid_to
+            FROM a),
+    purch AS (SELECT user_id, event_id, ts, value FROM events
+              WHERE event_type = 'purchase')
+    SELECT d.state AS prevailing_state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(p.value), 2) AS total_value
+    FROM purch p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    GROUP BY 1
+    """,
+)
+def cdc_temporal_join(spark, sf_dir):
+    """Point-in-time (SCD2 temporal) join: purchases enriched with the
+    dimension version valid at event time — intervals partition the
+    timeline, so the join is fact-sized with no fan-out.  The SCD2
+    dimension is built from the NON-purchase event runs, so each purchase
+    lands in the run of whatever the user was doing around it (NULL state
+    = purchase before any other activity)."""
+    from compss_python_spark.operators.cdc import scd2_intervals, temporal_join
+
+    ev = table(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev.filter("event_type <> 'purchase'"),
+        "user_id", "event_type", "ts", "event_id",
+    ).select(
+        "user_id", F.col("event_type").alias("state"), "valid_from", "valid_to"
+    )
+    purch = ev.filter("event_type = 'purchase'").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    j = temporal_join(purch, dim, "user_id", "ts")
+    return j.groupBy(F.col("state").alias("prevailing_state")).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -575,3 +575,25 @@ def test_key_skew_report_ranks_and_shares(spark):
     assert [r["key"] for r in out] == ["hot", "warm", "k0"]
     assert out[0]["share"] == 0.5 and out[1]["share"] == 0.3
     assert [r["key_rank"] for r in out] == [1, 2, 3]
+
+
+def test_temporal_join_picks_version_at_event_time(spark):
+    from compss_python_spark.operators.cdc import temporal_join
+
+    dim = spark.createDataFrame(
+        [(1, "bronze", 0, 10), (1, "silver", 10, 20), (1, "gold", 20, None)],
+        "ent int, tier string, valid_from int, valid_to int",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 19), (1, 25), (2, 5)], "ent int, t int"
+    )
+    got = {
+        (r["ent"], r["t"]): r["tier"]
+        for r in temporal_join(facts, dim, "ent", "t").collect()
+    }
+    assert got == {
+        (1, 5): "bronze", (1, 10): "silver", (1, 19): "silver",
+        (1, 25): "gold", (2, 5): None,
+    }
+    # fact-sized output: no fan-out
+    assert temporal_join(facts, dim, "ent", "t").count() == facts.count()
