@@ -407,3 +407,55 @@ def io_text_roundtrip(spark, sf_dir):
             F.encode(F.expr("substring(value, instr(value, '\t') + 1)"), "UTF-8")
         ).alias("text_md5"),
     )
+
+
+@query(
+    "io_json_corrupt_records",
+    sql="""
+    SELECT CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS id_sum_valid
+    FROM documents
+    """,
+)
+def io_json_corrupt_records(spark, sf_dir):
+    """PERMISSIVE-mode corrupt-record accounting: JSON lines with every
+    5th record deliberately truncated mid-object → read with an explicit
+    schema + _corrupt_record column → the malformed rows land in the
+    dead-letter column with NULL data fields instead of failing the job
+    (the contract batch ingestion relies on).  The oracle recomputes the
+    expected split from the source table."""
+    from compss_python_spark.sources.io import read_text, write_text
+
+    path = _scratch(sf_dir, "json_corrupt")
+    src = table(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "lang": "tr')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"doc_id": '), F.col("doc_id"),
+                F.lit(', "lang": "'), F.col("lang"), F.lit('"}'),
+            )
+        )
+        .alias("value")
+    )
+    write_text(src, path)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").json(path)
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("id_sum_valid"),
+    )

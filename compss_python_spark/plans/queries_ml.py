@@ -735,3 +735,40 @@ def graph_bfs_layers(spark, sf_dir):
         .filter(F.col("node") % 100 == 0)
     )
     return bfs_layers(edges, seeds, num_rounds=_BFS_ROUNDS)
+
+
+@query(
+    "ml_calibration_bins",
+    sql="""
+    WITH scored AS (
+      SELECT event_id,
+             LEAST(value / 10.0, 1.0) AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events),
+    b AS (SELECT *, NTILE(10) OVER (ORDER BY score, event_id) AS bin
+          FROM scored)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(AVG(label), 6) AS observed_rate
+    FROM b GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Model-calibration (reliability) table: score deciles vs observed
+    positive rate — exact NTILE semantics from the distributed prefix-sum
+    ranking, no single-partition window.  Scorer here is the
+    deterministic value/10 proxy; the operator shape is what any real
+    model's scores ride."""
+    from compss_python_spark.operators.aggregation import ntile_distributed
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.least(F.col("value") / 10.0, F.lit(1.0)).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    b = ntile_distributed(ev, ["score", "event_id"], 10, "bin")
+    return b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg("label"), 6).alias("observed_rate"),
+    )
