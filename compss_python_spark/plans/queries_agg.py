@@ -2145,3 +2145,38 @@ def events_last_touch_attribution(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "window_time_range_sum",
+    sql="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+             AS trailing_hour_value
+    FROM events
+    """,
+)
+def window_time_range_sum(spark, sf_dir):
+    """TIME-based window frame (RANGE BETWEEN 3600 PRECEDING on the epoch
+    axis, floored to whole seconds on BOTH engines — unix_timestamp
+    truncates, so the oracle floors too; fractional epochs would disagree
+    exactly at frame boundaries): trailing-hour value sum per user — the
+    frame every rate-limit /
+    rolling-revenue monitor needs; unlike ROWS frames it is tie-safe and
+    gap-aware by construction (peer rows share a frame, sparse periods
+    shrink it)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_hour_value"),
+    )
