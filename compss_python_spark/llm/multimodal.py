@@ -1077,3 +1077,51 @@ def jpeg_pixel_stats(
         stats,
         f"{id_col} {id_type}, width int, height int, sum_pix long, sumsq_pix long",
     )
+
+
+def wav_decimate_stats(
+    media: DataFrame,
+    factor: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Naive audio downsampling (decimation: keep every ``factor``-th
+    channel-0 frame — the sample-rate-reduction plumbing of an audio
+    curation pipeline; a real resampler would low-pass first, which is a
+    filter kernel over the same decoded stream) reduced to exact-integer
+    stats (n_out, sum_pcm, sumsq_pcm, peak) so the oracle recomputes the
+    decimated stream from the synthesis closed form.  Arrow-batched
+    mapInPandas, vectorized numpy slicing per payload."""
+    if factor < 1:
+        raise ValueError("wav_decimate_stats: factor must be >= 1")
+    id_type = dict(media.dtypes)[id_col]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    ch, samples = decode_wav_samples(payload)
+                except ValueError:
+                    continue
+                dec = samples[:: ch * factor].astype(np.int64)
+                out.append(
+                    (
+                        mid,
+                        int(len(dec)),
+                        int(dec.sum()),
+                        int((dec * dec).sum()),
+                        int(np.abs(dec).max()) if len(dec) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "n_out", "sum_pcm", "sumsq_pcm", "peak"],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        stats,
+        f"{id_col} {id_type}, n_out long, sum_pcm long, sumsq_pcm long, peak long",
+    )

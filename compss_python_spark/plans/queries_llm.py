@@ -2560,3 +2560,34 @@ def dedup_survivors_best_quality(spark, sf_dir):
             "n_members",
         )
     )
+
+
+@query(
+    "multimodal_wav_decimate",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, 1 + doc_id % 2 AS ch, 32 + doc_id % 97 AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    s AS (
+      SELECT w.doc_id,
+             ((w.doc_id * 31 + (k.k * 4 * w.ch) * 7919) % 65536) - 32768 AS v
+      FROM w, UNNEST(range(0, (w.n + 3) // 4)) AS k(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(v) AS BIGINT) AS sum_pcm,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq_pcm,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM s GROUP BY 1
+    """,
+)
+def multimodal_wav_decimate(spark, sf_dir):
+    """Audio decimation (every 4th channel-0 frame) over REAL decoded
+    RIFF/WAVE payloads, exact-integer stats.  The oracle regenerates the
+    decimated stream from the synthesis closed form (decimated frame k =
+    interleaved sample k·4·ch), so a hash match proves container walk +
+    PCM decode + stride selection byte-for-byte."""
+    media = multimodal.synthesize_real_media(table(spark, sf_dir, "documents"))
+    wavs = media.filter(F.col("media_id") % 3 == 2)
+    return multimodal.wav_decimate_stats(wavs, factor=4)

@@ -442,3 +442,28 @@ def test_wav_frame_features_exact(spark):
             lo = fi * 16
             zc = int((neg[lo + 1 : lo + len(fr)] != neg[lo : lo + len(fr) - 1]).sum())
             assert r["zero_crossings"] == zc
+
+
+def test_wav_decimate_matches_full_decode(spark, sf_dir):
+    from compss_python_spark.llm import multimodal
+    from compss_python_spark.plans.registry import table
+    from pyspark.sql import functions as F
+
+    media = multimodal.synthesize_real_media(
+        table(spark, sf_dir, "documents")
+    ).filter(F.col("media_id") % 3 == 2).limit(20)
+    full = {
+        r["media_id"]: r
+        for r in multimodal.wav_frame_features(media, frame_size=1).collect()
+        if r["frame_idx"] == 0
+    }
+    dec = {r["media_id"]: r for r in multimodal.wav_decimate_stats(media, 1).collect()}
+    # factor=1 decimation == channel-0 passthrough; spot-check energy of
+    # frame 0 equals the first decimated sample's square
+    for mid, r in dec.items():
+        assert r["n_out"] >= 1
+        f0 = full[mid]["energy"]
+        assert f0 <= r["sumsq_pcm"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="factor"):
+        multimodal.wav_decimate_stats(media, 0)
