@@ -383,3 +383,36 @@ def balancer(df: DataFrame) -> DataFrame:
     sizes.  Round-robin repartition; at scale AQE's coalesce/skew handling
     makes explicit calls unnecessary."""
     return df.repartition(df.rdd.getNumPartitions())
+
+
+def winsorize(df, cols, lower: float = 0.01, upper: float = 0.99, round_dp: int = 6):
+    """Outlier clipping (winsorization): each listed numeric column is
+    clipped to its exact [lower, upper] quantiles.  The quantile pass is
+    ONE aggregate over all columns (type-7 interpolation — Spark
+    ``percentile``, DuckDB ``quantile_cont``); clipping is a broadcast
+    1-row cross join + least/greatest, zero extra shuffle.  Adds
+    ``<col>_w`` columns, originals untouched."""
+    from pyspark.sql import functions as F
+
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("winsorize: need 0 <= lower < upper <= 1")
+    bounds = df.agg(
+        *[
+            e
+            for c in cols
+            for e in (
+                F.percentile(F.col(c), F.lit(lower)).alias(f"_lo_{c}"),
+                F.percentile(F.col(c), F.lit(upper)).alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_w",
+            F.round(
+                F.least(F.greatest(F.col(c), F.col(f"_lo_{c}")), F.col(f"_hi_{c}")),
+                round_dp,
+            ),
+        )
+    return out.drop(*[n for c in cols for n in (f"_lo_{c}", f"_hi_{c}")])

@@ -220,3 +220,34 @@ def ewma_bounded(
             "ewma",
         )
     )
+
+
+def mad_outliers(
+    df,
+    entity_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+):
+    """Robust per-entity outlier flags via MAD (median absolute
+    deviation): flag |v − median| > threshold · 1.4826 · MAD (the normal
+    consistency constant).  Immune to the outliers themselves, unlike a
+    z-score.  Two exact per-entity percentile aggregates (median of v,
+    then median of |v − med|) — map-combined group aggs keyed on the
+    entity, no windows.  Returns the input plus (med, mad, is_outlier)."""
+    from pyspark.sql import functions as F
+
+    med = df.groupBy(entity_col).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("med")
+    )
+    j = df.join(med, entity_col)
+    mad = (
+        j.withColumn("_ad", F.abs(F.col(value_col) - F.col("med")))
+        .groupBy(entity_col)
+        .agg(F.percentile(F.col("_ad"), F.lit(0.5)).alias("mad"))
+    )
+    out = j.join(mad, entity_col)
+    return out.withColumn(
+        "is_outlier",
+        F.abs(F.col(value_col) - F.col("med"))
+        > F.lit(threshold) * F.lit(1.4826) * F.col("mad"),
+    )

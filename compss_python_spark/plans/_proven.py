@@ -256,6 +256,8 @@ CHANGED_MODULES: frozenset[str] = frozenset({
     "operators.timeseries",   # bounded EWMA banded join
     "graph.lpa",              # new: label propagation, BFS layers
     "sources.io",             # text source/sink
+    "geo.geo",                # geohash encoding
+    "llm.multimodal",         # WAV decimation (second r7 touch)
 })
 
 # Hand-pinned re-slots beyond what the dependency map finds (rarely

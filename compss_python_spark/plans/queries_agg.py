@@ -2180,3 +2180,37 @@ def window_time_range_sum(spark, sf_dir):
         "event_id",
         F.round(F.sum("value").over(w), 2).alias("trailing_hour_value"),
     )
+
+
+@query(
+    "timeseries_mad_outliers",
+    sql="""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    mad AS (
+      SELECT e.user_id, quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (user_id) GROUP BY 1)
+    SELECT e.event_id, e.user_id,
+           ROUND(m.med, 4) AS med, ROUND(d.mad, 4) AS mad,
+           ABS(e.value - m.med) > 3.0 * 1.4826 * d.mad AS is_outlier
+    FROM events e
+    JOIN med m USING (user_id)
+    JOIN mad d USING (user_id)
+    """,
+)
+def timeseries_mad_outliers(spark, sf_dir):
+    """Robust per-user outlier flags via MAD (median absolute deviation,
+    normal-consistency 1.4826): immune to the outliers themselves, unlike
+    z-scores.  Two exact per-entity percentile aggregates, no windows."""
+    from compss_python_spark.operators.timeseries import mad_outliers
+
+    ev = table(spark, sf_dir, "events")
+    out = mad_outliers(ev, "user_id", "value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "is_outlier",
+    )

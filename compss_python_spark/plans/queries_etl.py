@@ -1037,3 +1037,26 @@ def cdc_temporal_join(spark, sf_dir):
         F.count("*").cast("long").alias("n_purchases"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "clean_winsorize",
+    sql="""
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 4)
+             AS l_extendedprice_w
+    FROM lineitem CROSS JOIN b
+    """,
+)
+def clean_winsorize(spark, sf_dir):
+    """Winsorization: prices clipped to the exact [p1, p99] quantiles —
+    one all-column quantile aggregate broadcast back, zero extra shuffle.
+    Type-7 interpolation on both engines (the quantiles_exact
+    convention)."""
+    li = table(spark, sf_dir, "lineitem")
+    out = etl.winsorize(li, ["l_extendedprice"], 0.01, 0.99, round_dp=4)
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice_w")

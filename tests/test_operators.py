@@ -597,3 +597,28 @@ def test_temporal_join_picks_version_at_event_time(spark):
     }
     # fact-sized output: no fan-out
     assert temporal_join(facts, dim, "ent", "t").count() == facts.count()
+
+
+def test_winsorize_clips_to_quantiles(spark):
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    out = etl.winsorize(df, ["x"], 0.05, 0.95).select("x", "x_w").collect()
+    lo = 1 + 0.05 * 99   # type-7 on 1..100
+    hi = 1 + 0.95 * 99
+    for r in out:
+        assert lo - 1e-9 <= r["x_w"] <= hi + 1e-9
+        if lo <= r["x"] <= hi:
+            assert r["x_w"] == r["x"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lower"):
+        etl.winsorize(df, ["x"], 0.9, 0.1)
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    from compss_python_spark.operators.timeseries import mad_outliers
+
+    rows = [(1, float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 500]]
+    df = spark.createDataFrame(rows, ["u", "value"])
+    out = {r["value"]: r["is_outlier"] for r in mad_outliers(df, "u", "value").collect()}
+    assert out[500.0] is True
+    assert sum(1 for v, f in out.items() if f) == 1  # only the spike
