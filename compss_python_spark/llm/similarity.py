@@ -751,3 +751,42 @@ def int8_quantize_stats(
             F.round(F.array_max(err), 12).alias("max_abs_err"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table_id: int = 7,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dimensions
+    with the engine-portable md5 hyperplanes (:func:`md5_planes`) scaled
+    by 1/√out_dim — the dimensionality-reduction step before coarse ANN or
+    clustering.  Zero shuffle: each projection is a literal-plane dot
+    product over the row's own array (whole-stage codegen), and the SQL
+    twin recomputes every plane component bit-for-bit.
+
+    Returns (id_col, proj array<double> rounded to round_dp)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = md5_planes(dim, out_dim, table_id)
+    scale = 1.0 / (out_dim ** 0.5)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    projs = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec_d,
+                    F.array(*[F.lit(c) for c in plane]),
+                    lambda v, h: v * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * scale,
+            round_dp,
+        )
+        for plane in planes
+    ]
+    return df.select(F.col(id_col), F.array(*projs).alias("proj"))

@@ -226,3 +226,35 @@ def polynomial_expansion(df: DataFrame, input_col: str, degree: int = 2,
         .drop("_v", "_p")
     )
     return out
+
+
+def target_encode(
+    df,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    output_col: str = "enc",
+    round_dp: int = 4,
+):
+    """Mean target encoding with m-estimate smoothing — the standard
+    high-cardinality-categorical featurizer: enc(c) = (Σ_c target + m·μ) /
+    (n_c + m), shrinking rare categories toward the global mean μ.
+
+    Plan: one map-combined per-category aggregate + one 1-row global
+    aggregate, both broadcast back onto the fact — zero fact shuffles.
+    (Leave-one-out and CV-fold variants compose with ml_hash_folds.)"""
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(cat_col).agg(
+        F.sum(target_col).alias("_s"), F.count(target_col).alias("_n")
+    )
+    glob = df.agg(F.avg(target_col).alias("_mu"))
+    enc = per.crossJoin(F.broadcast(glob)).select(
+        cat_col,
+        F.round(
+            (F.col("_s") + smoothing * F.col("_mu"))
+            / (F.col("_n") + F.lit(smoothing)),
+            round_dp,
+        ).alias(output_col),
+    )
+    return df.join(F.broadcast(enc), cat_col)

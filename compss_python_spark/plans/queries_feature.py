@@ -669,3 +669,29 @@ def ml_hash_folds(spark, sf_dir):
     return docs.groupBy(fold.alias("fold")).agg(
         F.count("*").alias("n"), F.min("doc_id").alias("min_id")
     )
+
+
+@query(
+    "ml_target_encoding",
+    sql="""
+    WITH per AS (
+      SELECT o_orderpriority, SUM(o_totalprice) AS s, COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    g AS (SELECT AVG(o_totalprice) AS mu FROM orders),
+    enc AS (
+      SELECT o_orderpriority,
+             ROUND((s + 20.0 * mu) / (n + 20.0), 4) AS enc
+      FROM per CROSS JOIN g)
+    SELECT o.o_orderkey, o.o_orderpriority, e.enc
+    FROM orders o JOIN enc e USING (o_orderpriority)
+    """,
+)
+def ml_target_encoding(spark, sf_dir):
+    """m-estimate mean target encoding of order priority against order
+    value: per-category + global aggregates broadcast back — zero fact
+    shuffles (the high-cardinality-categorical featurizer)."""
+    from compss_python_spark.ml.feature import target_encode
+
+    orders = table(spark, sf_dir, "orders")
+    out = target_encode(orders, "o_orderpriority", "o_totalprice")
+    return out.select("o_orderkey", "o_orderpriority", "enc")

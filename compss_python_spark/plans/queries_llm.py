@@ -2591,3 +2591,31 @@ def multimodal_wav_decimate(spark, sf_dir):
     media = multimodal.synthesize_real_media(table(spark, sf_dir, "documents"))
     wavs = media.filter(F.col("media_id") % 3 == 2)
     return multimodal.wav_decimate_stats(wavs, factor=4)
+
+
+@query(
+    "embedding_random_projection",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planes AS (
+      SELECT p.p AS pl,
+             list_transform(range(0, 64),
+               d -> CAST('0x' || substr(md5(concat(7, ':', p.p, ':', d)), 1, 12)
+                         AS BIGINT) / 140737488355328.0 - 1.0) AS h
+      FROM generate_series(0, 7) p(p)),
+    pr AS (
+      SELECT v.vec_id, pl.pl,
+             ROUND(list_dot_product(v.e, pl.h) / SQRT(8.0), 5) AS x
+      FROM v, planes pl)
+    SELECT vec_id, list(x ORDER BY pl) AS proj
+    FROM pr GROUP BY vec_id
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss projection 64→8 dims with md5-portable
+    hyperplanes (scaled 1/√8): zero-shuffle literal-plane dot products;
+    the oracle recomputes every plane component and projection
+    bit-for-bit."""
+    from compss_python_spark.llm.similarity import random_projection
+
+    return random_projection(table(spark, sf_dir, "embeddings"), out_dim=8)

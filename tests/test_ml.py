@@ -636,3 +636,39 @@ def test_bfs_layers_path_graph(spark):
     seeds = spark.createDataFrame([(0,)], ["node"])
     out = {r["node"]: r["dist"] for r in bfs_layers(edges, seeds, 4).collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # exactly 4 hops reached
+
+
+def test_target_encoding_shrinks_rare_categories(spark):
+    from compss_python_spark.ml.feature import target_encode
+
+    rows = [("common", 10.0)] * 100 + [("rare", 100.0)]
+    df = spark.createDataFrame(rows, ["c", "y"])
+    out = {r["c"]: r["enc"] for r in target_encode(df, "c", "y", smoothing=20.0)
+           .select("c", "enc").distinct().collect()}
+    mu = (100 * 10.0 + 100.0) / 101
+    # common: barely moved; rare: pulled hard toward the global mean
+    assert abs(out["common"] - (100 * 10 + 20 * mu) / 120) < 1e-3
+    assert abs(out["rare"] - (100 + 20 * mu) / 21) < 1e-3
+    assert out["rare"] < 100.0 and out["rare"] > mu
+
+
+def test_random_projection_preserves_relative_distances(spark, sf_dir):
+    from compss_python_spark.llm.similarity import random_projection
+    from compss_python_spark.plans.registry import table
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").limit(60)
+    orig = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    proj = {r["vec_id"]: np.array(r["proj"]) for r in random_projection(emb, 16).collect()}
+    ids = sorted(orig)[:20]
+    # JL: distance ratios roughly preserved (loose bound for 16 dims)
+    import itertools
+    ratios = []
+    for a, b in itertools.combinations(ids, 2):
+        d0 = np.linalg.norm(orig[a] - orig[b])
+        d1 = np.linalg.norm(proj[a] - proj[b])
+        if d0 > 1e-6:
+            ratios.append(d1 / d0)
+    m = sum(ratios) / len(ratios)
+    spread = max(abs(r - m) for r in ratios)
+    assert spread < 1.2 * m  # distances neither collapse nor explode
