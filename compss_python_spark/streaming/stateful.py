@@ -48,3 +48,46 @@ def running_totals_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """TRUE (unbounded-recurrence) EWMA as a stateful streaming operator:
+    e ← α·x + (1−α)·e per observation, per key, seeded by the key's first
+    observation.  The inherently-sequential recurrence that the BATCH
+    operator (operators/timeseries.ewma_bounded) deliberately truncates
+    becomes natural here: state is ONE number per key, and arrival order
+    supplies the sequence.  Rows are sorted by (ts, tiebreak) within each
+    micro-batch; cross-batch order is the stream's delivery contract
+    (bound disorder upstream with a watermark).
+
+    Emits (key, n_obs, ewma) per key per micro-batch (update mode)."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, e = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, tiebreak_col])
+            for x in pdf[value_col]:
+                x = float(x)
+                e = x if e is None else alpha * x + (1.0 - alpha) * e
+                n += 1
+        state.update((n, e))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_obs": [n], "ewma": [round(e, 6)]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} bigint, n_obs bigint, ewma double",
+        stateStructType="n bigint, e double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -196,3 +196,43 @@ def test_streaming_curation_equals_batch(spark, sf_dir, tmp_path_factory):
     assert len(got) == len(expect) > 0
     fps = {r["fp"] for r in spark.table("t_cur").collect()}
     assert fps == {r["fp"] for r in batch.collect()}
+
+
+def test_streaming_ewma_equals_sequential_reference(spark, events, tmp_path_factory):
+    """True-recurrence streaming EWMA: replay time-range-ordered files
+    (repartitionByRange on ts → part files in time order, 1 file per
+    trigger → 3 micro-batches) and compare the final per-key state to a
+    sequential pandas fold over the fully-sorted stream."""
+    from compss_python_spark.streaming.stateful import streaming_ewma
+
+    sub = events.filter("user_id < 40")
+    path = str(tmp_path_factory.mktemp("stream") / "ewma_events")
+    (
+        sub.repartitionByRange(3, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    streamed = W.replay_as_stream(
+        spark, path, sub.schema, streaming_ewma, "t_sewma",
+        output_mode="update", max_files_per_trigger=1,
+    )
+    final = (
+        streamed.groupBy("user_id")
+        .agg(F.max(F.struct("n_obs", "ewma")).alias("s"))
+        .select("user_id", "s.n_obs", "s.ewma")
+    )
+    got = {r["user_id"]: (r["n_obs"], r["ewma"]) for r in final.collect()}
+
+    pdf = sub.select("user_id", "ts", "event_id", "value").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"])
+    want = {}
+    for _, row in pdf.iterrows():
+        u, x = row["user_id"], float(row["value"])
+        if u not in want:
+            want[u] = (1, x)
+        else:
+            n, e = want[u]
+            want[u] = (n + 1, 0.3 * x + 0.7 * e)
+    want = {u: (n, round(e, 6)) for u, (n, e) in want.items()}
+    assert got == want
