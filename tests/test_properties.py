@@ -439,3 +439,58 @@ def test_bpe_train_matches_reference_property(spark, words, r):
         for x in bpe_train(df, num_merges=r).orderBy("merge_rank").collect()
     ]
     assert got == ref
+
+
+SERIES = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(vals=SERIES, L=st.integers(min_value=1, max_value=8))
+@SETTINGS
+def test_ewma_bounded_matches_reference_property(spark, vals, L):
+    from compss_python_spark.operators.timeseries import ewma_bounded
+
+    df = spark.createDataFrame(
+        [(1, i, i, float(v)) for i, v in enumerate(vals)],
+        "u long, t long, eid long, v double",
+    )
+    alpha = 0.3
+    got = {
+        r["t"]: r["ewma"]
+        for r in ewma_bounded(df, "u", "t", "v", "eid", alpha, L).collect()
+    }
+    for t in range(len(vals)):
+        lo = max(0, t - L + 1)
+        ws = [(1 - alpha) ** (t - i) for i in range(lo, t + 1)]
+        ref = sum(w * float(v) for w, v in zip(ws, vals[lo:t + 1])) / sum(ws)
+        assert abs(got[t] - ref) < 1e-5, (t, got[t], ref)
+
+
+@given(
+    words=st.lists(st.text(alphabet="ab #.", min_size=1, max_size=6),
+                   min_size=1, max_size=30)
+)
+@SETTINGS
+def test_gopher_rules_match_pandas_reference(spark, words):
+    from compss_python_spark.llm.text import GOPHER_STOPWORDS, gopher_rules
+
+    text_val = " ".join(words)
+    df = spark.createDataFrame([(0, text_val)], ["doc_id", "text"])
+    r = gopher_rules(df, min_words=2, stop_hits=1).collect()[0]
+
+    toks = text_val.split()
+    n = max(len(toks), 1)
+    non_space = len("".join(text_val.split()))
+    import re as _re
+
+    n_sym = len(_re.findall(r"#|\.\.\.", text_val))
+    alpha_words = sum(1 for w in toks if _re.search("[A-Za-z]", w))
+    stop = len({w.lower() for w in toks} & set(GOPHER_STOPWORDS))
+    assert r["r_word_count"] == (2 <= len(toks) <= 100000)
+    assert r["r_mean_word_len"] == (3.0 <= non_space / n <= 10.0)
+    assert r["r_symbol_ratio"] == (n_sym / n <= 0.1)
+    assert r["r_alpha_words"] == (alpha_words / n >= 0.80)
+    assert r["r_stopwords"] == (stop >= 1)
