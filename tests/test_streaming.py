@@ -213,6 +213,16 @@ def test_streaming_ewma_equals_sequential_reference(spark, events, tmp_path_fact
         .write.mode("overwrite")
         .parquet(path)
     )
+    # FileStreamSource replays oldest-mtime-first; the three part files are
+    # written by one job and can share an mtime, leaving tie order
+    # unspecified.  Pin strictly increasing mtimes in part-name order
+    # (repartitionByRange puts range i in part-0000i) so replay order IS
+    # time order, deterministically.
+    import glob as _glob, os as _os, time as _time
+
+    base = _time.time() - 60
+    for i, f in enumerate(sorted(_glob.glob(path + "/part-*"))):
+        _os.utime(f, (base + i, base + i))
     streamed = W.replay_as_stream(
         spark, path, sub.schema, streaming_ewma, "t_sewma",
         output_mode="update", max_files_per_trigger=1,
