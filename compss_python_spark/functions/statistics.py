@@ -461,3 +461,58 @@ def key_skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
         "cnt",
         F.round(F.col("cnt") / F.col("_t"), 6).alias("share"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    ref_value,
+    cmp_value,
+    breaks: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two slices of ``value_col``
+    over FIXED bin boundaries ``breaks`` (bin i = [breaks[i-1], breaks[i]),
+    open at both ends).  The standard model/feature drift monitor:
+    PSI = Σ_bins (p_cmp − p_ref)·ln(p_cmp/p_ref), shares floored at
+    ``eps`` so empty bins contribute finitely.
+
+    Returns one row per bin (bin, ref_share, cmp_share, psi_contrib,
+    psi_total) — psi_total repeated per row for single-result reads.
+
+    Scale shape: ONE scan of the two slices; the bin id is a narrow sum of
+    ``value >= break`` indicators (no UDF, no bucket table join); both
+    slices reduce in the SAME map-combined groupBy(bin) via conditional
+    counts.  Everything after the aggregate runs on ≤ len(breaks)+1 rows.
+    Fixed breaks (not per-run quantiles) are deliberate: monitors compare
+    runs over time, so the binning must be constant across them.
+    """
+    v = F.col(value_col).cast("double")
+    bin_id = sum(
+        (v >= F.lit(float(b))).cast("int") for b in breaks
+    )  # 0..len(breaks)
+    s = F.col(slice_col)
+    agg = (
+        df.filter(s.isin([ref_value, cmp_value]) & v.isNotNull())
+        .select(bin_id.alias("bin"), s.alias("_s"))
+        .groupBy("bin")
+        .agg(
+            F.sum((F.col("_s") == ref_value).cast("long")).alias("_r"),
+            F.sum((F.col("_s") == cmp_value).cast("long")).alias("_c"),
+        )
+    )
+    tw = Window.partitionBy()
+    shares = agg.select(
+        "bin",
+        F.greatest(F.col("_r") / F.sum("_r").over(tw), F.lit(eps)).alias("_pr"),
+        F.greatest(F.col("_c") / F.sum("_c").over(tw), F.lit(eps)).alias("_pc"),
+    )
+    contrib = (F.col("_pc") - F.col("_pr")) * F.log(F.col("_pc") / F.col("_pr"))
+    return shares.select(
+        "bin",
+        F.round("_pr", 6).alias("ref_share"),
+        F.round("_pc", 6).alias("cmp_share"),
+        F.round(contrib, 6).alias("psi_contrib"),
+        F.round(F.sum(contrib).over(tw), 6).alias("psi_total"),
+    )

@@ -62,3 +62,37 @@ def regression_metrics(df: DataFrame, label_col: str = "label",
         F.round(F.avg(F.abs(err)), 6).alias("mae"),
         F.round(F.lit(1.0) - F.avg(err * err) / F.var_pop(label_col), 6).alias("r2"),
     )
+
+
+def roc_auc(df: DataFrame, label_col: str = "label",
+            score_col: str = "score") -> DataFrame:
+    """Exact ROC AUC (tie-corrected) via the Mann–Whitney identity:
+    AUC = (Σ midrank(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻), midranks over the
+    score ascending.  Ties in score contribute ½ — identical to the
+    trapezoidal ROC integral.  Returns 1 row (auc, n_pos, n_neg).
+
+    Scale shape: ranking rides :func:`~compss_python_spark.functions.
+    statistics.global_avg_ranks` — a range-partitioned distributed
+    prefix-sum, NEVER a single-partition ORDER BY window — so the AUC of
+    10¹¹ scored rows is two vocab-sized aggregates plus one range shuffle
+    of the distinct scores.  (MLlib's BinaryClassificationMetrics sorts
+    globally for the same quantity.)
+    """
+    from compss_python_spark.functions.statistics import global_avg_ranks
+
+    pos = F.col(label_col).cast("int")
+    ranked = global_avg_ranks(
+        df.select(F.col(score_col), pos.alias("_y")), score_col, "_mr"
+    )
+    return ranked.agg(
+        F.round(
+            (
+                F.sum(F.col("_y") * F.col("_mr"))
+                - F.sum("_y") * (F.sum("_y") + 1) / 2.0
+            )
+            / (F.sum("_y") * (F.count("*") - F.sum("_y"))),
+            6,
+        ).alias("auc"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("_y")).cast("long").alias("n_neg"),
+    )

@@ -258,6 +258,11 @@ CHANGED_MODULES: frozenset[str] = frozenset({
     "sources.io",             # text source/sink
     "geo.geo",                # geohash encoding
     "llm.multimodal",         # WAV decimation (second r7 touch)
+    # round 7, third wave:
+    "ml.evaluation",          # new: exact tie-corrected ROC AUC
+    "llm.retrieval",          # new: BM25 retrieval
+    "functions.quality",      # new: declarative expectations suite
+    "functions.statistics",   # PSI drift monitor (second r7 touch)
 })
 
 # Hand-pinned re-slots beyond what the dependency map finds (rarely

@@ -2619,3 +2619,54 @@ def embedding_random_projection(spark, sf_dir):
     from compss_python_spark.llm.similarity import random_projection
 
     return random_projection(table(spark, sf_dir, "embeddings"), out_dim=8)
+
+
+@query(
+    "text_bm25_topk",
+    sql=r"""
+    WITH q(query_id, term) AS (
+      VALUES (1, 'hash'), (1, 'join'),
+             (2, 'vector'), (2, 'scan'), (2, 'batch')),
+    tf AS (
+      SELECT doc_id, u.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents) d, UNNEST(d.t) u(term)
+      WHERE u.term <> ''
+      GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    consts AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(SUM(
+               LN(1.0 + (consts.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))
+             ), 6) AS score
+      FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN consts
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval: top-5 documents for two literal keyword
+    queries (k1=1.2, b=0.75, Lucene non-negative idf).  One corpus scan
+    builds the (doc, term, tf) table; doc length / N / avgdl are
+    aggregates OF that table; the query set broadcasts, so only the query
+    terms' posting lists reach the score aggregate; per-query top-k is a
+    WindowGroupLimit."""
+    from compss_python_spark.llm.retrieval import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector"), (2, "scan"), (2, "batch")],
+        "query_id int, term string",
+    )
+    return bm25_topk(table(spark, sf_dir, "documents"), queries, k=5)

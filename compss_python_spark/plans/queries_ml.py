@@ -772,3 +772,38 @@ def ml_calibration_bins(spark, sf_dir):
         F.round(F.avg("score"), 6).alias("mean_score"),
         F.round(F.avg("label"), 6).alias("observed_rate"),
     )
+
+
+@query(
+    "ml_roc_auc",
+    sql="""
+    WITH s AS (
+      SELECT o_totalprice AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    r AS (
+      SELECT y,
+             RANK() OVER (ORDER BY score)
+               + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS mr
+      FROM s)
+    SELECT ROUND((SUM(y * mr) - SUM(y) * (SUM(y) + 1) / 2.0)
+                 / (SUM(y) * (COUNT(*) - SUM(y))), 6) AS auc,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+    FROM r
+    """,
+)
+def ml_roc_auc(spark, sf_dir):
+    """Exact tie-corrected ROC AUC via the Mann-Whitney identity.  The
+    ranking is the distributed range-partitioned prefix sum
+    (global_avg_ranks) — no global ORDER BY window anywhere; midranks are
+    multiples of 1/2, so the rank-sum aggregate is order-exact in
+    doubles.  Oracle ranks with a window (fine at sf0.01)."""
+    from compss_python_spark.ml.evaluation import roc_auc
+
+    orders = table(spark, sf_dir, "orders")
+    scored = orders.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+        F.col("o_totalprice").alias("score"),
+    )
+    return roc_auc(scored, "label", "score")

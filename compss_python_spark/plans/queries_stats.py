@@ -595,3 +595,93 @@ def stats_key_skew(spark, sf_dir):
     from compss_python_spark.functions.statistics import key_skew_report
 
     return key_skew_report(table(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+@query(
+    "stats_psi_drift",
+    sql="""
+    WITH f AS (
+      SELECT CAST((value >= 25) AS INT) + CAST((value >= 50) AS INT)
+             + CAST((value >= 100) AS INT) + CAST((value >= 200) AS INT)
+             + CAST((value >= 300) AS INT) AS bin,
+             event_type AS s
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+    agg AS (
+      SELECT bin,
+             SUM(CASE WHEN s = 'view' THEN 1 ELSE 0 END) AS r,
+             SUM(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM f GROUP BY 1),
+    shares AS (
+      SELECT bin,
+             GREATEST(r / CAST(SUM(r) OVER () AS DOUBLE), 1e-6) AS pr,
+             GREATEST(c / CAST(SUM(c) OVER () AS DOUBLE), 1e-6) AS pc
+      FROM agg)
+    SELECT bin,
+           ROUND(pr, 6) AS ref_share,
+           ROUND(pc, 6) AS cmp_share,
+           ROUND((pc - pr) * LN(pc / pr), 6) AS psi_contrib,
+           ROUND(SUM((pc - pr) * LN(pc / pr)) OVER (), 6) AS psi_total
+    FROM shares
+    """,
+)
+def stats_psi_drift(spark, sf_dir):
+    """Population Stability Index of event value, purchase slice vs view
+    slice, over fixed breakpoints (25/50/100/200/300) — the standard
+    model/feature drift monitor.  One scan of the two slices, bin id is a
+    narrow indicator sum, both slices reduce in the SAME map-combined
+    groupBy(bin); everything after runs on <= 6 rows."""
+    from compss_python_spark.functions.statistics import psi_drift
+
+    return psi_drift(
+        table(spark, sf_dir, "events"), "value", "event_type",
+        "view", "purchase", breaks=[25.0, 50.0, 100.0, 200.0, 300.0],
+    )
+
+
+@query(
+    "quality_expectations",
+    sql="""
+    WITH m AS (
+      SELECT
+        ROUND(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS m0,
+        ROUND(COUNT(DISTINCT o_orderkey) / CAST(COUNT(*) AS DOUBLE), 6) AS m1,
+        ROUND(AVG(CASE WHEN o_totalprice BETWEEN 0 AND 1000000
+                  THEN 1.0 ELSE 0.0 END), 6) AS m2,
+        ROUND(AVG(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                  THEN 1.0 ELSE 0.0 END), 6) AS m3,
+        ROUND(AVG(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1.0 ELSE 0.0 END), 6) AS m4,
+        ROUND(AVG(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0 END), 6)
+          AS m5
+      FROM orders)
+    SELECT "check", "column", metric, threshold,
+           COALESCE(metric >= threshold, FALSE) AS passed
+    FROM (
+      SELECT 'completeness' AS "check", 'o_custkey' AS "column",
+             m0 AS metric, 1.0 AS threshold FROM m
+      UNION ALL SELECT 'uniqueness', 'o_orderkey', m1, 1.0 FROM m
+      UNION ALL SELECT 'in_range', 'o_totalprice', m2, 1.0 FROM m
+      UNION ALL SELECT 'in_set', 'o_orderstatus', m3, 1.0 FROM m
+      UNION ALL SELECT 'matches_regex', 'o_orderpriority', m4, 0.99 FROM m
+      UNION ALL SELECT 'non_negative', 'o_totalprice', m5, 1.0 FROM m)
+    ORDER BY "check", "column"
+    """,
+)
+def quality_expectations(spark, sf_dir):
+    """Deequ-style declarative data-quality suite over orders: six checks
+    (completeness, uniqueness, range, set membership, regex conformance,
+    non-negativity) evaluated in ONE map-combined aggregate pass — the
+    batch-gate report a 100 TB ingestion pipeline runs per delivery.  The
+    long-format report is an explode of the 1-row wide aggregate."""
+    from compss_python_spark.functions import quality as Q
+
+    orders = table(spark, sf_dir, "orders")
+    return Q.expectations_report(orders, [
+        Q.completeness("o_custkey", 1.0),
+        Q.uniqueness("o_orderkey", 1.0),
+        Q.in_range("o_totalprice", 0, 1_000_000, 1.0),
+        Q.in_set("o_orderstatus", ["F", "O", "P"], 1.0),
+        Q.matches_regex("o_orderpriority", "^[1-5]-", 0.99),
+        Q.non_negative("o_totalprice", 1.0),
+    ])

@@ -1038,3 +1038,38 @@ def test_source_vocab_jaccard_bounds_and_identity(spark):
     }
     assert got[("s1", "s2")] == 1.0
     assert ("s1", "s3") not in got or got[("s1", "s3")] == 0.0  # no common term -> no row
+
+
+def test_bm25_ranks_conjunctive_match_first(spark):
+    """A doc containing BOTH query terms outscores single-term docs; a
+    doc with neither never appears; repeated terms raise tf
+    monotonically (saturating)."""
+    from compss_python_spark.llm.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join probe"),
+            (2, "hash table lookup build side"),
+            (3, "sort merge join spill"),
+            (4, "parquet scan column prune"),
+        ],
+        "doc_id int, text string",
+    )
+    q = spark.createDataFrame([(1, "hash"), (1, "join")], "query_id int, term string")
+    got = bm25_topk(docs, q, k=4).orderBy("rank").collect()
+    assert [r["doc_id"] for r in got][0] == 1
+    assert 4 not in {r["doc_id"] for r in got}
+    assert all(got[i]["score"] >= got[i + 1]["score"] for i in range(len(got) - 1))
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, longer doc -> lower score (b > 0 length penalty)."""
+    from compss_python_spark.llm.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "needle " + "pad " * 50), (2, "needle pad")],
+        "doc_id int, text string",
+    )
+    q = spark.createDataFrame([(1, "needle")], "query_id int, term string")
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(docs, q, k=2).collect()}
+    assert got[2] > got[1]

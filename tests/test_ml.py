@@ -672,3 +672,51 @@ def test_random_projection_preserves_relative_distances(spark, sf_dir):
     m = sum(ratios) / len(ratios)
     spread = max(abs(r - m) for r in ratios)
     assert spread < 1.2 * m  # distances neither collapse nor explode
+
+
+def test_roc_auc_separable_and_ties(spark):
+    """Perfect separation -> 1.0; all-equal scores -> 0.5 (pure ties);
+    anti-separation -> 0.0; a hand case matches sklearn's trapezoid
+    value computed by hand."""
+    from compss_python_spark.ml.evaluation import roc_auc
+
+    sep = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, 3.0), (1, 4.0)], "label int, score double"
+    )
+    assert roc_auc(sep).first()["auc"] == 1.0
+    flat = spark.createDataFrame(
+        [(0, 5.0), (1, 5.0), (0, 5.0), (1, 5.0)], "label int, score double"
+    )
+    assert roc_auc(flat).first()["auc"] == 0.5
+    anti = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (0, 3.0), (0, 4.0)], "label int, score double"
+    )
+    assert roc_auc(anti).first()["auc"] == 0.0
+    # scores: pos {3, 2}, neg {1, 2}: pairs (3>1)=1, (3>2)=1, (2>1)=1,
+    # (2=2)=0.5 -> 3.5/4 = 0.875
+    hand = spark.createDataFrame(
+        [(1, 3.0), (1, 2.0), (0, 1.0), (0, 2.0)], "label int, score double"
+    )
+    r = roc_auc(hand).first()
+    assert (r["auc"], r["n_pos"], r["n_neg"]) == (0.875, 2, 2)
+
+
+def test_psi_drift_zero_and_positive(spark):
+    from compss_python_spark.functions.statistics import psi_drift
+
+    rows = [("a", float(v)) for v in range(1, 101)]
+    same = spark.createDataFrame(
+        rows + [("b", float(v)) for v in range(1, 101)], "s string, v double"
+    )
+    out = psi_drift(same, "v", "s", "a", "b", breaks=[25.0, 50.0, 75.0])
+    assert all(r["psi_contrib"] == 0.0 for r in out.collect())
+    assert out.first()["psi_total"] == 0.0
+    # disjoint supports -> large PSI, every bin contributes positively
+    shifted = spark.createDataFrame(
+        rows + [("b", float(v) + 200.0) for v in range(1, 101)],
+        "s string, v double",
+    )
+    out2 = psi_drift(shifted, "v", "s", "a", "b", breaks=[25.0, 50.0, 75.0, 150.0])
+    t = out2.first()["psi_total"]
+    assert t > 1.0
+    assert all(r["psi_contrib"] >= 0.0 for r in out2.collect())

@@ -622,3 +622,32 @@ def test_mad_outliers_flags_planted_spike(spark):
     out = {r["value"]: r["is_outlier"] for r in mad_outliers(df, "u", "value").collect()}
     assert out[500.0] is True
     assert sum(1 for v, f in out.items() if f) == 1  # only the spike
+
+
+def test_expectations_report_single_job_and_null_safety(spark):
+    """Known metric values; an all-null column yields metric NULL ->
+    passed False (not an error); the whole suite is ONE aggregate job."""
+    from compss_python_spark.functions import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, None, 2.0), (3, "c", None)],
+        "id int, s string, v double",
+    )
+    rep = Q.expectations_report(df, [
+        Q.completeness("s", 1.0),
+        Q.uniqueness("id", 1.0),
+        Q.non_negative("v", 1.0),
+        Q.in_set("s", ["a", "b", "c"], 0.7),
+        Q.in_range("v", 0.0, 10.0, 0.5),
+    ])
+    rows = {(r["check"], r["column"]): r for r in rep.collect()}
+    assert rows[("completeness", "s")]["metric"] == 0.75
+    assert not rows[("completeness", "s")]["passed"]
+    assert rows[("uniqueness", "id")]["metric"] == 0.75
+    # avg over non-null v: 2 of 3 >= 0
+    assert rows[("non_negative", "v")]["metric"] == round(2 / 3, 6)
+    assert rows[("in_set", "s")]["passed"]
+    # all-null column: metric NULL -> passed False, no crash
+    nul = spark.createDataFrame([(None,), (None,)], "x string")
+    r2 = Q.expectations_report(nul, [Q.matches_regex("x", "^a", 1.0)]).first()
+    assert r2["metric"] is None and r2["passed"] is False
