@@ -106,3 +106,82 @@ def bfs_layers(
         dist.unpersist()
         dist = nxt
     return dist
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    num_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    seed_col: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths via ``num_rounds`` of
+    Bellman–Ford min-plus relaxation:
+    dist_{r+1}(v) = min(dist_r(v), min over in-edges (dist_r(u) + w(u,v))).
+    Returns (node, dist) for every node already reached; distances are
+    exact for all shortest paths of <= num_rounds edges (the standard
+    Bellman–Ford bound — |V|−1 rounds gives the full fixpoint on
+    negative-free graphs; candidate graphs in practice converge in a few
+    rounds).  Negative weights are rejected (min-plus with a bounded
+    round count has no negative-cycle detection).
+
+    Same loop discipline as :func:`bfs_layers`: per round ONE
+    edge-expansion join + ONE map-combined min aggregate, both keyed on
+    node ids; eager localCheckpoint truncates lineage; the frontier never
+    touches the driver.
+    """
+    base = (
+        edges.filter(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & F.col(weight).isNotNull()
+        )
+        .select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("d"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .filter(F.col("s") != F.col("d"))
+    )
+    if not directed:
+        base = base.union(
+            base.select(
+                F.col("d").alias("s"), F.col("s").alias("d"), "w"
+            )
+        )
+    # parallel edges keep only the lightest — the only weight that can
+    # ever win a relaxation
+    e = (
+        base.groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    neg = e.filter(F.col("w") < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            "sssp_weighted: negative edge weights are not supported "
+            "(bounded-round min-plus relaxation cannot detect negative "
+            "cycles)"
+        )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(num_rounds):
+        expanded = e.join(dist, e["s"] == dist["node"]).select(
+            F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        nxt = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist.unpersist()
+        dist = nxt
+    return dist

@@ -123,3 +123,65 @@ def temporal_join(
         & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
     )
     return facts.join(dim, cond, "left").drop(dim[entity_col])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-level diff of two table versions: one row per key present in
+    either side, with change_type ∈ {added, removed, changed, unchanged}
+    and the sorted list of columns whose values differ (NULL-safe
+    comparison; empty for added/removed/unchanged).
+
+    The regression gate of every snapshot pipeline ("what did this rerun
+    change?").  Plan shape: ONE full-outer sort-merge join on the key —
+    the two sides co-partition on the same key so at 100 TB this is the
+    minimal possible shuffle (two scans, one exchange each); every
+    column comparison is a narrow NULL-safe equality, and the changed-
+    column list is a filtered array literal, not a per-column job.
+    """
+    cols = compare_cols or [c for c in new.columns if c not in keys]
+    # presence markers (a NULL-laden row can't distinguish "absent" from
+    # "present with nulls" — the literal flag can)
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    diff_cols = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                        F.lit(c),
+                    )
+                    for c in cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return j.select(
+        *keys,
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size(diff_cols) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        F.when(
+            F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull(),
+            diff_cols,
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_columns"),
+    )

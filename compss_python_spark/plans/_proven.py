@@ -263,6 +263,8 @@ CHANGED_MODULES: frozenset[str] = frozenset({
     "llm.retrieval",          # new: BM25 retrieval
     "functions.quality",      # new: declarative expectations suite
     "functions.statistics",   # PSI drift monitor (second r7 touch)
+    "operators.cdc",          # snapshot_diff (second r7 touch)
+    "graph.lpa",              # weighted SSSP (second r7 touch)
 })
 
 # Hand-pinned re-slots beyond what the dependency map finds (rarely

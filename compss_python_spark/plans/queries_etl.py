@@ -1060,3 +1060,73 @@ def clean_winsorize(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     out = etl.winsorize(li, ["l_extendedprice"], 0.01, 0.99, round_dp=4)
     return out.select("l_orderkey", "l_linenumber", "l_extendedprice_w")
+
+
+@query(
+    "cdc_snapshot_diff",
+    sql="""
+    WITH old AS (
+      SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+      WHERE c_custkey % 97 <> 0),
+    new AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_nationkey
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_acctbal, c_nationkey
+      FROM customer WHERE c_custkey % 101 = 0),
+    j AS (
+      SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+             o.c_custkey IS NOT NULL AS in_old,
+             n.c_custkey IS NOT NULL AS in_new,
+             CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+                  THEN CONCAT_WS(',',
+                    CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                         THEN 'c_acctbal' END,
+                    CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+                         THEN 'c_name' END,
+                    CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey
+                         THEN 'c_nationkey' END)
+                  ELSE '' END AS changed_columns
+      FROM old o FULL OUTER JOIN new n USING (c_custkey))
+    SELECT c_custkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN changed_columns <> '' THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           changed_columns
+    FROM j
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot regression diff: two deterministic variants of customer
+    (every 97th key dropped from old, every 11th acctbal bumped, every
+    101st re-keyed as an insert) -> per-key added/removed/changed/
+    unchanged verdicts with the changed-column list.  ONE full-outer
+    join on the key; every column comparison is a narrow NULL-safe
+    equality -- the minimal-shuffle table-diff gate of a snapshot
+    pipeline."""
+    from compss_python_spark.operators.cdc import snapshot_diff
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    old = cust.filter(F.col("c_custkey") % 97 != 0)
+    new = cust.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 101 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 10_000_000
+        )
+    )
+    d = snapshot_diff(old, new, ["c_custkey"])
+    return d.select(
+        "c_custkey",
+        "change_type",
+        F.array_join("changed_columns", ",").alias("changed_columns"),
+    )

@@ -2670,3 +2670,44 @@ def text_bm25_topk(spark, sf_dir):
         "query_id int, term string",
     )
     return bm25_topk(table(spark, sf_dir, "documents"), queries, k=5)
+
+
+@query(
+    "er_supplier_entities",
+    sql="""
+    WITH RECURSIVE names AS (SELECT DISTINCT s_name FROM supplier),
+    base AS (
+      SELECT a.s_name AS src, b.s_name AS dst
+      FROM names a JOIN names b ON a.s_name < b.s_name
+      WHERE levenshtein(a.s_name, b.s_name) <= 1
+    ),
+    edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT n.s_name AS name,
+           COALESCE(c.component, n.s_name) AS entity_id
+    FROM names n LEFT JOIN comp c ON c.node = n.s_name
+    """,
+)
+def er_supplier_entities(spark, sf_dir):
+    """Record-linkage entity resolution: fuzzy name match (Levenshtein
+    <= 1 via ED-Join q-gram prefix candidates — never the all-pairs
+    product) -> connected components over the match graph -> min-name
+    entity id per cluster; singletons keep their own name.  The
+    brute-force + recursive-closure oracle proves BOTH zero candidate
+    recall loss and the component labels.  The classic MDM dedup shape:
+    at 100 TB the only corpus-sized shuffle is the distinct-name dedup."""
+    from compss_python_spark.graph.components import connected_components
+    from compss_python_spark.llm.dedup import fuzzy_string_pairs
+
+    sup = table(spark, sf_dir, "supplier")
+    pairs = fuzzy_string_pairs(sup, "s_name", max_distance=1, q=2)
+    comp = connected_components(pairs, "s_a", "s_b")
+    names = sup.select(F.col("s_name").alias("name")).distinct()
+    return names.join(
+        comp, names.name == comp.node, "left"
+    ).select("name", F.coalesce("component", "name").alias("entity_id"))

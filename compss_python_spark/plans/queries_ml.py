@@ -807,3 +807,60 @@ def ml_roc_auc(spark, sf_dir):
         F.col("o_totalprice").alias("score"),
     )
     return roc_auc(scored, "label", "score")
+
+
+@query(
+    "graph_sssp_weighted",
+    sql="""
+    WITH b0 AS (
+      SELECT o_custkey AS s, l_suppkey + 1000000 AS d,
+             CAST(l_quantity AS DOUBLE) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 45),
+    sym AS (SELECT s, d, w FROM b0 UNION ALL SELECT d, s, w FROM b0),
+    e AS (SELECT s, d, MIN(w) AS w FROM sym GROUP BY 1, 2),
+    d0 AS (SELECT CAST(c_custkey AS BIGINT) AS node, 0.0 AS dist
+           FROM customer WHERE c_custkey <= 3),
+    d1 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL
+             SELECT e.d, d0.dist + e.w FROM d0 JOIN e ON e.s = d0.node)
+           GROUP BY node),
+    d2 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d1
+             UNION ALL
+             SELECT e.d, d1.dist + e.w FROM d1 JOIN e ON e.s = d1.node)
+           GROUP BY node),
+    d3 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d2
+             UNION ALL
+             SELECT e.d, d2.dist + e.w FROM d2 JOIN e ON e.s = d2.node)
+           GROUP BY node),
+    d4 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d3
+             UNION ALL
+             SELECT e.d, d3.dist + e.w FROM d3 JOIN e ON e.s = d3.node)
+           GROUP BY node)
+    SELECT node, ROUND(dist, 6) AS dist FROM d4
+    """,
+)
+def graph_sssp_weighted(spark, sf_dir):
+    """Weighted multi-source shortest paths (4 Bellman-Ford min-plus
+    rounds, exact within 4 edges) on the quantity-weighted co-purchase
+    graph, seeds = customers 1-3.  Per round ONE expansion join + ONE
+    map-combined min aggregate; the oracle unrolls all 4 rounds.
+    Integer-valued weights keep every path sum exact in doubles."""
+    from compss_python_spark.graph.lpa import sssp_weighted
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    orders = table(spark, sf_dir, "orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+        F.col("l_quantity").alias("weight"),
+    )
+    seeds = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 3
+    ).select(F.col("c_custkey").cast("long").alias("node"))
+    d = sssp_weighted(edges, seeds, num_rounds=4)
+    return d.select("node", F.round("dist", 6).alias("dist"))

@@ -720,3 +720,25 @@ def test_psi_drift_zero_and_positive(spark):
     t = out2.first()["psi_total"]
     assert t > 1.0
     assert all(r["psi_contrib"] >= 0.0 for r in out2.collect())
+
+
+def test_sssp_weighted_prefers_lighter_multi_hop_path(spark):
+    """Two-hop light path (1+1=2) beats the direct heavy edge (10);
+    parallel edges keep the lighter; negative weights raise."""
+    import pytest
+
+    from compss_python_spark.graph.lpa import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(0, 2, 10.0), (0, 1, 1.0), (1, 2, 1.0), (0, 2, 7.0), (2, 3, 2.0)],
+        "src long, dst long, weight double",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    d = {r["node"]: r["dist"] for r in sssp_weighted(edges, seeds, num_rounds=4).collect()}
+    assert d == {0: 0.0, 1: 1.0, 2: 2.0, 3: 4.0}
+    # round bound: 1 round only reaches direct neighbors with direct costs
+    d1 = {r["node"]: r["dist"] for r in sssp_weighted(edges, seeds, num_rounds=1).collect()}
+    assert d1[2] == 7.0  # lighter of the parallel direct edges, not 2-hop
+    neg = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="negative"):
+        sssp_weighted(neg, seeds)

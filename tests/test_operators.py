@@ -651,3 +651,26 @@ def test_expectations_report_single_job_and_null_safety(spark):
     nul = spark.createDataFrame([(None,), (None,)], "x string")
     r2 = Q.expectations_report(nul, [Q.matches_regex("x", "^a", 1.0)]).first()
     assert r2["metric"] is None and r2["passed"] is False
+
+
+def test_snapshot_diff_null_safety_and_column_lists(spark):
+    """NULL->value and value->NULL count as changes; NULL==NULL does not;
+    absent-side rows classify added/removed even when all payload columns
+    are NULL; changed_columns is sorted."""
+    from compss_python_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, None, None), (4, "d", 1.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "B", 6.0), (3, None, None), (5, None, None)],
+        "k int, s string, v double",
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert rows[1]["change_type"] == "changed"          # NULL -> 2.0
+    assert rows[1]["changed_columns"] == ["v"]
+    assert rows[2]["changed_columns"] == ["s", "v"]     # sorted multi
+    assert rows[3]["change_type"] == "unchanged"        # NULL == NULL
+    assert rows[4]["change_type"] == "removed" and rows[4]["changed_columns"] == []
+    assert rows[5]["change_type"] == "added"            # all-NULL payload
