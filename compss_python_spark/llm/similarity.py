@@ -790,3 +790,60 @@ def random_projection(
         for plane in planes
     ]
     return df.select(F.col(id_col), F.array(*projs).alias("proj"))
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Corrupt/degenerate-embedding detector: distance of every vector to
+    the corpus centroid, z-scored against the distance distribution.
+    Returns (id, dist, z, is_outlier).  The standard curation screen for
+    encoder failures (all-zero vectors, NaN collapses, off-manifold
+    batches) before embeddings feed dedup/ANN.
+
+    Scale shape: the centroid is ONE (dim_idx)-keyed map-combined
+    aggregate of the posexploded corpus (64–4096 rows — broadcast back as
+    a 1-row array); per-vector distance is a narrow zip_with/aggregate
+    expression (zero shuffle); the distance moments are ONE more 1-row
+    aggregate broadcast back.  Three passes over a column, no
+    corpus-sized shuffle anywhere.  Variance uses the explicit
+    E[d²]−E[d]² form so the SQL twin is bit-reproducible (stddev_pop's
+    internal accumulation is engine-specific).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    centroid = (
+        df.select(F.posexplode(v).alias("_i", "_v"))
+        .groupBy("_i")
+        .agg(F.avg("_v").alias("_m"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_i"), F.col("_m")))
+            ).alias("_sc")
+        )
+        .select(F.transform("_sc", lambda s: s["_m"]).alias("_centroid"))
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, F.col("_centroid"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, d2: acc + d2,
+        )
+    )
+    with_d = df.crossJoin(F.broadcast(centroid)).select(
+        F.col(id_col), dist.alias("_d")
+    )
+    moments = with_d.agg(
+        F.avg("_d").alias("_mu"),
+        F.sqrt(F.avg(F.col("_d") * F.col("_d")) - F.avg("_d") * F.avg("_d")).alias("_sd"),
+    )
+    z = (F.col("_d") - F.col("_mu")) / F.col("_sd")
+    return with_d.crossJoin(F.broadcast(moments)).select(
+        id_col,
+        F.round("_d", 6).alias("dist"),
+        F.round(z, 6).alias("z"),
+        (z > z_threshold).alias("is_outlier"),
+    )

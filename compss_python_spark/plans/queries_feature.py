@@ -695,3 +695,36 @@ def ml_target_encoding(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
     out = target_encode(orders, "o_orderpriority", "o_totalprice")
     return out.select("o_orderkey", "o_orderpriority", "enc")
+
+
+@query(
+    "embedding_outliers",
+    sql="""
+    WITH ex AS (
+      SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
+    cent AS (SELECT i, AVG(val) AS m FROM ex GROUP BY i),
+    d AS (
+      SELECT ex.vec_id,
+             SQRT(SUM((ex.val - cent.m) * (ex.val - cent.m))) AS dist
+      FROM ex JOIN cent USING (i) GROUP BY ex.vec_id),
+    mom AS (
+      SELECT AVG(dist) AS mu,
+             SQRT(AVG(dist * dist) - AVG(dist) * AVG(dist)) AS sd
+      FROM d)
+    SELECT vec_id,
+           ROUND(dist, 6) AS dist,
+           ROUND((dist - mu) / sd, 6) AS z,
+           (dist - mu) / sd > 3.0 AS is_outlier
+    FROM d CROSS JOIN mom
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    """Corrupt-embedding screen: per-vector distance to the corpus
+    centroid, z-scored (threshold 3).  Centroid = one dim-keyed
+    map-combined aggregate broadcast back as a 1-row array; distance is a
+    zero-shuffle zip_with expression; moments use the explicit
+    E[d^2]-E[d]^2 form for engine parity."""
+    from compss_python_spark.llm.similarity import embedding_outliers
+
+    return embedding_outliers(table(spark, sf_dir, "embeddings"))

@@ -1073,3 +1073,23 @@ def test_bm25_length_normalization(spark):
     q = spark.createDataFrame([(1, "needle")], "query_id int, term string")
     got = {r["doc_id"]: r["score"] for r in bm25_topk(docs, q, k=2).collect()}
     assert got[2] > got[1]
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    """A vector far off the cluster is flagged; cluster members are not;
+    dist is the true euclidean distance to the centroid."""
+    import math
+
+    from compss_python_spark.llm.similarity import embedding_outliers
+
+    base = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [0.0, 0.0]] * 5
+    rows = [(i, v) for i, v in enumerate(base)] + [(99, [100.0, 100.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in embedding_outliers(df, z_threshold=3.0).collect()}
+    assert out[99]["is_outlier"]
+    assert sum(r["is_outlier"] for r in out.values()) == 1
+    # centroid = (mean of 21 vectors); check one distance by hand
+    cx = (sum(v[0] for v in base) + 100.0) / 21
+    cy = (sum(v[1] for v in base) + 100.0) / 21
+    want = math.sqrt((1.0 - cx) ** 2 + (0.0 - cy) ** 2)
+    assert abs(out[0]["dist"] - want) < 1e-6
