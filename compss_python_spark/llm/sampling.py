@@ -143,3 +143,87 @@ def weighted_sample(
         top.withColumn(rank_col, F.row_number().over(w))
         .drop("_priority")
     )
+
+
+def mixture_allocation(
+    df: DataFrame,
+    source_col: str,
+    token_col,
+    weights: dict,
+    budget: float,
+) -> DataFrame:
+    """Water-filling token allocation for a training mix: split ``budget``
+    tokens across sources proportionally to ``weights``, cap every source
+    at what it can supply, and REDISTRIBUTE the surplus of saturated
+    sources to the rest (still weight-proportionally) — the standard
+    source-mixing computation when the desired mix exceeds what small
+    sources hold.  allocation_s = min(available_s, λ·w_s) with λ chosen
+    so Σ allocation = min(budget, Σ available).
+
+    Closed form (no iteration): sort sources by available/weight
+    ascending; exactly the first k saturate, where k = #{i : r_i ≤ λ(i)}
+    and λ(i) = (budget − prefix_avail_i)/(W − prefix_w_i); then
+    λ* = λ(k) (or budget/W when k = 0).  Returns one row per weighted
+    source: (source, available, weight, allocation, saturated).
+
+    Scale shape: ONE map-combined (source, Σ tokens) aggregate reduces
+    the corpus; every window after runs on the SOURCE-cardinality table
+    (mixes have tens-to-thousands of sources — metadata-sized by
+    construction, which is why the unpartitioned ORDER BY window here is
+    fine where it never would be on a fact table).  The corpus itself is
+    never shuffled.
+    """
+    if not weights or budget <= 0:
+        raise ValueError("mixture_allocation: need weights and budget > 0")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture_allocation: weights must be positive")
+    from pyspark.sql import Window
+
+    tc = F.col(token_col) if isinstance(token_col, str) else token_col
+    avail = (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(tc).cast("double").alias("available"))
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for s, w in sorted(weights.items()) for x in (s, float(w))]
+    )
+    t = avail.select(
+        "source", "available", wmap[F.col("source")].alias("weight")
+    ).withColumn("r", F.col("available") / F.col("weight"))
+    pre = Window.orderBy("r", "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    t = t.select(
+        "*",
+        F.sum("available").over(pre).alias("_ca"),
+        F.sum("weight").over(pre).alias("_cw"),
+        F.sum("available").over(tot).alias("_ta"),
+        F.sum("weight").over(tot).alias("_tw"),
+    )
+    b = F.least(F.lit(float(budget)), F.col("_ta"))
+    lam_i = F.when(
+        F.col("_tw") - F.col("_cw") > 0,
+        (b - F.col("_ca")) / (F.col("_tw") - F.col("_cw")),
+    )
+    # the last sorted row has no remaining weight (λ(i) undefined); it
+    # saturates exactly when the budget covers the whole corpus
+    t = t.withColumn(
+        "_sat",
+        F.when(lam_i.isNotNull(), F.col("r") <= lam_i).otherwise(
+            F.lit(float(budget)) >= F.col("_ta")
+        ),
+    )
+    # λ* from the last saturated row (or budget/W when none saturate)
+    lam_star = F.max(F.when(F.col("_sat"), lam_i)).over(tot)
+    lam = F.coalesce(lam_star, b / F.col("_tw"))
+    return t.select(
+        "source",
+        "available",
+        "weight",
+        F.round(F.least(F.col("available"), lam * F.col("weight")), 6).alias(
+            "allocation"
+        ),
+        F.col("_sat").alias("saturated"),
+    )

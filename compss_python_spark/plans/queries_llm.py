@@ -2711,3 +2711,60 @@ def er_supplier_entities(spark, sf_dir):
     return names.join(
         comp, names.name == comp.node, "left"
     ).select("name", F.coalesce("component", "name").alias("entity_id"))
+
+
+@query(
+    "llm_mixture_allocation",
+    sql=r"""
+    WITH av AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+               AS available
+      FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+    t AS (
+      SELECT source, available,
+             CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 2.0
+                         WHEN 'src2' THEN 4.0 END AS weight
+      FROM av),
+    t2 AS (SELECT *, available / weight AS r FROM t),
+    t3 AS (
+      SELECT *,
+             SUM(available) OVER (ORDER BY r, source
+               ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(weight) OVER (ORDER BY r, source
+               ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(available) OVER () AS ta,
+             SUM(weight) OVER () AS tw
+      FROM t2),
+    t4 AS (
+      SELECT *, CASE WHEN tw - cw > 0
+                     THEN (LEAST(6000.0, ta) - ca) / (tw - cw) END AS lam_i
+      FROM t3),
+    t5 AS (
+      SELECT *, CASE WHEN lam_i IS NOT NULL THEN r <= lam_i
+                     ELSE 6000.0 >= ta END AS sat
+      FROM t4),
+    t6 AS (
+      SELECT *, COALESCE(MAX(CASE WHEN sat THEN lam_i END) OVER (),
+                         LEAST(6000.0, ta) / tw) AS lam
+      FROM t5)
+    SELECT source, available, weight,
+           ROUND(LEAST(available, lam * weight), 6) AS allocation,
+           sat AS saturated
+    FROM t6
+    """,
+)
+def llm_mixture_allocation(spark, sf_dir):
+    """Water-filling training-mix allocation: 6000 tokens across three
+    sources at weights 1/2/4, capped by availability, surplus
+    redistributed weight-proportionally (closed form, no iteration).  ONE
+    map-combined token aggregate reduces the corpus; every window runs on
+    the source-cardinality table."""
+    from compss_python_spark.llm.sampling import mixture_allocation
+    from compss_python_spark.llm.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    return mixture_allocation(
+        docs, "source", token_count("text"),
+        {"src0": 1.0, "src1": 2.0, "src2": 4.0}, budget=6000.0,
+    )

@@ -1093,3 +1093,45 @@ def test_embedding_outliers_flags_planted_outlier(spark):
     cy = (sum(v[1] for v in base) + 100.0) / 21
     want = math.sqrt((1.0 - cx) ** 2 + (0.0 - cy) ** 2)
     assert abs(out[0]["dist"] - want) < 1e-6
+
+
+def test_mixture_allocation_water_filling(spark):
+    """Hand-verified water-filling: saturated smalls redistribute surplus
+    weight-proportionally; under-supplied budget -> plain proportional;
+    budget >= corpus -> everything saturates at availability."""
+    from compss_python_spark.llm.sampling import mixture_allocation
+
+    rows = [("a", 2.0), ("b", 4.0), ("c", 100.0)]
+    df = spark.createDataFrame(
+        [(s, 1, t) for s, t in rows], "src string, doc int, toks double"
+    )
+    w = {"a": 1.0, "b": 1.0, "c": 1.0}
+    got = {r["source"]: r for r in
+           mixture_allocation(df, "src", "toks", w, budget=12.0).collect()}
+    assert got["a"]["allocation"] == 2.0 and got["a"]["saturated"]
+    assert got["b"]["allocation"] == 4.0 and got["b"]["saturated"]
+    assert got["c"]["allocation"] == 6.0 and not got["c"]["saturated"]
+    # nobody saturates: 10 split evenly under caps (8, 9)
+    df2 = spark.createDataFrame(
+        [("a", 1, 8.0), ("b", 1, 9.0)], "src string, doc int, toks double"
+    )
+    got2 = {r["source"]: r for r in
+            mixture_allocation(df2, "src", "toks", {"a": 1, "b": 1}, 10.0).collect()}
+    assert got2["a"]["allocation"] == 5.0 and not got2["a"]["saturated"]
+    assert got2["b"]["allocation"] == 5.0 and not got2["b"]["saturated"]
+    # budget exceeds the corpus: allocation == availability everywhere
+    got3 = {r["source"]: r for r in
+            mixture_allocation(df2, "src", "toks", {"a": 1, "b": 1}, 100.0).collect()}
+    assert got3["a"]["allocation"] == 8.0 and got3["a"]["saturated"]
+    assert got3["b"]["allocation"] == 9.0 and got3["b"]["saturated"]
+    # unequal weights: b gets 2x of the unsaturated share
+    df3 = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 1, 50.0), ("c", 1, 50.0)],
+        "src string, doc int, toks double",
+    )
+    got4 = {r["source"]: r for r in
+            mixture_allocation(df3, "src", "toks", {"a": 1, "b": 2, "c": 1}, 31.0).collect()}
+    # a saturates at 1; remaining 30 split 2:1 -> b 20, c 10
+    assert got4["a"]["allocation"] == 1.0
+    assert got4["b"]["allocation"] == 20.0
+    assert got4["c"]["allocation"] == 10.0
