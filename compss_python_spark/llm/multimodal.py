@@ -1125,3 +1125,121 @@ def wav_decimate_stats(
         stats,
         f"{id_col} {id_type}, n_out long, sum_pcm long, sumsq_pcm long, peak long",
     )
+
+
+def image_ahash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded pixels: decode
+    PNG → channel-mean grayscale → ``grid``×``grid`` nearest-neighbor
+    downsample → threshold each cell against the sample mean → one bit
+    per cell, packed row-major into a 64-bit key (grid=8).  The standard
+    cheap image near-dup signature (thumbnail-level: invariant to scale
+    and brightness shifts, which shift every cell AND the mean equally).
+
+    Undecodable payloads are dropped (route residue via resize_images'
+    pass-through contract).  Arrow-batched mapInPandas, vectorized
+    per-image gather — constant work per image after decode.  The id
+    column passes through at its input type (no int() coercion)."""
+    assert grid * grid == 64, "aHash packs grid*grid bits into one long"
+    id_type = dict(media.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, width int, height int, ahash long"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hh = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_png_pixels(payload)
+                if arr is None:
+                    continue
+                h, w = int(arr.shape[0]), int(arr.shape[1])
+                gray = (
+                    arr.astype(np.float64).mean(axis=2)
+                    if arr.ndim == 3
+                    else arr.astype(np.float64)
+                )
+                xs = (np.arange(grid) * w) // grid
+                ys = (np.arange(grid) * h) // grid
+                samp = gray[np.ix_(ys, xs)]
+                bits = (samp >= samp.mean()).ravel()  # b = row*grid + col
+                val = int(
+                    (
+                        bits.astype(np.uint64)
+                        << np.arange(64, dtype=np.uint64)
+                    ).sum(dtype=np.uint64)
+                )
+                if val >= 1 << 63:  # two's-complement into a Spark long
+                    val -= 1 << 64
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                hh.append(val)
+            yield pd.DataFrame(
+                {id_col: ids, "width": ws, "height": hs, "ahash": hh}
+            )
+
+    return media.mapInPandas(fn, out_schema)
+
+
+def ahash_pair_stats(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pair histogram by aHash hamming distance:
+    band the 64-bit hash into ``bands`` chunks (pigeonhole: hamming ≤
+    bands−1 guarantees an exact-match band, so ``max_hamming`` must stay
+    below ``bands``), candidate pairs share a chunk, verified with
+    bit_count(xor), then reduced to (hamming, n_pairs).  Same banded
+    shape as llm.dedup.simhash_pairs — ONE bucket shuffle, never the
+    image-pair product."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"ahash_pair_stats: pigeonhole needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    chunk = 64 // bands
+    banded = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_ah"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), b * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_ah", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a._ah").bitwiseXOR(F.col("b._ah")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.col("hamming").cast("int"), "n_pairs")
+    )

@@ -267,6 +267,7 @@ CHANGED_MODULES: frozenset[str] = frozenset({
     "graph.lpa",              # weighted SSSP (second r7 touch)
     "llm.similarity",         # embedding outlier screen (second r7 touch)
     "llm.sampling",           # water-filling mixture allocation (second r7 touch)
+    "llm.multimodal",         # perceptual aHash (third r7 touch)
 })
 
 # Hand-pinned re-slots beyond what the dependency map finds (rarely

@@ -2768,3 +2768,90 @@ def llm_mixture_allocation(spark, sf_dir):
         docs, "source", token_count("text"),
         {"src0": 1.0, "src1": 2.0, "src2": 4.0}, budget=6000.0,
     )
+
+
+@query(
+    "multimodal_image_ahash",
+    sql="""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h,
+             doc_id % 64 AS s
+      FROM documents),
+    g AS (
+      SELECT doc_id, w, h,
+             j.j * 8 + i.i AS b,
+             ((i.i * w) // 8) + 2 * ((j.j * h) // 8) + 3 + s AS samp
+      FROM p, UNNEST(range(0, 8)) i(i), UNNEST(range(0, 8)) j(j)),
+    m AS (SELECT doc_id, AVG(CAST(samp AS DOUBLE)) AS mu FROM g GROUP BY 1),
+    bits AS (
+      SELECT g.doc_id, g.w, g.h, g.b,
+             CASE WHEN g.samp >= m.mu THEN 1 ELSE 0 END AS bit
+      FROM g JOIN m USING (doc_id))
+    SELECT doc_id AS media_id,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           CAST(SUM(CASE WHEN b >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << (b - 32))
+                         ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b)
+                         ELSE 0 END) AS BIGINT) AS hash_lo
+    FROM bits GROUP BY doc_id
+    """,
+)
+def multimodal_image_ahash(spark, sf_dir):
+    """Perceptual average-hash over REAL decoded PNG pixels: decode ->
+    grayscale -> 8x8 nearest-neighbor downsample -> mean threshold -> 64
+    bits.  The oracle recomputes every bit from the synthesized images'
+    closed pixel form (gray(x,y) = x + 2y + 3 + seed), so a hash match
+    proves decode, downsample indexing, the mean and the bit packing.
+    Split into unsigned 32-bit halves for engine-portable integers."""
+    media = multimodal.synthesize_pixel_media(table(spark, sf_dir, "documents"))
+    ah = multimodal.image_ahash(media)
+    return ah.select(
+        "media_id",
+        "width",
+        "height",
+        F.shiftrightunsigned("ahash", 32).alias("hash_hi"),
+        F.col("ahash").bitwiseAND(F.lit((1 << 32) - 1)).alias("hash_lo"),
+    )
+
+
+@query(
+    "multimodal_ahash_pair_stats",
+    sql="""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h,
+             doc_id % 64 AS s
+      FROM documents),
+    g AS (
+      SELECT doc_id, j.j * 8 + i.i AS b,
+             ((i.i * w) // 8) + 2 * ((j.j * h) // 8) + 3 + s AS samp
+      FROM p, UNNEST(range(0, 8)) i(i), UNNEST(range(0, 8)) j(j)),
+    m AS (SELECT doc_id, AVG(CAST(samp AS DOUBLE)) AS mu FROM g GROUP BY 1),
+    hh AS (
+      SELECT g.doc_id,
+             SUM(CASE WHEN b >= 32
+                      THEN (CASE WHEN samp >= mu THEN 1 ELSE 0 END)
+                           * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi,
+             SUM(CASE WHEN b < 32
+                      THEN (CASE WHEN samp >= mu THEN 1 ELSE 0 END)
+                           * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo
+      FROM g JOIN m USING (doc_id) GROUP BY g.doc_id),
+    pairs AS (
+      SELECT bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+               AS hamming
+      FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
+    SELECT CAST(hamming AS INT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE hamming <= 6 GROUP BY 1
+    """,
+)
+def multimodal_ahash_pair_stats(spark, sf_dir):
+    """Image near-duplicate histogram: banded aHash candidates (8 bands
+    of 8 bits — pigeonhole-lossless for hamming <= 6) verified by
+    bit_count(xor), reduced to (hamming, n_pairs).  The oracle brute-
+    forces ALL pairs from the closed-form hashes, so a match proves the
+    banding lost no pair.  ONE bucket shuffle, never the image-pair
+    product."""
+    media = multimodal.synthesize_pixel_media(table(spark, sf_dir, "documents"))
+    ah = multimodal.image_ahash(media)
+    return multimodal.ahash_pair_stats(ah, max_hamming=6, bands=8)

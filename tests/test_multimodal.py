@@ -467,3 +467,32 @@ def test_wav_decimate_matches_full_decode(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError, match="factor"):
         multimodal.wav_decimate_stats(media, 0)
+
+
+def test_image_ahash_brightness_invariance_and_near_dup(spark):
+    """aHash is invariant to a constant brightness shift (all cells AND
+    the mean move together) and to upscaling (NN downsample hits the
+    same relative positions on a 2x pixel-doubled image); a structurally
+    different image lands far away; banded pair stats find the near pair."""
+    import numpy as np
+
+    from compss_python_spark.llm import multimodal as M
+
+    def png_of(arr):
+        return M.encode_png(arr.astype(np.uint8))
+
+    x = np.arange(16)[None, :, None]
+    y = np.arange(16)[:, None, None]
+    c = np.zeros((1, 1, 3), dtype=int)
+    grad = (x + 2 * y + c).astype(np.uint8)
+    bright = (x + 2 * y + c + 40).astype(np.uint8)
+    big = np.repeat(np.repeat(grad, 2, axis=0), 2, axis=1)  # 32x32 upscale
+    inv = (255 - (x + 2 * y + c)).astype(np.uint8)  # reversed gradient
+    rows = [(1, png_of(grad)), (2, png_of(bright)), (3, png_of(big)), (4, png_of(inv))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = {r["media_id"]: r["ahash"] for r in M.image_ahash(media).collect()}
+    assert h[1] == h[2] == h[3]
+    assert bin((h[1] ^ h[4]) & ((1 << 64) - 1)).count("1") > 32  # complement-ish
+    stats = {r["hamming"]: r["n_pairs"]
+             for r in M.ahash_pair_stats(M.image_ahash(media), max_hamming=6).collect()}
+    assert stats.get(0) == 3  # the three invariant copies pair up
