@@ -1243,3 +1243,55 @@ def ahash_pair_stats(
         .agg(F.count("*").alias("n_pairs"))
         .select(F.col("hamming").cast("int"), "n_pairs")
     )
+
+
+def wav_fingerprint(
+    media: DataFrame,
+    frame_size: int = 16,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Energy-delta audio fingerprint (Haitsma–Kalker shape, energy-only):
+    decode PCM → ``frame_size``-sample frame energies → one bit per
+    consecutive frame pair (1 iff energy rose) → bits packed
+    little-endian into a 64-bit key.  The standard cheap audio near-dup /
+    alignment signature: robust to volume-invariant content because only
+    the SIGN of the energy delta is kept.
+
+    Plan shape: frame energies ride :func:`wav_frame_features` (the one
+    Arrow decode pass); everything after is JVM-side — one lag window and
+    one map-combined pack aggregate, both keyed on the media id.  Frame
+    counts are bounded by payload length; callers chunk long audio
+    upstream (64 delta bits ≈ 65 frames per key)."""
+    from pyspark.sql import Window
+
+    f = wav_frame_features(media, frame_size, id_col, payload_col)
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    lagged = f.select(
+        F.col(id_col),
+        "frame_idx",
+        "energy",
+        F.lag("energy").over(w).alias("_pe"),
+    )
+    counts = f.groupBy(id_col).agg(
+        (F.max("frame_idx") + 1).cast("int").alias("n_frames")
+    )
+    bits = (
+        lagged.filter(F.col("_pe").isNotNull())
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("energy") > F.col("_pe"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), frame_idx - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .alias("_term"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_term").alias("fingerprint"))
+    )
+    return counts.join(bits, id_col, "left").select(
+        id_col,
+        "n_frames",
+        F.coalesce("fingerprint", F.lit(0)).alias("fingerprint"),
+    )

@@ -2855,3 +2855,43 @@ def multimodal_ahash_pair_stats(spark, sf_dir):
     media = multimodal.synthesize_pixel_media(table(spark, sf_dir, "documents"))
     ah = multimodal.image_ahash(media)
     return multimodal.ahash_pair_stats(ah, max_hamming=6, bands=8)
+
+
+@query(
+    "multimodal_wav_fingerprint",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, 1 + doc_id % 2 AS ch, 32 + doc_id % 97 AS ns
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    s AS (
+      SELECT doc_id, i.i AS s,
+             ((doc_id * 31 + (i.i * ch) * 7919) % 65536) - 32768 AS v
+      FROM w, UNNEST(range(0, ns)) i(i)
+    ),
+    e AS (
+      SELECT doc_id, s // 16 AS frame_idx, SUM(v * v) AS energy
+      FROM s GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT doc_id, frame_idx, energy,
+             LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pe
+      FROM e
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(frame_idx) + 1 AS INT) AS n_frames,
+           CAST(COALESCE(SUM(CASE WHEN pe IS NOT NULL AND energy > pe
+                    THEN CAST(1 AS BIGINT) << (frame_idx - 1)
+                    ELSE 0 END), 0) AS BIGINT) AS fingerprint
+    FROM l GROUP BY doc_id
+    """,
+)
+def multimodal_wav_fingerprint(spark, sf_dir):
+    """Energy-delta audio fingerprint over REAL decoded PCM: frame
+    energies (one Arrow decode pass) -> lag window -> sign-of-delta bits
+    packed into a 64-bit key.  The oracle recomputes every frame energy
+    and bit from the waveform's closed form, so a match proves decode,
+    framing, the delta rule and the packing."""
+    media = multimodal.synthesize_real_media(table(spark, sf_dir, "documents"))
+    wav = media.filter(F.col("media_id") % 3 == 2)
+    return multimodal.wav_fingerprint(wav)

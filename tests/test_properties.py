@@ -494,3 +494,50 @@ def test_gopher_rules_match_pandas_reference(spark, words):
     assert r["r_symbol_ratio"] == (n_sym / n <= 0.1)
     assert r["r_alpha_words"] == (alpha_words / n >= 0.80)
     assert r["r_stopwords"] == (stop >= 1)
+
+
+@given(
+    avail=st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=8),
+    weights=st.lists(st.integers(min_value=1, max_value=9), min_size=8, max_size=8),
+    budget=st.integers(min_value=1, max_value=4000),
+)
+@SETTINGS
+def test_mixture_allocation_properties(spark, avail, weights, budget):
+    """Invariants of water-filling: 0 <= a_s <= available_s; Σa =
+    min(budget, Σ available) (up to rounding); unsaturated sources split
+    the residual budget weight-proportionally (equal allocation/weight)."""
+    from compss_python_spark.llm.sampling import mixture_allocation
+
+    srcs = [f"s{i}" for i in range(len(avail))]
+    w = {s: float(weights[i]) for i, s in enumerate(srcs)}
+    rows = [(s, float(a)) for s, a in zip(srcs, avail)]
+    df = spark.createDataFrame(rows, "src string, toks double")
+    out = mixture_allocation(df, "src", "toks", w, float(budget)).collect()
+    a = {r["source"]: r["allocation"] for r in out}
+    sat = {r["source"]: r["saturated"] for r in out}
+    for i, s in enumerate(srcs):
+        assert -1e-6 <= a[s] <= avail[i] + 1e-6
+    assert abs(sum(a.values()) - min(budget, sum(avail))) < 1e-3
+    lams = [a[s] / w[s] for s in srcs if not sat[s]]
+    assert all(abs(l - lams[0]) < 1e-6 for l in lams[1:])
+
+
+@given(
+    labels=st.lists(st.integers(min_value=0, max_value=1), min_size=2, max_size=30),
+    scores=st.lists(st.integers(min_value=-5, max_value=5), min_size=30, max_size=30),
+)
+@SETTINGS
+def test_roc_auc_matches_pair_counting(spark, labels, scores):
+    """AUC == (concordant + 0.5*tied) / (n_pos*n_neg), brute-forced."""
+    from compss_python_spark.ml.evaluation import roc_auc
+
+    if sum(labels) in (0, len(labels)):
+        labels = labels + [1 - labels[0]]
+    scores = scores[: len(labels)]
+    rows = list(zip(labels, [float(s) for s in scores]))
+    df = spark.createDataFrame(rows, "label int, score double")
+    got = roc_auc(df).first()["auc"]
+    pos = [s for l, s in rows if l == 1]
+    neg = [s for l, s in rows if l == 0]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert abs(got - num / (len(pos) * len(neg))) < 1e-6
