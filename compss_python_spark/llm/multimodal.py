@@ -1204,6 +1204,11 @@ def ahash_pair_stats(
             f"(got {max_hamming} >= {bands})"
         )
     chunk = 64 // bands
+    # Pin the hash table before the self-join: without this, BOTH join
+    # sides re-execute the upstream image decode (the expensive pass) —
+    # the checkpoint costs one id+long row per image and halves decode
+    # work (verified in the physical plan: one MapInPandas, not two).
+    hashes = hashes.select(id_col, hash_col).localCheckpoint(eager=True)
     banded = hashes.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_ah"),

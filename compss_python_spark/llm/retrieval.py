@@ -6,15 +6,15 @@ curation stack (find near-benchmark docs, build eval slices, audit what a
 filter kept).  Robertson/Spärck Jones BM25 with the Lucene non-negative
 idf variant: idf = ln(1 + (N − df + ½)/(df + ½)).
 
-Scale shape: ONE corpus scan builds the (doc, term, tf) table; document
-length and the corpus aggregate (N, avgdl) are aggregates OF that table
-(never a second scan, never a driver collect); the query set is broadcast
-(query workloads are ≤ thousands of terms — dim-sized by construction), so
-the corpus-sized side shuffles only on (query, doc) for the final score
-aggregate, and the per-query top-k window is map-side pruned
-(WindowGroupLimit).  At 100 TB nothing here materializes more than the
-posting lists of the QUERY terms — the broadcast semi-join prunes every
-other term before any wide operation.
+Scale shape: TWO corpus scans, zero corpus-sized shuffles — document
+length is a narrow array-size expression (no explode), the corpus
+constants (N, avgdl) are a 1-row aggregate of it, and the token explode
+is filtered by the BROADCAST query-term set before the (doc, term)
+aggregate, so only the query terms' posting lists ever reach a wide
+operator (query workloads are ≤ thousands of terms — dim-sized by
+construction).  The per-query top-k window is map-side pruned
+(WindowGroupLimit).  Verified in the physical plan: the only exchanges
+are keyed on pruned postings / (query, doc).
 """
 
 from __future__ import annotations
@@ -42,22 +42,33 @@ def bm25_topk(
     (repeat a term to weight it).  Returns (query_id, doc_id, score, rank)
     with rank 1..k per query, deterministic tie-break on doc id.
     """
-    tf = (
-        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias(term_col))
-        .filter(F.col(term_col) != "")
-        .groupBy(id_col, term_col)
-        .agg(F.count("*").alias("tf"))
-    )
-    # Document length (non-empty tokens) and the corpus constants are
-    # aggregates of the vocab-sized tf table — no second corpus scan.
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # Document length is a NARROW expression (size of the non-empty token
+    # array) — no explode, no shuffle; token-less docs are excluded from
+    # the corpus constants (they can never score).  One corpus scan.
+    dl = docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(tokens(text_col), lambda t: t != F.lit(""))
+        ).alias("dl"),
+    ).filter(F.col("dl") > 0)
     consts = dl.agg(
         F.count("*").alias("_n"), F.avg("dl").alias("_avgdl")
     )
     qterms = queries.select(term_col).distinct()
-    # Prune to query-term posting lists BEFORE any term-keyed aggregate:
-    # df counts only need the terms the queries mention.
-    qtf = tf.join(F.broadcast(qterms), term_col)
+    # The ONLY term-keyed work happens on query-term posting lists: the
+    # explode is filtered by the broadcast query-term set BEFORE the
+    # (doc, term) aggregate, so the second corpus scan shuffles nothing
+    # but the postings the queries mention.
+    # Pinned eagerly: qtf feeds BOTH the df counts and the score join —
+    # without the checkpoint each consumer re-runs the corpus explode.
+    # Size is bounded by the query terms' posting lists, not the corpus.
+    qtf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias(term_col))
+        .join(F.broadcast(qterms), term_col)
+        .groupBy(id_col, term_col)
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = qtf.groupBy(term_col).agg(F.count("*").alias("df"))
     scored = (
         qtf.join(F.broadcast(queries.select(query_id_col, term_col)), term_col)
