@@ -295,6 +295,53 @@ def embedding_near_dup(spark, sf_dir):
 
 
 @query(
+    "dedup_semantic_md5",
+    headline=True,
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (
+      SELECT j.j AS cell,
+             list_transform(range(0, 64),
+               d -> CAST('0x' || substr(md5(concat('23:', j.j, ':', d)), 1, 12) AS BIGINT)
+                    / 140737488355328.0 - 1.0) AS c
+      FROM generate_series(0, 7) j(j)
+    ),
+    cd AS (SELECT v.vec_id, cents.cell,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (v.e[i] - cents.c[i]) * (v.e[i] - cents.c[i]))) AS d2
+           FROM v, cents),
+    ca AS (SELECT vec_id, cell FROM cd
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE ROUND(LIST_DOT_PRODUCT(va.e, vb.e)
+                  / (SQRT(LIST_DOT_PRODUCT(va.e, va.e))
+                     * SQRT(LIST_DOT_PRODUCT(vb.e, vb.e))), 6) >= 0.35
+    )
+    SELECT ca.vec_id, ca.cell,
+           ca.vec_id IN (SELECT vec_id FROM dups) AS is_semantic_dup
+    FROM ca
+    """,
+)
+def dedup_semantic_md5(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse-quantizer clusters bound the
+    quadratic cosine comparison to within-cluster pairs — the scalable
+    shape of embedding dedup (`embedding_near_dup` is the exact all-pairs
+    baseline this approximates).  Fixed md5-derived centroids make the
+    FULL path — argmin cell assignment, within-cell pairs, min-id dup
+    verdict — hash-checkable; production passes centroids=None for a
+    sample-trained quantizer (same contract as `similarity_topk_ivf`)."""
+    return dedup.semantic_dedup(
+        table(spark, sf_dir, "embeddings"),
+        centroids=similarity.md5_planes(64, 8, table_id=23),
+        min_cosine=0.35,
+    )
+
+
+@query(
     "similarity_topk_exact",
     sql="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

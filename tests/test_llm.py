@@ -1135,3 +1135,66 @@ def test_mixture_allocation_water_filling(spark):
     assert got4["a"]["allocation"] == 1.0
     assert got4["b"]["allocation"] == 20.0
     assert got4["c"]["allocation"] == 10.0
+
+
+def test_semantic_dedup_matches_brute_force_within_cells(spark, emb):
+    """Planted near-duplicates in the same cell are marked; verdicts equal
+    a brute-force within-cell recomputation; survivors ∪ dups = corpus."""
+    cents = similarity.md5_planes(64, 8, table_id=23)
+    out = dedup.semantic_dedup(emb, centroids=cents, min_cosine=0.35).toPandas()
+    assert len(out) == emb.count()
+    assert set(out.columns) == {"vec_id", "cell", "is_semantic_dup"}
+
+    # brute force: recompute assignment + within-cell pairs in python
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    C = np.array(cents)
+    assign = {}
+    for vid, v in V.items():
+        d2 = ((C - v) ** 2).sum(axis=1)
+        assign[vid] = int(np.argmin(d2))
+    got_cells = dict(zip(out.vec_id, out.cell))
+    assert assign == got_cells
+
+    dup_expect = set()
+    ids = sorted(V)
+    by_cell = {}
+    for vid in ids:
+        by_cell.setdefault(assign[vid], []).append(vid)
+    for cell_ids in by_cell.values():
+        for i, a in enumerate(cell_ids):
+            for b in cell_ids[i + 1 :]:
+                cos = float(
+                    V[a] @ V[b] / (np.linalg.norm(V[a]) * np.linalg.norm(V[b]))
+                )
+                if round(cos, 6) >= 0.35:
+                    dup_expect.add(b)
+    got_dups = set(out[out.is_semantic_dup].vec_id)
+    assert got_dups == dup_expect
+
+
+def test_semantic_dedup_trained_quantizer_and_guard(spark):
+    """centroids=None trains a sample quantizer (verdicts still
+    deterministic given the seed); an over-tight max_cluster_rows raises
+    the loud plan-side guard instead of planning the giant self-join."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    # plant one exact duplicate pair: ids 100/101 share a vector
+    rows = [(100, base[0].tolist()), (101, base[0].tolist())] + [
+        (i, base[i].tolist()) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(
+        df, centroids=None, n_cells=4, min_cosine=0.99, seed=3
+    ).toPandas()
+    assert bool(out[out.vec_id == 101].is_semantic_dup.iloc[0])
+    assert not bool(out[out.vec_id == 100].is_semantic_dup.iloc[0])
+
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        dedup.semantic_dedup(
+            df, centroids=None, n_cells=2, min_cosine=0.99, max_cluster_rows=5
+        ).collect()
