@@ -227,3 +227,110 @@ def mixture_allocation(
         ),
         F.col("_sat").alias("saturated"),
     )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — "Data
+    Selection for Language Models via Importance Resampling"): score every
+    raw document by how much its hashed n-gram profile looks like the
+    TARGET corpus rather than the raw corpus.
+
+    Features are unigrams + bigrams of whitespace tokens hashed into
+    ``num_buckets`` buckets (md5-derived 48-bit hash — engine-portable, so
+    the whole path is SQL-oracle-checkable).  Bucket unigram models with
+    add-``alpha`` smoothing are fit on each corpus; a document's log
+    importance weight is Σ_b n_b(doc)·(ln p̂_target(b) − ln p̂_raw(b)).
+
+    Returns (id_col, log_weight) — log_weight ROUNDED to 6 dp so
+    cross-engine libm/summation-order ulp noise cannot flip downstream
+    rank ties.  Documents with NULL text produce no grams and are
+    excluded (match the raw side on ids to re-admit them if needed).
+
+    Scale shape: the corpus is scanned once per side for the gram explode
+    feeding a map-combined groupBy(bucket) — the model tables are
+    ``num_buckets`` rows however big the corpora, their totals come from a
+    window over those few rows, and the per-document scoring joins the
+    B-row log-ratio table BROADCAST onto doc-bucket counts.  No shuffle
+    wider than (doc, bucket); nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    from compss_python_spark.llm.dedup import md5_hash48
+    from compss_python_spark.llm.text import ngrams
+
+    def gram_buckets(df: DataFrame) -> DataFrame:
+        grams = F.concat(ngrams(text_col, 1), ngrams(text_col, 2))
+        return df.select(
+            F.col(id_col).alias("_id"), F.explode(grams).alias("_g")
+        ).select(
+            "_id", F.pmod(md5_hash48(F.col("_g")), F.lit(num_buckets)).alias("_b")
+        )
+
+    rawb = gram_buckets(raw)
+    tb = gram_buckets(target).groupBy("_b").agg(F.count("*").alias("_tc"))
+    rb = rawb.groupBy("_b").agg(F.count("*").alias("_rc"))
+    # B-row model table: totals via an all-rows window (≤ num_buckets rows —
+    # the single partition is bounded by B, not by data size).
+    w_all = Window.partitionBy(F.lit(1))
+    b_ = float(num_buckets)
+    llr = (
+        rb.join(tb, "_b", "left")
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.sum("_tc").over(w_all), F.lit(0)) + F.lit(alpha * b_))
+                )
+                - F.log(
+                    (F.col("_rc") + F.lit(alpha))
+                    / (F.sum("_rc").over(w_all) + F.lit(alpha * b_))
+                )
+            ).alias("_w"),
+        )
+    )
+    doc_counts = rawb.groupBy("_id", "_b").agg(F.count("*").alias("_n"))
+    return (
+        doc_counts.join(F.broadcast(llr), "_b")
+        .groupBy("_id")
+        .agg(F.round(F.sum(F.col("_n") * F.col("_w")), 6).alias("log_weight"))
+        .select(F.col("_id").alias(id_col), "log_weight")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Top-``k`` DSIR selection: the ``k`` raw documents whose hashed
+    n-gram profile is most target-like (deterministic variant of the
+    paper's Gumbel-noised resampling — same weights, noiseless argmax, so
+    the selection is exactly reproducible and oracle-checkable; add Gumbel
+    noise downstream if sampling-without-replacement semantics matter).
+
+    Returns (id_col, log_weight, rank).  The global top-k runs as a
+    distributed TakeOrderedAndProject (orderBy + limit — every partition
+    contributes its local top-k, the driver merges k·P rows), NOT a
+    single-partition global window; the rank column is then numbered over
+    the k-row result only."""
+    from pyspark.sql import Window
+
+    w = dsir_importance_weights(
+        raw, target, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets, alpha=alpha,
+    )
+    topk = w.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k)
+    wk = Window.partitionBy(F.lit(1)).orderBy(F.desc("log_weight"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(wk))

@@ -2370,6 +2370,58 @@ def llm_weighted_sample(spark, sf_dir):
 
 
 @query(
+    "llm_dsir_select",
+    headline=True,
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, lang, unnest(list_concat(
+               t,
+               CASE WHEN LEN(t) < 2 THEN [ARRAY_TO_STRING(t, ' ')]
+                    ELSE list_transform(range(1, LEN(t)), i -> t[i] || ' ' || t[i+1])
+               END)) AS gram
+      FROM tok),
+    gb AS (SELECT doc_id, lang,
+                  CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) % 512 AS b
+           FROM g),
+    tb AS (SELECT b, COUNT(*) AS tc FROM gb WHERE lang = 'en' GROUP BY b),
+    rb AS (SELECT b, COUNT(*) AS rc FROM gb GROUP BY b),
+    llr AS (
+      SELECT rb.b,
+             LN((COALESCE(tb.tc, 0) + 1.0)
+                / ((SELECT COALESCE(SUM(tc), 0) FROM tb) + 512.0))
+             - LN((rb.rc + 1.0) / ((SELECT SUM(rc) FROM rb) + 512.0)) AS w
+      FROM rb LEFT JOIN tb ON rb.b = tb.b),
+    dc AS (SELECT doc_id, b, COUNT(*) AS n FROM gb GROUP BY doc_id, b),
+    dw AS (
+      SELECT dc.doc_id, ROUND(SUM(dc.n * llr.w), 6) AS log_weight
+      FROM dc JOIN llr ON dc.b = llr.b GROUP BY dc.doc_id),
+    topk AS (SELECT doc_id, log_weight FROM dw
+             ORDER BY log_weight DESC, doc_id LIMIT 100)
+    SELECT doc_id, log_weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id) AS INT)
+             AS rank
+    FROM topk
+    """,
+)
+def llm_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): top-100 raw documents whose
+    hashed unigram+bigram bucket profile is most English-target-like
+    (target = lang='en' slice, raw = whole corpus).  The md5 bucket hash
+    and the add-1-smoothed bucket models are recomputed verbatim in SQL —
+    hash parity covers the feature hash, both bucket models, the per-doc
+    log-likelihood-ratio sum, and the deterministic top-k."""
+    from compss_python_spark.llm.sampling import dsir_select
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), k=100, num_buckets=512
+    )
+
+
+@query(
     "text_top_keywords",
     sql=r"""
     WITH tf AS (

@@ -1198,3 +1198,28 @@ def test_semantic_dedup_trained_quantizer_and_guard(spark):
         dedup.semantic_dedup(
             df, centroids=None, n_cells=2, min_cosine=0.99, max_cluster_rows=5
         ).collect()
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Raw docs written in the target's vocabulary outrank off-target
+    docs; ranks are deterministic and weights reproducible."""
+    from compss_python_spark.llm.sampling import dsir_select
+
+    target_rows = [(1000 + i, "alpha beta gamma delta epsilon") for i in range(10)]
+    raw_rows = (
+        [(i, "alpha beta gamma delta") for i in range(5)]          # target-like
+        + [(10 + i, "zip zap zoom quux flurb") for i in range(5)]  # off-target
+    )
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    out = dsir_select(raw, target, k=5, num_buckets=64).toPandas()
+    assert list(out.columns) == ["doc_id", "log_weight", "rank"]
+    assert sorted(out.doc_id) == [0, 1, 2, 3, 4]
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+    # identical docs share identical weights; ties broken by id
+    assert out.log_weight.nunique() == 1
+    assert list(out.doc_id) == [0, 1, 2, 3, 4]
+
+    # rerun is bit-identical (hash features, no RNG anywhere)
+    again = dsir_select(raw, target, k=5, num_buckets=64).toPandas()
+    pd.testing.assert_frame_equal(out, again)
