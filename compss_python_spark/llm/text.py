@@ -379,6 +379,76 @@ def bigram_lm_score(
     )
 
 
+def kneser_ney_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995; Chen
+    & Goodman 1999 §2.7) — the standard n-gram smoothing, a sharper
+    quality/perplexity signal than :func:`bigram_lm_score`'s add-α because
+    probability mass reserved by the absolute discount D flows to words
+    proportional to how many distinct CONTEXTS they follow (continuation
+    counts), not raw frequency:
+
+        P_KN(w2|w1) = max(c(w1w2) − D, 0)/cH(w1)
+                      + D·N1+(w1·)/cH(w1) · N1+(·w2)/T
+
+    with cH(w1) = Σ_w c(w1,w) (bigram head count), N1+(w1·) = distinct
+    continuations of w1, N1+(·w2) = distinct predecessors of w2, T =
+    distinct bigram types.  Scoring the training corpus itself (the CCNet
+    self-scoring setup) every scored pair has c ≥ 1, so P_KN > 0 without a
+    backoff chain.  Returns (id_col, n_pairs, cross_entropy) — per-token
+    −mean ln P_KN, for documents with ≥ 2 tokens.
+
+    Plan shape (identical scaling to :func:`bigram_lm_score`): ONE bigram
+    count aggregate is the model; head totals, continuation counts and
+    predecessor counts are three map-combined re-aggregations OF THAT
+    TABLE (vocab-sized, not corpus-sized); the per-doc pair stream joins
+    them on gram keys and one per-doc aggregate closes.  T is a scalar
+    count of the bigram-type table — the same bounded blocking aggregate
+    precedent as the sibling's vocab size.
+    """
+    t = tokens(text_col)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    heads = bi.groupBy("w1").agg(
+        F.sum("c2").alias("ch"), F.count("*").alias("n1_fwd")
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").alias("n1_bwd"))
+    t_types = bi.count()  # distinct bigram types: one tiny blocking scalar
+    d = F.lit(discount)
+    p_kn = (
+        F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("ch")
+        + d * F.col("n1_fwd") / F.col("ch") * F.col("n1_bwd") / F.lit(float(t_types))
+    )
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(heads, "w1")
+        .join(cont, "w2")
+        .select(id_col, F.log(p_kn).alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(-F.avg("_lp"), 5).alias("cross_entropy"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

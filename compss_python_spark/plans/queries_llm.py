@@ -2078,6 +2078,46 @@ def text_lm_cross_entropy(spark, sf_dir):
 
 
 @query(
+    "text_kn_cross_entropy",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM tok, UNNEST(range(1, len(t))) i(i)
+      WHERE len(t) >= 2
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+    heads AS (SELECT w1, SUM(c2) AS ch, COUNT(*) AS n1_fwd FROM bi GROUP BY 1),
+    cont AS (SELECT w2, COUNT(*) AS n1_bwd FROM bi GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS t FROM bi)
+    SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(-AVG(LN(
+             GREATEST(c2 - 0.75, 0.0) / ch
+             + 0.75 * n1_fwd / ch * n1_bwd / tt.t
+           )), 5) AS cross_entropy
+    FROM pairs p
+    JOIN bi USING (w1, w2)
+    JOIN heads USING (w1)
+    JOIN cont USING (w2)
+    CROSS JOIN tt
+    GROUP BY p.doc_id
+    """,
+)
+def text_kn_cross_entropy(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram LM (D = 0.75) self-scoring the
+    corpus — the continuation-count smoothing used by every serious n-gram
+    LM, alongside the add-α sibling `text_lm_cross_entropy`.  The oracle
+    retrains the identical model (bigram counts, head totals, forward /
+    backward continuation counts, type total) and reproduces every score
+    to 5 dp."""
+    from compss_python_spark.llm.text import kneser_ney_lm_score
+
+    return kneser_ney_lm_score(table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_gopher_rules",
     sql=r"""
     WITH s AS (

@@ -1223,3 +1223,64 @@ def test_dsir_select_prefers_target_like_docs(spark):
     # rerun is bit-identical (hash features, no RNG anywhere)
     again = dsir_select(raw, target, k=5, num_buckets=64).toPandas()
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_kneser_ney_matches_sequential_reference(spark):
+    """Distributed KN scores equal a from-scratch sequential implementation
+    on a small corpus; probabilities are a proper distribution per head."""
+    import math
+
+    from compss_python_spark.llm.text import kneser_ney_lm_score
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog"),
+        (4, "one"),  # < 2 tokens → excluded
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_pairs"], r["cross_entropy"])
+        for r in kneser_ney_lm_score(df).collect()
+    }
+    assert 4 not in out
+
+    # sequential reference
+    D = 0.75
+    pairs = {}
+    doc_pairs = {}
+    for did, txt in corpus:
+        toks = txt.split()
+        ps = list(zip(toks, toks[1:]))
+        if ps:
+            doc_pairs[did] = ps
+        for p in ps:
+            pairs[p] = pairs.get(p, 0) + 1
+    heads, n1f, n1b = {}, {}, {}
+    for (w1, w2), c in pairs.items():
+        heads[w1] = heads.get(w1, 0) + c
+        n1f[w1] = n1f.get(w1, 0) + 1
+        n1b[w2] = n1b.get(w2, 0) + 1
+    T = len(pairs)
+
+    def pkn(w1, w2):
+        return (
+            max(pairs[(w1, w2)] - D, 0.0) / heads[w1]
+            + D * n1f[w1] / heads[w1] * n1b[w2] / T
+        )
+
+    for did, ps in doc_pairs.items():
+        ce = -sum(math.log(pkn(*p)) for p in ps) / len(ps)
+        assert out[did][0] == len(ps)
+        assert abs(out[did][1] - round(ce, 5)) < 1e-9
+
+    # P_KN(.|w1) sums to 1 over observed continuations + reserved mass:
+    # with every continuation observed, sum over vocab of the interpolated
+    # term ≈ 1 (exact when summing over all w2 with n1b defined)
+    for w1 in heads:
+        s = sum(
+            max(pairs.get((w1, w2), 0) - D, 0.0) / heads[w1]
+            + D * n1f[w1] / heads[w1] * n1b[w2] / T
+            for w2 in n1b
+        )
+        assert s <= 1.0 + 1e-9
