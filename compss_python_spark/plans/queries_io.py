@@ -459,3 +459,44 @@ def io_json_corrupt_records(spark, sf_dir):
         .cast("long")
         .alias("id_sum_valid"),
     )
+
+
+@query(
+    "io_binary_files_roundtrip",
+    sql="""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h, doc_id % 64 AS s
+      FROM documents WHERE doc_id % 29 = 0)
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(h*w*(w-1)//2 + w*h*(h-1) + (0 + s)*w*h AS BIGINT) AS sum_r,
+           CAST(h*w*(w-1)//2 + w*h*(h-1) + (3 + s)*w*h AS BIGINT) AS sum_g,
+           CAST(h*w*(w-1)//2 + w*h*(h-1) + (6 + s)*w*h AS BIGINT) AS sum_b
+    FROM p
+    """,
+)
+def io_binary_files_roundtrip(spark, sf_dir):
+    """Raw-object ingestion end-to-end: bounded real PNGs (doc_id % 29
+    subset) are exported one-file-per-object via write_binary_files, read
+    back through Spark's built-in ``binaryFile`` source (pathGlobFilter
+    pushed into the listing), ids re-parsed from file names, and the
+    CONTENT column decoded by the real PNG decoder down to exact
+    per-channel pixel sums.  The oracle computes the closed-form sums the
+    fixture plants, so a hash match proves export, file listing, binary
+    read and decode byte-for-byte."""
+    from compss_python_spark.llm import multimodal
+    from compss_python_spark.sources.io import read_binary_files, write_binary_files
+
+    path = _scratch(sf_dir, "binary_png")
+    media = multimodal.synthesize_pixel_media(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0)
+    )
+    write_binary_files(media, path, suffix=".png").count()
+    back = read_binary_files(spark, path, glob="*.png")
+    parsed = back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.png_pixel_stats(parsed)

@@ -206,3 +206,68 @@ def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             f"write_text: expected exactly 1 string column, got {df.columns}"
         )
     df.write.mode(mode).text(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Spark's built-in ``binaryFile`` source: one row per file with
+    (path, modificationTime, length, content) — the ingestion format for
+    raw multimodal corpora (images / audio / arbitrary blobs) before any
+    decode step.  ``glob`` maps to ``pathGlobFilter`` (pushed into the
+    file LISTING, so non-matching files are never opened); ``recursive``
+    walks nested date/shard directories.  At 100 TB the source
+    parallelizes over files; pack small objects into archives or parquet
+    binary columns upstream to avoid small-file listing overhead."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
+def write_binary_files(
+    df: DataFrame,
+    path: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    suffix: str = ".bin",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """One file per row: ``<path>/<id><suffix>`` gets the row's binary
+    payload — the inverse of :func:`read_binary_files`, for exporting
+    blobs to object storage.  Executor-side writes (Arrow-batched, no
+    driver collect); ``path`` must be storage every executor can reach
+    (shared FS / fuse mount) — true for local[*] and for clusters writing
+    to a mounted bucket.  Returns the manifest (id, file, n_bytes) as a
+    DataFrame; the write happens when the manifest is materialized (it IS
+    the job), so callers must consume it (e.g. ``.count()``)."""
+    if mode == "overwrite" and os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            files, sizes = [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                fp = os.path.join(path, f"{mid}{suffix}")
+                data = bytes(p)
+                with open(fp, "wb") as f:
+                    f.write(data)
+                files.append(fp)
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "file": files, "n_bytes": sizes}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        dump, f"{id_col} long, file string, n_bytes long"
+    )

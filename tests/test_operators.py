@@ -674,3 +674,28 @@ def test_snapshot_diff_null_safety_and_column_lists(spark):
     assert rows[3]["change_type"] == "unchanged"        # NULL == NULL
     assert rows[4]["change_type"] == "removed" and rows[4]["changed_columns"] == []
     assert rows[5]["change_type"] == "added"            # all-NULL payload
+
+
+def test_binary_files_sink_and_source_roundtrip(spark, tmp_path):
+    """write_binary_files → binaryFile source round-trips payload bytes and
+    exposes (path, length, content); glob filter prunes non-matching files."""
+    from compss_python_spark.sources.io import read_binary_files, write_binary_files
+
+    payloads = [(1, b"\x00\x01\x02"), (2, b"hello"), (3, bytes(range(256)))]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    out = str(tmp_path / "blobs")
+    manifest = write_binary_files(df, out, suffix=".bin").collect()
+    assert sorted((r["media_id"], r["n_bytes"]) for r in manifest) == [
+        (1, 3), (2, 5), (3, 256),
+    ]
+    # a decoy file the glob must exclude
+    (tmp_path / "blobs" / "ignore.txt").write_bytes(b"nope")
+
+    back = read_binary_files(spark, out, glob="*.bin")
+    rows = back.select("path", "length", "content").collect()
+    got = {
+        int(r["path"].rsplit("/", 1)[1].removesuffix(".bin")): bytes(r["content"])
+        for r in rows
+    }
+    assert got == {k: v for k, v in payloads}
+    assert all(r["length"] == len(bytes(r["content"])) for r in rows)
