@@ -847,3 +847,54 @@ def embedding_outliers(
         F.round(z, 6).alias("z"),
         (z > z_threshold).alias("is_outlier"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANCE-style negative selection step): for every query vector, the ``k``
+    highest-cosine corpus items with a DIFFERENT label — maximally
+    confusable negatives, the pairs metric-learning losses learn most
+    from.  Returns (query_id, neighbor_id, query_label, neighbor_label,
+    cosine, rn).
+
+    Same scale shape as :func:`brute_force_topk`: the query set (with its
+    labels) broadcasts, the corpus never shuffles, and ranking moves only
+    (query, candidate) pairs.  Above broadcastable query counts, swap the
+    candidate generator for :func:`ivf_topk` / :func:`lsh_topk` and apply
+    the same label-mismatch filter to its candidates."""
+    query_id_col = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label")),
+        )
+        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "neighbor_id", "query_label", "neighbor_label", "cosine", "rn"
+        )
+    )

@@ -365,6 +365,35 @@ def similarity_topk_exact(spark, sf_dir):
     return similarity.brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
 
 
+@query(
+    "similarity_hard_negatives",
+    sql="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label AS query_label, e AS qe
+               FROM v WHERE vec_id < 20),
+         scored AS (
+           SELECT q.query_id, v.vec_id AS neighbor_id,
+                  q.query_label, v.label AS neighbor_label,
+                  ROUND(LIST_DOT_PRODUCT(qe, e)
+                        / (SQRT(LIST_DOT_PRODUCT(qe, qe)) * SQRT(LIST_DOT_PRODUCT(e, e))), 6) AS cosine
+           FROM q JOIN v ON v.vec_id <> q.query_id AND v.label <> q.query_label),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rn
+           FROM scored)
+    SELECT query_id, neighbor_id, query_label, neighbor_label, cosine, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def similarity_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per query vector the 5 most
+    cosine-similar corpus vectors carrying a DIFFERENT label — broadcast
+    query set, corpus never shuffles (same plan as similarity_topk_exact
+    plus the label-mismatch predicate in the join condition)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, emb.filter("vec_id < 20"), k=5)
+
+
 @query("similarity_topk_lsh", sql=None)
 def similarity_topk_lsh(spark, sf_dir):
     """LSH-bucketed ANN — approximate by design → rows-only; recall vs

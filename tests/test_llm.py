@@ -1284,3 +1284,15 @@ def test_kneser_ney_matches_sequential_reference(spark):
             for w2 in n1b
         )
         assert s <= 1.0 + 1e-9
+
+
+def test_hard_negatives_label_mismatch_and_ordering(spark, emb):
+    """Every mined negative has a different label from its query; within a
+    query, cosines are non-increasing; no self matches; ≤ k per query."""
+    out = similarity.hard_negatives(emb, emb.filter("vec_id < 20"), k=5).toPandas()
+    assert (out.query_label != out.neighbor_label).all()
+    assert (out.query_id != out.neighbor_id).all()
+    for qid, g in out.groupby("query_id"):
+        g = g.sort_values("rn")
+        assert len(g) <= 5
+        assert (g.cosine.diff().dropna() <= 1e-12).all()
