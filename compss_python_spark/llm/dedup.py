@@ -1106,6 +1106,12 @@ def semantic_dedup(
         .crossJoin(cent_row)
         .withColumn("cell", F.array_min(cell_dists(F.col("_v"))).cell)
         .drop("_cents")
+        # Pinned ONCE: the assignment feeds four consumers (size guard,
+        # both self-join sides, final verdict join) — without the
+        # checkpoint each one re-scans the corpus and re-runs the argmin
+        # (6 scans in the physical plan).  Same precedent as k-core /
+        # BM25 postings; spills to disk above memory.
+        .localCheckpoint(eager=False)
     )
     if max_cluster_rows is not None:
         # The raise is folded into `cell` ITSELF (not a scratch column a

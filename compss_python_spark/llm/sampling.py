@@ -273,9 +273,19 @@ def dsir_importance_weights(
             "_id", F.pmod(md5_hash48(F.col("_g")), F.lit(num_buckets)).alias("_b")
         )
 
-    rawb = gram_buckets(raw)
+    # Per-doc bucket counts pinned ONCE: they feed both the raw bucket
+    # model (a re-aggregation of them — Σ_doc n_b ≡ corpus bucket count)
+    # and the final scoring join; without the pin each consumer re-scans
+    # the corpus and re-runs the gram explode.  The (doc, bucket) table is
+    # far smaller than the gram stream (≤ B distinct buckets per doc).
+    doc_counts = (
+        gram_buckets(raw)
+        .groupBy("_id", "_b")
+        .agg(F.count("*").alias("_n"))
+        .localCheckpoint(eager=False)
+    )
     tb = gram_buckets(target).groupBy("_b").agg(F.count("*").alias("_tc"))
-    rb = rawb.groupBy("_b").agg(F.count("*").alias("_rc"))
+    rb = doc_counts.groupBy("_b").agg(F.sum("_n").alias("_rc"))
     # B-row model table: totals via an all-rows window (≤ num_buckets rows —
     # the single partition is bounded by B, not by data size).
     w_all = Window.partitionBy(F.lit(1))
@@ -296,7 +306,6 @@ def dsir_importance_weights(
             ).alias("_w"),
         )
     )
-    doc_counts = rawb.groupBy("_id", "_b").agg(F.count("*").alias("_n"))
     return (
         doc_counts.join(F.broadcast(llr), "_b")
         .groupBy("_id")
