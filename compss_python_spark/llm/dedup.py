@@ -78,13 +78,19 @@ def exact_dedup_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(text_col: str, n: int = 3):
-    """Word n-gram shingles as an array column (distinct)."""
+    """Word n-gram shingles as an array column (distinct).  Built as a
+    zip_with chain over shifted slices — slicing the token expression
+    inside a transform lambda re-evaluates the split per element
+    (quadratic in document length; see llm.text.ngrams)."""
     t = tokens(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
-    return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    width = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    g = F.slice(t, 1, width)
+    for j in range(1, n):
+        g = F.zip_with(
+            g, F.slice(t, j + 1, width), lambda a, b: F.concat_ws(" ", a, b)
         )
+    return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
+        F.array_distinct(g)
     )
 
 

@@ -125,12 +125,22 @@ def language_id(df: DataFrame, text_col: str = "text", alias: str = "lang_pred")
 def ngrams(text_col, n: int = 2) -> Column:
     """Word n-grams of a text column as an array (NON-distinct — callers
     needing set semantics apply array_distinct).  Short docs (< n tokens)
-    yield one gram = the whole text, so no document silently disappears."""
+    yield one gram = the whole text, so no document silently disappears.
+
+    Built as a zip_with chain over n shifted slices of the token array —
+    NOT element_at/slice lookups inside a transform lambda: an outer-scope
+    array expression referenced inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT (the split runs O(tokens) times per row,
+    quadratic in document length — measured 10× slower at sf0.1), while
+    zip_with evaluates each slice once per row."""
     t = tokens(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
-    return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
-    )
+    width = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    g = F.slice(t, 1, width)
+    for j in range(1, n):
+        g = F.zip_with(
+            g, F.slice(t, j + 1, width), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(g)
 
 
 def repetition_stats(
@@ -318,6 +328,31 @@ def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFra
     )
 
 
+def _pair_stream(df: DataFrame, text_col: str, keep_cols: list[str]) -> DataFrame:
+    """Adjacent-token pair stream (keep_cols..., w1, w2) for the bigram
+    LMs/PMI.  The token array is PROJECTED into a bound column before the
+    pair transform: referencing the split expression itself inside the
+    lambda re-evaluates it per element — O(tokens²) per document, measured
+    15× slower at sf0.1 (same trap :func:`ngrams` documents)."""
+    base = df.select(*keep_cols, tokens(text_col).alias("_t"))
+    t = F.col("_t")
+    return base.select(
+        *keep_cols,
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("p"),
+    ).select(*keep_cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
 def bigram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -340,21 +375,7 @@ def bigram_lm_score(
     join shape is unchanged.
     """
     t = tokens(text_col)
-    pairs = df.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size(t) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 1),
-                    lambda i: F.struct(
-                        F.element_at(t, i).alias("w1"),
-                        F.element_at(t, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array()),
-        ).alias("p"),
-    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = _pair_stream(df, text_col, [id_col])
     uni = (
         df.select(F.explode(t).alias("w1"))
         .groupBy("w1")
@@ -410,22 +431,7 @@ def kneser_ney_lm_score(
     count of the bigram-type table — the same bounded blocking aggregate
     precedent as the sibling's vocab size.
     """
-    t = tokens(text_col)
-    pairs = df.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size(t) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 1),
-                    lambda i: F.struct(
-                        F.element_at(t, i).alias("w1"),
-                        F.element_at(t, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array()),
-        ).alias("p"),
-    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = _pair_stream(df, text_col, [id_col])
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     heads = bi.groupBy("w1").agg(
         F.sum("c2").alias("ch"), F.count("*").alias("n1_fwd")
@@ -557,21 +563,7 @@ def bigram_pmi(
     corpus-sized), T is a broadcast scalar, and the final top-N is
     TakeOrdered.  The corpus is scanned once.
     """
-    t = tokens(text_col)
-    pair_stream = df.select(
-        F.explode(
-            F.when(
-                F.size(t) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 1),
-                    lambda i: F.struct(
-                        F.element_at(t, i).alias("w1"),
-                        F.element_at(t, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array()),
-        ).alias("p")
-    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pair_stream = _pair_stream(df, text_col, [])
     pairs = pair_stream.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
     left = pairs.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     right = pairs.groupBy("w2").agg(F.sum("c_ab").alias("c_b"))

@@ -1549,8 +1549,13 @@ def dedup_duplicate_lines(spark, sf_dir):
     must drop the injected boilerplate (and any 8-word chunk that collides
     across docs) and reassemble the rest in order; clean_fp proves the
     reassembled text byte-for-byte."""
-    docs = table(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
+    # tokens projected into a bound column FIRST — slicing the split
+    # expression inside the transform lambda re-evaluates it per chunk
+    # (the quadratic trap llm.text.ngrams documents)
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "_t", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    t = F.col("_t")
     nchunks = F.ceil(F.size(t) / F.lit(8.0)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), nchunks - 1),
