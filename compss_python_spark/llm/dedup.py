@@ -1169,3 +1169,118 @@ def semantic_dedup(
         "cell",
         F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semantic_dup"),
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persistable MinHash-LSH dedup INDEX: one posting row per (band,
+    band key) per document, carrying the full signature —
+    (id, band, bkey, sig).  Write it out bucketed/partitioned by ``bkey``
+    and incremental ingestion stops rescanning the historical corpus:
+    each new shard probes the index (:func:`minhash_index_probe`) and
+    appends its own postings — the operational shape of dedup at 100 TB,
+    where "the corpus" is petabytes of already-ingested data that must
+    not be re-shuffled per increment.
+
+    Hash family is the engine-portable 48-bit md5 of 'shingle#seed' with
+    comma-joined band keys — identical to :func:`minhash_lsh_pairs_md5`,
+    so index contents, probe candidates and agreement fractions are all
+    exactly SQL-oracle-checkable.  Signature computation is fully narrow
+    (zero shuffle); the posting explode is ×bands, still narrow.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
+    )
+    sig = sh.select(
+        "_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    "_sh",
+                    lambda s: md5_hash48(F.concat(s, F.lit("#"), i.cast("string"))),
+                )
+            ),
+        ).alias("sig"),
+    )
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+        "sig",
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"), "sig")
+
+
+def minhash_index_probe(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Probe a persisted :func:`minhash_index` with a NEW document shard:
+    returns (new_id, index_id, est_jaccard) for index documents whose
+    signature agreement with a new document is ≥ ``threshold`` — the
+    incremental near-dup check, touching only the index buckets the new
+    shard's band keys hit (an equi-join on (band, bkey): with the index
+    bucketed on bkey this is join-side pruned, never a corpus scan).
+
+    ``max_bucket`` drops degenerate index buckets (boilerplate storms)
+    by size — computed with ONE map-combined count over the index
+    postings, same cap semantics as :func:`minhash_lsh_pairs`.  Index
+    rows whose id equals a new id are excluded (re-ingesting a shard
+    must not self-match)."""
+    new_idx = minhash_index(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    sizes = index.groupBy("band", "bkey").agg(F.count("*").alias("_bsz"))
+    idx = (
+        index.join(F.broadcast(sizes.filter(F.col("_bsz") > max_bucket)),
+                   ["band", "bkey"], "left_anti")
+        .select(
+            F.col(id_col).alias("_iid"), "band", "bkey",
+            F.col("sig").alias("_isig"),
+        )
+    )
+    cand = (
+        new_idx.select(
+            F.col(id_col).alias("_nid"), "band", "bkey", F.col("sig").alias("_nsig")
+        )
+        .join(idx, ["band", "bkey"])
+        .filter(F.col("_nid") != F.col("_iid"))
+        .dropDuplicates(["_nid", "_iid"])
+    )
+    agree = F.aggregate(
+        F.zip_with("_nsig", "_isig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("_nid").alias("new_id"),
+            F.col("_iid").alias("index_id"),
+            "est_jaccard",
+        )
+    )

@@ -1123,6 +1123,67 @@ def decontaminate_corpus(spark, sf_dir):
     return out.select("doc_id", "n_hits", "contaminated")
 
 
+@query(
+    "dedup_minhash_index_probe",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok
+    ),
+    mh AS (
+      SELECT doc_id, g.j AS seed,
+             MIN(CAST('0x' || substr(md5(u.sg || '#' || g.j), 1, 12) AS BIGINT)) AS mh
+      FROM sh, UNNEST(sh.s) AS u(sg), generate_series(0, 15) AS g(j)
+      GROUP BY doc_id, g.j
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b.b AS band,
+             array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',') AS bkey
+      FROM sig, generate_series(0, 3) AS b(b)
+    ),
+    idx AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
+    bsz AS (SELECT band, bkey, COUNT(*) AS n FROM idx GROUP BY band, bkey),
+    newb AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+      FROM newb n
+      JOIN idx i ON n.band = i.band AND n.bkey = i.bkey AND n.doc_id <> i.doc_id
+      JOIN bsz ON bsz.band = i.band AND bsz.bkey = i.bkey AND bsz.n <= 1000
+    ),
+    agree AS (
+      SELECT c.new_id, c.index_id,
+             SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS na
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.new_id
+      JOIN mh mb ON mb.doc_id = c.index_id AND mb.seed = ma.seed
+      GROUP BY 1, 2
+    )
+    SELECT new_id, index_id, ROUND(na / 16.0, 6) AS est_jaccard
+    FROM agree WHERE ROUND(na / 16.0, 6) >= 0.3
+    """,
+)
+def dedup_minhash_index_probe(spark, sf_dir):
+    """Incremental dedup against a PERSISTED LSH index: the corpus is
+    split into an already-ingested index side (doc_id % 5 ≠ 0, posting
+    table from `minhash_index`) and a new shard (doc_id % 5 = 0) that
+    probes it — the operational shape at 100 TB, where historical data
+    must not be re-shuffled per increment.  md5 hash family → the oracle
+    re-derives signatures, band keys, the bucket-capped probe join and
+    every agreement fraction."""
+    docs = table(spark, sf_dir, "documents")
+    index = dedup.minhash_index(docs.filter(F.col("doc_id") % 5 != 0))
+    return dedup.minhash_index_probe(
+        index, docs.filter(F.col("doc_id") % 5 == 0), threshold=0.3
+    )
+
+
 @query("dedup_lsh_cc_survivors", sql=None, headline=True)
 def dedup_lsh_cc_survivors(spark, sf_dir):
     """End-to-end near-dup dedup: exact-duplicate collapse → MinHash-LSH

@@ -1296,3 +1296,38 @@ def test_hard_negatives_label_mismatch_and_ordering(spark, emb):
         g = g.sort_values("rn")
         assert len(g) <= 5
         assert (g.cosine.diff().dropna() <= 1e-12).all()
+
+
+def test_minhash_index_probe_matches_batch_lsh(spark, docs, tmp_path):
+    """Probing a persisted index with a new shard finds exactly the
+    cross-shard pairs the batch md5-LSH finds on the union (no recall
+    loss from the index split), and the index survives a parquet
+    round-trip."""
+    sub = docs.filter("doc_id < 200")
+    old = sub.filter("doc_id % 5 != 0")
+    new = sub.filter("doc_id % 5 = 0")
+
+    index = dedup.minhash_index(old)
+    # parquet round-trip: the operational path (bucket by bkey at scale)
+    p = str(tmp_path / "mh_index")
+    index.write.mode("overwrite").parquet(p)
+    index_rt = spark.read.parquet(p)
+
+    got = {
+        (r["new_id"], r["index_id"], r["est_jaccard"])
+        for r in dedup.minhash_index_probe(
+            index_rt, new, threshold=0.2, max_bucket=10**6
+        ).collect()
+    }
+
+    batch = dedup.minhash_lsh_pairs_md5(
+        sub, threshold=0.2, max_bucket=10**6
+    ).collect()
+    old_ids = {r["doc_id"] for r in old.select("doc_id").collect()}
+    want = set()
+    for r in batch:
+        a, b, j = r["id_a"], r["id_b"], r["est_jaccard"]
+        if (a in old_ids) != (b in old_ids):  # cross-shard only
+            nid, iid = (b, a) if a in old_ids else (a, b)
+            want.add((nid, iid, j))
+    assert got == want and len(want) > 0
