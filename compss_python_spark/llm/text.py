@@ -638,3 +638,44 @@ def source_vocabulary_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    output_col: str = "text_norm",
+    lowercase: bool = True,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+    normalize_quotes: bool = True,
+    strip_zero_width: bool = True,
+) -> DataFrame:
+    """Canonical text normalization — the step before any hashing/dedup
+    key so that cosmetic variants ("smart" quotes, NBSP, zero-width
+    joiners, control chars, case, runs of whitespace) cannot split an
+    exact-duplicate group.  Each rule is independently toggleable and all
+    run as ONE chained JVM regexp/translate expression — zero shuffle,
+    zero Python, linear in bytes.
+
+    Rules (applied in order): strip C0/C1 control chars (keep \\t \\n),
+    drop zero-width/J BOM codepoints, map typographic quotes/dashes and
+    NBSP to ASCII, collapse [\\s]+ runs to one space + trim, lowercase.
+    (Full NFKC needs ICU — out of stdlib/JVM-regex scope and documented
+    as such; these rules cover the variants that dominate crawl text.)
+    """
+    c = F.col(text_col)
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
+    if strip_zero_width:
+        c = F.regexp_replace(c, "[​‌‍⁠﻿]", "")
+    if normalize_quotes:
+        c = F.translate(
+            c,
+            "‘’‚“”„–— ",
+            "''," + '"""' + "-- ",
+        )
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(output_col, c)

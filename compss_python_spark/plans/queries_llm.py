@@ -2213,6 +2213,55 @@ def text_kn_cross_entropy(spark, sf_dir):
 
 
 @query(
+    "text_normalize",
+    sql="""
+    WITH messy AS (
+      SELECT doc_id,
+             '“' || chr(160) || text || '​”' || chr(9) || ' '
+               || chr(10) || ' ' || chr(7) || '–ok—' AS m
+      FROM documents),
+    norm AS (
+      SELECT doc_id,
+             LOWER(TRIM(REGEXP_REPLACE(
+               TRANSLATE(
+                 REGEXP_REPLACE(
+                   REGEXP_REPLACE(m, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'),
+                   '[​‌‍⁠﻿]', '', 'g'),
+                 '‘’‚“”„–—' || chr(160),
+                 '''''' || ',' || '\"\"\"' || '-- '),
+               '\\s+', ' ', 'g'))) AS t
+      FROM messy)
+    SELECT doc_id, md5(t) AS norm_fp, CAST(LENGTH(t) AS BIGINT) AS n_chars_norm
+    FROM norm
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization proven byte-for-byte: each document is
+    wrapped in a deterministic mess (smart quotes, NBSP, zero-width space,
+    control chars, em/en dashes, trailing whitespace runs) that both
+    engines synthesize identically, then normalize_text's rule chain —
+    strip control, drop zero-width, ASCII-fold typographic punctuation,
+    collapse whitespace, lowercase — must reduce it to the same md5.
+    Zero shuffle: the whole operator is one chained JVM expression."""
+    from compss_python_spark.llm.text import normalize_text
+
+    messy = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("“ "),
+            F.col("text"),
+            F.lit("​”\t \n \x07–ok—"),
+        ).alias("m"),
+    )
+    out = normalize_text(messy, text_col="m", output_col="t")
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("t"), "UTF-8")).alias("norm_fp"),
+        F.length("t").cast("long").alias("n_chars_norm"),
+    )
+
+
+@query(
     "text_gopher_rules",
     sql=r"""
     WITH s AS (

@@ -1331,3 +1331,24 @@ def test_minhash_index_probe_matches_batch_lsh(spark, docs, tmp_path):
             nid, iid = (b, a) if a in old_ids else (a, b)
             want.add((nid, iid, j))
     assert got == want and len(want) > 0
+
+
+def test_normalize_text_rules_and_toggles(spark):
+    """Each normalization rule does its job; toggles disable independently;
+    idempotent on already-normal text."""
+    messy = "“Hello  WORLD” — café​!\x07\n\tx  y"
+    df = spark.createDataFrame([(1, messy), (2, "plain text")], "id long, t string")
+    out = {r["id"]: r["n"] for r in text.normalize_text(df, "t", "n").collect()}
+    assert out[1] == '"hello world" - café! x y'
+    assert out[2] == "plain text"
+    # toggles: keep case, keep quotes
+    keep = text.normalize_text(
+        df, "t", "n", lowercase=False, normalize_quotes=False
+    ).collect()
+    got = {r["id"]: r["n"] for r in keep}
+    assert "Hello" in got[1] and "“" in got[1]
+    # idempotent
+    again = text.normalize_text(
+        spark.createDataFrame([(1, out[1])], "id long, t string"), "t", "n"
+    ).first()["n"]
+    assert again == out[1]
