@@ -45,12 +45,13 @@ def connected_components(
     Two physical strategies, chosen by measured edge count — the same
     bounded-small-side adaptivity as Spark's broadcast-join threshold:
 
-    - ``2·raw (pre-dedup) edge rows ≤ local_threshold`` → union-find on the
+    - ``2·distinct canonical edges ≤ local_threshold`` → union-find on the
       driver over the collected (src, dst) pairs and re-parallelize the
-      labels (the gate uses the raw count — measurable without a distinct
-      shuffle — so duplication-heavy pair tables may take the distributed
-      loop even when their DISTINCT edge set would fit).  A
-      candidate-pair graph that fits in a few MB gains nothing from a
+      labels.  The gate reads the same count that materializes the
+      distinct-edge cache the distributed loop needs anyway, so deciding
+      it costs no extra pass over the edge SOURCE (pair tables are often
+      joins — re-executing them once per gate dominated the wall at 10×).
+      A candidate-pair graph that fits in a few MB gains nothing from a
       multi-job label-propagation loop (per-iteration scheduling dominates
       by 10–100×); the collect is explicitly bounded, like a broadcast.
     - larger → distributed min-label propagation (the 100 TB path): edges
@@ -84,20 +85,16 @@ def connected_components(
     d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
     ).filter(F.col("src") != F.col("dst"))
-    if local_threshold:
-        # Raw-pair count is a narrow aggregate (no shuffle) and the gate
-        # deliberately does NOT persist d: caching the full pre-dedup edge
-        # set at 100 TB costs a full MEMORY_AND_DISK write just to decide
-        # the gate, which is strictly worse than recomputing one scan.
-        # The small branch re-runs d once more (bounded by the threshold);
-        # the large branch scans it exactly once more via the canonical
-        # distinct below.
-        if 2 * d.count() <= local_threshold:
-            return _cc_local(d)
     # Canonicalize (least, greatest) BEFORE distinct: one scan of the raw
     # pairs instead of the union-then-distinct two, and the distinct
     # exchange carries half the rows of a symmetrized dedup.  The full
     # symmetric edge set is then c ∪ flip(c) — cheap, c is post-dedup.
+    # The regime gate reads the SAME count that materializes this cache —
+    # the previous raw-count gate re-executed the whole edge SOURCE (a
+    # multi-million-row join for LSH pair tables) once more purely to
+    # decide the gate, and gating on distinct edges is also more accurate
+    # for duplication-heavy pair tables (they now go local when their
+    # real edge set fits).
     c = (
         d.select(
             F.least("src", "dst").alias("src"),
@@ -107,6 +104,11 @@ def connected_components(
         .persist()
     )
     n_edges = 2 * c.count()
+    if local_threshold and n_edges <= local_threshold:
+        try:
+            return _cc_local(c)
+        finally:
+            c.unpersist()
     e = c.union(c.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     if num_partitions is None:
         default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

@@ -81,20 +81,19 @@ def pagerank(
     d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
-    if local_threshold:
-        # Narrow count (no shuffle); dedup happens driver-side on the
-        # local path, so the distinct exchange is skipped entirely.  The
-        # gate deliberately does NOT persist d: caching the full pre-dedup
-        # edge set at 100 TB writes the whole table to MEMORY_AND_DISK
-        # just to decide the gate — strictly worse than the one extra scan
-        # each branch pays (bounded on the local branch; a single pass
-        # feeding the distinct on the distributed one).
-        if 2 * d.count() <= local_threshold:
-            return _pagerank_local(d, damping, max_iters)
+    # ONE setup job serves the regime gate AND the loop stats: distinct +
+    # persist (which the distributed loop needs regardless), then a single
+    # agg over the 2·|E| id stream yields edge count (gate + width
+    # formula) and node count (init + dangling), materializing the cache
+    # as a side effect.  The previous raw-count gate paid a FULL extra
+    # scan of the edge source on the distributed path purely to decide
+    # the gate — when edges come from a join (the customer→supplier
+    # probe), that was a second multi-million-row join execution, and it
+    # dominated the measured wall at 10× (the loop itself is ~1 s).
+    # Gating on the DISTINCT count is also strictly more accurate:
+    # duplication-heavy edge tables no longer get pushed to the
+    # distributed loop when their real edge set fits locally.
     e = d.distinct().persist()
-    # Single setup job: 2·|E| rows stream through one agg that yields both
-    # the edge count (width formula) and the node count (init + dangling),
-    # and materializes the persisted edge table as a side effect.
     stats = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -105,6 +104,12 @@ def pagerank(
         .first()
     )
     n_edges, n_nodes = int(stats["two_e"]), int(stats["nn"])
+    if local_threshold and 2 * n_edges <= local_threshold:
+        try:
+            # Collect from the CACHED deduped edges (bounded by the gate).
+            return _pagerank_local(e, damping, max_iters)
+        finally:
+            e.unpersist()
     if num_partitions is None:
         # ~500k edges/partition: measured optimum on a 5.9M-edge graph at
         # local[32] (16 partitions: 12.6 s vs 3: 16.7 s vs 32: 19.2 s for 8
