@@ -268,6 +268,14 @@ CHANGED_MODULES: frozenset[str] = frozenset({
     "llm.similarity",         # embedding outlier screen (second r7 touch)
     "llm.sampling",           # water-filling mixture allocation (second r7 touch)
     "llm.multimodal",         # perceptual aHash (third r7 touch)
+    # round 7, fourth wave:
+    "llm.dedup",              # SemDeDup, MinHash index/probe, shingles zip_with
+    "llm.sampling",           # DSIR importance resampling
+    "llm.text",               # KN bigram LM, normalize_text, ngrams/_pair_stream rewrite
+    "llm.similarity",         # hard-negative mining
+    "sources.io",             # binaryFile source/sink
+    "graph.components",       # distinct-count regime gate
+    "graph.pagerank",         # distinct-count regime gate (second r7 touch)
 })
 
 # Hand-pinned re-slots beyond what the dependency map finds (rarely
