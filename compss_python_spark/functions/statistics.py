@@ -516,3 +516,78 @@ def psi_drift(
         F.round(contrib, 6).alias("psi_contrib"),
         F.round(F.sum(contrib).over(tw), 6).alias("psi_total"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    bins: int = 1000,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Bounded-memory approximate quantiles via a fixed-bin histogram with
+    linear interpolation — the 100 TB percentile path when an exact global
+    sort/rank is too expensive and ``approx_percentile``'s engine-internal
+    sketch can't be oracle-checked.  Error ≤ one bin width (hi−lo)/bins by
+    construction, deterministic, and exactly reproducible in ANSI SQL.
+
+    Returns (p, quantile) — one row per requested probability (0 < p ≤ 1).
+
+    Plan shape: one narrow min/max/count aggregate for the bounds (skipped
+    when ``lo``/``hi`` are supplied — n still comes from the same single
+    agg), then ONE map-combined groupBy(bucket) histogram whose output is
+    ``bins`` rows however big the input; the cumulative walk and the
+    interpolation run on that bins-row table (the single-partition window
+    is bounded by ``bins``, never by data).  Two jobs total; no shuffle
+    wider than the bins.
+    """
+    if not probs or any(p <= 0 or p > 1 for p in probs):
+        raise ValueError("histogram_quantiles: probs must be in (0, 1]")
+    stats = df.agg(
+        F.min(col).alias("_lo"), F.max(col).alias("_hi"), F.count(col).alias("_n")
+    ).first()
+    n = int(stats["_n"])
+    if n == 0:
+        raise ValueError(f"histogram_quantiles: no non-null rows in {col!r}")
+    lo = float(stats["_lo"]) if lo is None else float(lo)
+    hi = float(stats["_hi"]) if hi is None else float(hi)
+    if hi <= lo:  # constant column: every quantile is that value
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(float(p), float(lo)) for p in sorted(probs)], "p double, quantile double"
+        )
+    w = (hi - lo) / float(bins)
+    hist = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.least(
+                F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)).cast("int"),
+                F.lit(bins - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bucket", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cb")
+    )
+    pdf = df.sparkSession.createDataFrame(
+        [(float(p),) for p in sorted(probs)], "p double"
+    )
+    hit = (
+        pdf.crossJoin(cum)
+        .filter(F.col("cb") + F.col("c") >= F.col("p") * F.lit(float(n)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("p").orderBy("bucket")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    q = F.lit(lo) + F.lit(w) * (
+        F.col("bucket") + (F.col("p") * F.lit(float(n)) - F.col("cb")) / F.col("c")
+    )
+    return hit.select("p", F.round(q, 6).alias("quantile"))

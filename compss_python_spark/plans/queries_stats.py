@@ -685,3 +685,47 @@ def quality_expectations(spark, sf_dir):
         Q.matches_regex("o_orderpriority", "^[1-5]-", 0.99),
         Q.non_negative("o_totalprice", 1.0),
     ])
+
+
+@query(
+    "quantiles_histogram",
+    sql="""
+    WITH b AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+             COUNT(l_extendedprice) AS n
+      FROM lineitem),
+    h AS (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - b.lo)
+                               / ((b.hi - b.lo) / 1000.0)) AS INT), 999) AS bucket,
+             COUNT(*) AS c
+      FROM lineitem, b
+      WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1),
+    cum AS (
+      SELECT bucket, c,
+             COALESCE(SUM(c) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM h),
+    q(p) AS (VALUES (0.25), (0.5), (0.75), (0.95), (0.99)),
+    hit AS (
+      SELECT q.p, cum.bucket, cum.c, cum.cb,
+             ROW_NUMBER() OVER (PARTITION BY q.p ORDER BY cum.bucket) AS rn
+      FROM q JOIN cum ON cum.cb + cum.c >= q.p * (SELECT n FROM b))
+    SELECT p,
+           ROUND((SELECT lo FROM b) + ((SELECT hi FROM b) - (SELECT lo FROM b)) / 1000.0
+                 * (bucket + (p * (SELECT n FROM b) - cb) / c), 6) AS quantile
+    FROM hit WHERE rn = 1
+    """,
+)
+def quantiles_histogram(spark, sf_dir):
+    """Bounded-memory histogram quantiles (1000 bins, linear interpolation,
+    error ≤ one bin width) — the oracle re-derives bounds, histogram,
+    cumulative walk and interpolation, so the hash match proves the whole
+    approximate-percentile machinery; `quantiles_exact` is the exact-sort
+    sibling these approximate."""
+    from compss_python_spark.functions.statistics import histogram_quantiles
+
+    return histogram_quantiles(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice",
+        [0.25, 0.5, 0.75, 0.95, 0.99], bins=1000,
+    )

@@ -699,3 +699,35 @@ def test_binary_files_sink_and_source_roundtrip(spark, tmp_path):
     }
     assert got == {k: v for k, v in payloads}
     assert all(r["length"] == len(bytes(r["content"])) for r in rows)
+
+
+def test_histogram_quantiles_error_bound_and_edges(spark):
+    """Histogram quantiles land within one bin width of the exact
+    type-7 quantile; constant columns and bad probs handled."""
+    import numpy as np
+
+    from compss_python_spark.functions.statistics import histogram_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(3.0, 1.0, 20_000).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    probs = [0.25, 0.5, 0.9, 0.99]
+    got = {r["p"]: r["quantile"] for r in
+           histogram_quantiles(df, "x", probs, bins=500).collect()}
+    w = (max(vals) - min(vals)) / 500.0
+    for p in probs:
+        exact = float(np.quantile(np.array(vals), p, method="linear"))
+        assert abs(got[p] - exact) <= w + 1e-9, (p, got[p], exact, w)
+
+    const = spark.createDataFrame([(7.5,)] * 10, "x double")
+    cq = {r["p"]: r["quantile"] for r in
+          histogram_quantiles(const, "x", [0.5, 1.0]).collect()}
+    assert cq == {0.5: 7.5, 1.0: 7.5}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="probs"):
+        histogram_quantiles(df, "x", [0.0])
+    with _pt.raises(ValueError, match="no non-null"):
+        histogram_quantiles(
+            spark.createDataFrame([], "x double"), "x", [0.5]
+        )
