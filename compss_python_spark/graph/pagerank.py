@@ -59,10 +59,10 @@ def pagerank(
     bounded-small-side adaptivity as Spark's broadcast-join threshold and
     :func:`components.connected_components`):
 
-    - ``2·raw edges ≤ local_threshold`` (default 4M edges ≈ 64 MB at 16 B/edge,
-      the session's broadcast-join threshold) → vectorized numpy power iteration
-      on the driver over the collected (src, dst) pairs, identical update
-      formula, zero shuffles.  A graph that fits in a few MB gains nothing
+    - ``2·distinct edges ≤ local_threshold`` (default 4M edges ≈ 64 MB at
+      16 B/edge, the session's broadcast-join threshold) → vectorized numpy
+      power iteration on the driver over the collected (src, dst) pairs,
+      identical update formula, zero shuffles beyond the distinct.  A graph that fits in a few MB gains nothing
       from a multi-stage-per-iteration distributed loop (scheduling
       dominates by 10–100×).  ``local_threshold=0`` forces the loop.
     - larger → the distributed loop (the 100 TB path): edges
@@ -135,13 +135,17 @@ def pagerank(
     return ranks
 
 
-def _pagerank_local(d: DataFrame, damping: float, max_iters: int) -> DataFrame:
+def _pagerank_local(
+    d: DataFrame, damping: float, max_iters: int, seed_ids=None
+) -> DataFrame:
     """Driver-side power iteration over a bounded raw edge set.  Same
-    update as the distributed loop — rank' = (1−d)/n + d·(contrib +
-    (1−Σcontrib)/n), contrib = Σ_{(s→t)} rank_s/outdeg_s — on
-    driver-deduplicated edges; numpy accumulation order differs from the
-    distributed sum only in low-order float bits (callers round results to
-    ≤8 dp before hashing, same tolerance the distributed path relies on).
+    update as the distributed loop — rank' = (1−d)·r + d·(contrib +
+    (1−Σcontrib)·r), contrib = Σ_{(s→t)} rank_s/outdeg_s, with r = 1/n
+    uniform (global PageRank, ``seed_ids=None``) or 1/|S∩graph| on seeds
+    (personalized) — on driver-deduplicated edges; numpy accumulation
+    order differs from the distributed sum only in low-order float bits
+    (callers round results to ≤8 dp before hashing, same tolerance the
+    distributed path relies on).
     """
     import numpy as np
     import pandas as pd
@@ -168,12 +172,21 @@ def _pagerank_local(d: DataFrame, damping: float, max_iters: int) -> DataFrame:
         return spark.createDataFrame([], schema=_rank_schema(node_type))
     deg = np.bincount(si, minlength=n)
     w = 1.0 / deg[si]
-    rank = np.full(n, 1.0 / n)
+    if seed_ids is None:
+        r = np.full(n, 1.0 / n)
+    else:
+        mask = pd.Index(nodes).isin(list(seed_ids))
+        if not mask.any():
+            raise ValueError(
+                "personalized_pagerank: no seed is a node of the graph"
+            )
+        r = np.where(mask, 1.0 / mask.sum(), 0.0)
+    rank = r.copy()
     for _ in range(max_iters):
         contrib = np.zeros(n)
         np.add.at(contrib, ti, rank[si] * w)
-        rank = (1.0 - damping) / n + damping * (
-            contrib + (1.0 - contrib.sum()) / n
+        rank = (1.0 - damping) * r + damping * (
+            contrib + (1.0 - contrib.sum()) * r
         )
     def _py(v):
         return v.item() if hasattr(v, "item") else v
@@ -263,3 +276,139 @@ def _pagerank_loop(
             # checkpoint (eager=False materializes at the next action).
             ranks = ranks.localCheckpoint(eager=False)
     return ranks, [nodes, edges_w]
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    damping: float = 0.85,
+    max_iters: int = 10,
+    checkpoint_every: int = 2,
+    num_partitions: int | None = None,
+    local_threshold: int = 4_000_000,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart into the SEED set
+    (uniform over seeds) instead of the whole graph — the similarity /
+    recommendation workhorse (\"nodes relevant to THESE nodes\").  Update:
+
+        rank' = (1−d)·r + d·(contrib + m·r),   m = 1 − Σcontrib
+
+    with r = 1/|S| on seeds, 0 elsewhere — dangling mass restarts into
+    the seed distribution, so Σrank = 1 every iteration (same aggregate
+    identity as :func:`pagerank`).
+
+    Same scale shape as the global loop: distinct edges persisted and
+    hash-partitioned once, the restart vector is a narrow seed-flag
+    column on the persisted node list (seed set broadcast into that one
+    join — no per-iteration seed shuffles), one rank exchange + one
+    bins-free aggregate per iteration, lazy lineage-truncation
+    checkpoints every ``checkpoint_every`` iterations.  Below
+    ``local_threshold`` distinct edges the same driver kernel as
+    :func:`pagerank` runs the identical update with the seed restart
+    vector (seed ids intersected with the graph before collecting).
+    """
+    spark = edges.sparkSession
+    d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    e = d.distinct().persist()
+    stats = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .agg(
+            (F.count("*") / 2).cast("long").alias("two_e"),
+            F.count_distinct("node").alias("nn"),
+        )
+        .first()
+    )
+    n_edges = int(stats["two_e"])
+    if num_partitions is None:
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        num_partitions = max(1, min(default_p, n_edges // 500_000 + 1))
+    seed_set = seeds.select(F.col(seed_col).alias("node")).distinct()
+    if local_threshold and 2 * n_edges <= local_threshold:
+        try:
+            # Same driver-kernel gate as :func:`pagerank`; seed ids are
+            # intersected with the (bounded) graph's node set before the
+            # collect, so an oversized seed table cannot blow the driver.
+            seed_ids = [
+                r["node"]
+                for r in seed_set.join(
+                    e.select(F.col("src").alias("node"))
+                    .union(e.select(F.col("dst").alias("node")))
+                    .distinct(),
+                    "node",
+                ).collect()
+            ]
+            return _pagerank_local(e, damping, max_iters, seed_ids=seed_ids)
+        finally:
+            e.unpersist()
+    helpers: list[DataFrame] = [e]
+    try:
+        with scoped_shuffle_partitions(spark, num_partitions):
+            flagged = (
+                e.select(F.col("src").alias("node"))
+                .union(e.select(F.col("dst").alias("node")))
+                .distinct()
+                .join(F.broadcast(seed_set.withColumn("_s", F.lit(True))), "node", "left")
+                .repartition("node")
+                .persist()
+            )
+            helpers.append(flagged)
+            # Restart mass is defined over seeds ∩ graph (an out-of-graph
+            # seed would silently leak Σrank below 1); counting the flag on
+            # the persisted node list costs one tiny cached-side job.
+            n_seeds = flagged.filter(F.col("_s")).count()
+            if n_seeds == 0:
+                raise ValueError(
+                    "personalized_pagerank: no seed is a node of the graph"
+                )
+            nodes = flagged.select(
+                "node",
+                F.when(F.col("_s"), F.lit(1.0 / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("r"),
+            )
+            out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+            edges_w = (
+                e.join(out_deg, "src")
+                .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+                .repartition("src")
+                .persist()
+            )
+            helpers.append(edges_w)
+            ranks = nodes.select("node", F.col("r").alias("rank"))
+            for i in range(max_iters):
+                contribs = (
+                    edges_w.join(ranks.withColumnRenamed("node", "src"), "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+                )
+                total = contribs.agg(
+                    F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("_tc")
+                )
+                ranks = (
+                    nodes.join(contribs, "node", "left")
+                    .crossJoin(F.broadcast(total))
+                    .select(
+                        "node",
+                        (
+                            F.lit(1.0 - damping) * F.col("r")
+                            + F.lit(damping)
+                            * (
+                                F.coalesce(F.col("contrib"), F.lit(0.0))
+                                + (F.lit(1.0) - F.col("_tc")) * F.col("r")
+                            )
+                        ).alias("rank"),
+                    )
+                )
+                if (i + 1) % checkpoint_every == 0 and i + 1 < max_iters:
+                    ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        for h in helpers:
+            h.unpersist()
+    return ranks

@@ -385,6 +385,61 @@ def _dangling_pagerank_sql(iters: int = 8, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _ppr_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled-CTE oracle for personalized PageRank with restart into the
+    seed set (customers with custkey < 50): same materialized-chain trick
+    as `_dangling_pagerank_sql`, with the uniform 1/n restart replaced by
+    the seed indicator r(node), and the mass correction (1 − Σrank')·r —
+    algebraically d·m·r with m the dangling mass."""
+    parts = [
+        """
+    WITH
+    base AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM base UNION SELECT dst FROM base),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*)::DOUBLE AS deg FROM base GROUP BY src),
+    ns AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS s FROM nodes WHERE node < 50),
+    rv AS MATERIALIZED (
+      SELECT node, CASE WHEN node < 50 THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END AS r
+      FROM nodes),
+    it0 AS (SELECT node, r AS rank FROM rv)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    it{k}_p AS MATERIALIZED (
+      SELECT nd.node,
+             {1 - damping} * rv.r + {damping} * COALESCE(SUM(p.rank / d.deg), 0) AS rank
+      FROM nodes nd
+      JOIN rv ON rv.node = nd.node
+      LEFT JOIN base e ON e.dst = nd.node
+      LEFT JOIN it{k - 1} p ON p.node = e.src
+      LEFT JOIN deg d ON d.node = e.src
+      GROUP BY nd.node, rv.r
+    ),
+    it{k} AS MATERIALIZED (
+      SELECT i.node, i.rank + (1.0 - (SELECT SUM(rank) FROM it{k}_p)) * rv.r AS rank
+      FROM it{k}_p i JOIN rv ON rv.node = i.node
+    )""")
+    parts.append(f"\n    SELECT node, ROUND(rank, 8) AS rank FROM it{iters}")
+    return "".join(parts)
+
+
+@query("graph_pagerank_personalized", sql=_ppr_sql())
+def graph_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank: random walk restarting into the seed set
+    (customers with custkey < 50) over the customer→supplier graph —
+    dangling supplier mass flows back to the seeds, Σrank = 1.  Exact
+    oracle by the unrolled materialized-CTE chain (`_ppr_sql`)."""
+    from compss_python_spark.graph.pagerank import personalized_pagerank
+
+    edges = _cust_supp_edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("node")).filter("node < 50")
+    ranks = personalized_pagerank(edges, seeds, max_iters=8)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
 @query("graph_pagerank", sql=_dangling_pagerank_sql(), headline=True)
 def graph_pagerank(spark, sf_dir):
     """PageRank on the directed customer→supplier graph (all suppliers are

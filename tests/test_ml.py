@@ -742,3 +742,37 @@ def test_sssp_weighted_prefers_lighter_multi_hop_path(spark):
     neg = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, weight double")
     with pytest.raises(ValueError, match="negative"):
         sssp_weighted(neg, seeds)
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    """Σrank = 1; seed-adjacent nodes outrank distant ones; distributed
+    loop (local_threshold=0) matches the driver kernel to float noise;
+    out-of-graph seeds are ignored (and all-out raises)."""
+    import pytest as _pt
+
+    from compss_python_spark.graph.pagerank import personalized_pagerank
+
+    # two communities bridged weakly: 0-4 clique, 10-14 clique, 4->10 bridge
+    edges = [(a, b) for a in range(5) for b in range(5) if a != b]
+    edges += [(a, b) for a in range(10, 15) for b in range(10, 15) if a != b]
+    edges += [(4, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (999,)], "node long")  # 999 not in graph
+
+    local = {r["node"]: r["rank"]
+             for r in personalized_pagerank(e, seeds, max_iters=12).collect()}
+    assert abs(sum(local.values()) - 1.0) < 1e-9
+    assert local[1] > local[11]  # seed community dominates
+
+    dist = {r["node"]: r["rank"]
+            for r in personalized_pagerank(
+                e, seeds, max_iters=12, local_threshold=0
+            ).collect()}
+    assert set(dist) == set(local)
+    for k in local:
+        assert abs(local[k] - dist[k]) < 1e-9
+
+    with _pt.raises(ValueError, match="no seed"):
+        personalized_pagerank(
+            e, spark.createDataFrame([(999,)], "node long")
+        ).collect()
