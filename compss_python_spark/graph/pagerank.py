@@ -22,9 +22,10 @@ DataFrame joins/aggs, with two scale-critical choices the reference lacks:
   default width.  The conf scope is lock-serialized and the final ranks
   are materialized (eager localCheckpoint) inside it; see
   graph/_scoped_conf.py for the concurrency contract.
-- **One setup job**: edge count (for the width formula) and node count
-  (for the uniform init and dangling redistribution) come from a single
-  aggregate over the src∪dst id stream, not two separate blocking counts.
+- **Gate-sized setup**: the regime gate counts the distinct-edge cache the
+  loop needs anyway (never the raw edge SOURCE — re-executing a join-shaped
+  source to count it dominated the 10× probe); the node count (init +
+  dangling) runs only on the distributed path, as a cached-side aggregate.
 
 Dangling nodes (no out-links) redistribute their mass uniformly, matching
 the standard formulation (and networkx) rather than leaking mass.
@@ -94,22 +95,23 @@ def pagerank(
     # duplication-heavy edge tables no longer get pushed to the
     # distributed loop when their real edge set fits locally.
     e = d.distinct().persist()
-    stats = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .agg(
-            (F.count("*") / 2).cast("long").alias("two_e"),
-            F.count_distinct("node").alias("nn"),
-        )
-        .first()
-    )
-    n_edges, n_nodes = int(stats["two_e"]), int(stats["nn"])
+    # The gate needs only the edge count (materializes the cache as a side
+    # effect); the node count — a second distinct aggregation — is only
+    # needed by the distributed loop, so small graphs skip it entirely and
+    # its one extra job on the large path reads the cache, not the source.
+    n_edges = e.count()
     if local_threshold and 2 * n_edges <= local_threshold:
         try:
             # Collect from the CACHED deduped edges (bounded by the gate).
             return _pagerank_local(e, damping, max_iters)
         finally:
             e.unpersist()
+    n_nodes = int(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .agg(F.count_distinct("node").alias("nn"))
+        .first()["nn"]
+    )
     if num_partitions is None:
         # ~500k edges/partition: measured optimum on a 5.9M-edge graph at
         # local[32] (16 partitions: 12.6 s vs 3: 16.7 s vs 32: 19.2 s for 8
@@ -315,16 +317,9 @@ def personalized_pagerank(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     e = d.distinct().persist()
-    stats = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .agg(
-            (F.count("*") / 2).cast("long").alias("two_e"),
-            F.count_distinct("node").alias("nn"),
-        )
-        .first()
-    )
-    n_edges = int(stats["two_e"])
+    # Edge count only (node count is not needed: the restart vector is
+    # seed-based); one job, materializes the cache.
+    n_edges = e.count()
     if num_partitions is None:
         default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         num_partitions = max(1, min(default_p, n_edges // 500_000 + 1))
