@@ -544,6 +544,12 @@ def histogram_quantiles(
     """
     if not probs or any(p <= 0 or p > 1 for p in probs):
         raise ValueError("histogram_quantiles: probs must be in (0, 1]")
+    # NaN must be excluded up front: COUNT() counts NaN, but floor(NaN)
+    # casts to a NULL bucket that the cumulative window sorts FIRST —
+    # silently shifting every cumulative count (and min/max order NaN
+    # last, corrupting hi).
+    v = F.col(col).cast("double")
+    df = df.filter(v.isNotNull() & ~F.isnan(v))
     stats = df.agg(
         F.min(col).alias("_lo"), F.max(col).alias("_hi"), F.count(col).alias("_n")
     ).first()

@@ -1125,6 +1125,7 @@ def decontaminate_corpus(spark, sf_dir):
 
 @query(
     "dedup_minhash_index_probe",
+    headline=True,
     sql=r"""
     WITH tok AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

@@ -689,6 +689,7 @@ def quality_expectations(spark, sf_dir):
 
 @query(
     "quantiles_histogram",
+    headline=True,
     sql="""
     WITH b AS (
       SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
