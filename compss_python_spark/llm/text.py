@@ -679,3 +679,73 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(output_col, c)
+
+
+def skipgram_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Skip-gram co-occurrence PMI over a ±``window`` token context — the
+    word2vec/GloVe-style co-occurrence statistic, generalizing
+    :func:`bigram_pmi` beyond adjacency.  Returns the ``top`` unordered
+    pairs (w1 ≤ w2, w1 ≠ w2) with count ≥ ``min_count`` by (PMI desc,
+    w1, w2), with a rank column.  PMI = ln(c_pair · T / (c_w1 · c_w2))
+    over the pair distribution (T = total pairs; marginals are pair-table
+    re-aggregations, so they sum consistently with T).
+
+    Plan: pair generation is NARROW — for each offset d in 1..window one
+    zip_with over shifted slices of the per-row token array (the
+    projected-column form; never element_at into an outer expression —
+    see :func:`ngrams`), so the fan-out is a bounded ×window explode.
+    ONE groupBy(w1, w2) pair count feeds everything; marginals and T are
+    aggregations OF THAT TABLE (vocabulary-sized); final top-N is
+    TakeOrdered.  The corpus is scanned once.
+    """
+    base = df.select(tokens(text_col).alias("_t"))
+    t = F.col("_t")
+    pair_arrays = []
+    for d in range(1, window + 1):
+        width = F.greatest(F.size(t) - d, F.lit(0))
+        pair_arrays.append(
+            F.zip_with(
+                F.slice(t, 1, width),
+                F.slice(t, d + 1, width),
+                lambda a, b: F.struct(
+                    F.least(a, b).alias("w1"), F.greatest(a, b).alias("w2")
+                ),
+            )
+        )
+    stream = base.select(
+        F.explode(F.concat(*pair_arrays)).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")).filter(
+        F.col("w1") != F.col("w2")
+    )
+    pairs = stream.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+    left = pairs.select(F.col("w1").alias("w"), "c_pair").unionAll(
+        pairs.select(F.col("w2").alias("w"), "c_pair")
+    )
+    marg = left.groupBy("w").agg(F.sum("c_pair").alias("c_w"))
+    total = pairs.agg(F.sum("c_pair").alias("_t"))
+    scored = (
+        pairs.filter(F.col("c_pair") >= min_count)
+        .join(marg.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(marg.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_pair").cast("long").alias("c_pair"),
+            F.round(
+                F.log(F.col("c_pair") * F.col("_t") / (F.col("c_a") * F.col("c_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    topn = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(top)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return topn.withColumn("pmi_rank", F.row_number().over(w))

@@ -500,3 +500,28 @@ def io_binary_files_roundtrip(spark, sf_dir):
         F.col("content").alias("payload"),
     )
     return multimodal.png_pixel_stats(parsed)
+
+
+@query(
+    "io_partition_fingerprints",
+    sql="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           BIT_XOR(CAST('0x' || substr(md5(
+             CONCAT_WS(chr(31),
+               COALESCE(CAST(doc_id AS VARCHAR), chr(31)),
+               COALESCE(text, chr(31)),
+               COALESCE(lang, chr(31)))), 1, 12) AS BIGINT)) AS fingerprint
+    FROM documents GROUP BY source
+    """,
+)
+def io_partition_fingerprints(spark, sf_dir):
+    """Per-partition content fingerprints (documents by source): xor of a
+    48-bit md5 row hash — order-independent, mergeable, ONE map-combined
+    aggregate, the change-detection primitive for incremental pipelines.
+    The oracle recomputes every row hash and the xor fold."""
+    from compss_python_spark.functions.statistics import partition_fingerprints
+
+    return partition_fingerprints(
+        table(spark, sf_dir, "documents"), "source", ["doc_id", "text", "lang"]
+    )

@@ -2214,6 +2214,51 @@ def text_kn_cross_entropy(spark, sf_dir):
 
 
 @query(
+    "text_skipgram_pmi",
+    sql=r"""
+    WITH tok AS (
+      SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+    p0 AS (
+      SELECT LEAST(t[i.i], t[i.i + d.d]) AS w1,
+             GREATEST(t[i.i], t[i.i + d.d]) AS w2
+      FROM tok, generate_series(1, 2) AS d(d),
+           UNNEST(range(1, len(t) - d.d + 1)) AS i(i)
+      WHERE t[i.i] <> t[i.i + d.d]),
+    pairs AS (SELECT w1, w2, COUNT(*) AS c_pair FROM p0 GROUP BY 1, 2),
+    marg AS (
+      SELECT w, SUM(c_pair) AS c_w FROM (
+        SELECT w1 AS w, c_pair FROM pairs
+        UNION ALL SELECT w2, c_pair FROM pairs) GROUP BY w),
+    tot AS (SELECT SUM(c_pair) AS t FROM pairs),
+    scored AS (
+      SELECT p.w1, p.w2, CAST(p.c_pair AS BIGINT) AS c_pair,
+             ROUND(LN(p.c_pair * tot.t / (a.c_w * b.c_w)), 6) AS pmi
+      FROM pairs p
+      JOIN marg a ON a.w = p.w1
+      JOIN marg b ON b.w = p.w2
+      CROSS JOIN tot
+      WHERE p.c_pair >= 5),
+    topn AS (SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50)
+    SELECT w1, w2, c_pair, pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS pmi_rank
+    FROM topn
+    """,
+)
+def text_skipgram_pmi(spark, sf_dir):
+    """Skip-gram co-occurrence PMI (±2-token window, unordered pairs) —
+    the word2vec/GloVe co-occurrence statistic beyond adjacency.  Pair
+    generation is a bounded ×window narrow explode (zip_with over shifted
+    slices); ONE pair-count aggregate feeds marginals and total.  The
+    oracle regenerates every (offset, position) pair and the PMI
+    arithmetic."""
+    from compss_python_spark.llm.text import skipgram_cooccurrence
+
+    return skipgram_cooccurrence(
+        table(spark, sf_dir, "documents"), window=2, min_count=5, top=50
+    )
+
+
+@query(
     "text_normalize",
     sql="""
     WITH messy AS (

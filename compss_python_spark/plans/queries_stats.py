@@ -730,3 +730,52 @@ def quantiles_histogram(spark, sf_dir):
         table(spark, sf_dir, "lineitem"), "l_extendedprice",
         [0.25, 0.5, 0.75, 0.95, 0.99], bins=1000,
     )
+
+
+@query(
+    "quantiles_histogram_by_group",
+    sql="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+        AND event_type IS NOT NULL),
+    b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM d),
+    h AS (
+      SELECT g,
+             LEAST(CAST(FLOOR((v - b.lo) / ((b.hi - b.lo) / 200.0)) AS INT), 199)
+               AS bucket,
+             COUNT(*) AS c
+      FROM d, b GROUP BY 1, 2),
+    cum AS (
+      SELECT g, bucket, c,
+             COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM h),
+    q(p) AS (VALUES (0.5), (0.95)),
+    hit AS (
+      SELECT cum.g, q.p, bucket, c, cb, n,
+             ROW_NUMBER() OVER (PARTITION BY cum.g, q.p ORDER BY bucket) AS rn
+      FROM cum JOIN q ON cb + c >= q.p * n)
+    SELECT g AS event_type, p,
+           ROUND((SELECT lo FROM b) + ((SELECT hi FROM b) - (SELECT lo FROM b)) / 200.0
+                 * (bucket + (p * n - cb) / c), 4) AS quantile
+    FROM hit WHERE rn = 1
+    """,
+)
+def quantiles_histogram_by_group(spark, sf_dir):
+    """Per-group approximate quantiles (p50/p95 of event value per event
+    type) on shared fixed bins — the "p95 per tenant" shape whose per-group
+    window is bounded by the bin count, never a per-group sort.  The oracle
+    re-derives grid, per-group histogram, cumulative walk and
+    interpolation."""
+    from compss_python_spark.functions.statistics import grouped_histogram_quantiles
+
+    out = grouped_histogram_quantiles(
+        table(spark, sf_dir, "events"), "value", "event_type",
+        [0.5, 0.95], bins=200,
+    )
+    # 4 dp (the repo's quantile convention, cf. quantiles_exact): the
+    # interpolation lands on occasional 6-dp half-way points where a
+    # HUGEINT-vs-long promotion ulp flips the rounding across engines.
+    return out.select("event_type", "p", F.round("quantile", 4).alias("quantile"))

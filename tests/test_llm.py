@@ -1352,3 +1352,20 @@ def test_normalize_text_rules_and_toggles(spark):
         spark.createDataFrame([(1, out[1])], "id long, t string"), "t", "n"
     ).first()["n"]
     assert again == out[1]
+
+
+def test_skipgram_cooccurrence_window_and_pmi(spark):
+    """A collocation at distance 2 is found (window=2) but not at
+    distance 3; PMI ordering favors exclusive pairs."""
+    docs = [("alpha mid beta filler",)] * 6 + [("gamma noise delta x y z",)] * 6
+    extra = [("common w1 common w2 common w3",)] * 6
+    df = spark.createDataFrame(docs + extra, "text string")
+    out = text.skipgram_cooccurrence(df, window=2, min_count=3, top=100).toPandas()
+    pairs = {(r.w1, r.w2) for r in out.itertuples()}
+    assert ("alpha", "beta") in pairs          # distance 2
+    assert ("alpha", "filler") not in pairs    # distance 3
+    assert ("gamma", "x") not in pairs         # distance 3 (canonical order)
+    # exclusive pair (alpha,beta) must outrank the promiscuous 'common' pairs
+    pmi = {(r.w1, r.w2): r.pmi for r in out.itertuples()}
+    common_pmis = [v for (a, b), v in pmi.items() if a == "common" or b == "common"]
+    assert pmi[("alpha", "beta")] > max(common_pmis)

@@ -731,3 +731,55 @@ def test_histogram_quantiles_error_bound_and_edges(spark):
         histogram_quantiles(
             spark.createDataFrame([], "x double"), "x", [0.5]
         )
+
+
+def test_grouped_histogram_quantiles_per_group_error_bound(spark):
+    """Per-group quantiles stay within one (global-grid) bin width of the
+    exact per-group quantile; groups do not contaminate each other."""
+    import numpy as np
+
+    from compss_python_spark.functions.statistics import grouped_histogram_quantiles
+
+    rng = np.random.default_rng(5)
+    rows = [("a", float(v)) for v in rng.normal(0, 1, 5000)]
+    rows += [("b", float(v)) for v in rng.normal(50, 5, 5000)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {(r["g"], r["p"]): r["quantile"] for r in
+           grouped_histogram_quantiles(df, "x", "g", [0.5, 0.95], bins=400).collect()}
+    xs = {g: np.array([v for gg, v in rows if gg == g]) for g in ("a", "b")}
+    w = (max(v for _, v in rows) - min(v for _, v in rows)) / 400.0
+    for g in ("a", "b"):
+        for p in (0.5, 0.95):
+            exact = float(np.quantile(xs[g], p, method="linear"))
+            assert abs(out[(g, p)] - exact) <= w + 1e-9, (g, p, out[(g, p)], exact)
+
+
+def test_partition_fingerprints_change_detection(spark):
+    """Touching one row changes only its partition's fingerprint; xor
+    self-cancellation of duplicate rows is visible via n_rows."""
+    from compss_python_spark.functions.statistics import partition_fingerprints
+
+    base = [(1, "x", "a"), (2, "y", "a"), (3, "z", "b"), (4, None, "b")]
+    df1 = spark.createDataFrame(base, "id long, v string, part string")
+    fp1 = {r["part"]: (r["n_rows"], r["fingerprint"])
+           for r in partition_fingerprints(df1, "part", ["id", "v"]).collect()}
+
+    changed = [(1, "x", "a"), (2, "y2", "a"), (3, "z", "b"), (4, None, "b")]
+    df2 = spark.createDataFrame(changed, "id long, v string, part string")
+    fp2 = {r["part"]: (r["n_rows"], r["fingerprint"])
+           for r in partition_fingerprints(df2, "part", ["id", "v"]).collect()}
+    assert fp1["a"] != fp2["a"]
+    assert fp1["b"] == fp2["b"]
+
+    # NULL vs empty string must differ
+    dfn = spark.createDataFrame([(1, None, "a")], "id long, v string, part string")
+    dfe = spark.createDataFrame([(1, "", "a")], "id long, v string, part string")
+    fn = partition_fingerprints(dfn, "part", ["id", "v"]).first()["fingerprint"]
+    fe = partition_fingerprints(dfe, "part", ["id", "v"]).first()["fingerprint"]
+    assert fn != fe
+
+    # duplicate pair cancels to xor-0 but n_rows says 2 (documented caveat)
+    dup = spark.createDataFrame([(1, "x", "a"), (1, "x", "a")],
+                                "id long, v string, part string")
+    r = partition_fingerprints(dup, "part", ["id", "v"]).first()
+    assert r["fingerprint"] == 0 and r["n_rows"] == 2
