@@ -211,3 +211,57 @@ def geo_geohash_encode(spark, sf_dir):
         ((F.col("c_custkey") * 7 % 100 + 0.5) * 3.6 - 180.0).alias("lon"),
     )
     return pts.select("c_custkey", geohash_expr("lat", "lon", 6).alias("gh"))
+
+
+@query(
+    "geo_neighbor_pairs",
+    sql="""
+    WITH p AS (
+      SELECT event_id,
+             40.0 + (CAST('0x' || substr(md5('lat:' || CAST(event_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) / 281474976710656.0) * 0.1 AS lat,
+             -74.0 + (CAST('0x' || substr(md5('lon:' || CAST(event_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) / 281474976710656.0) * 0.1 AS lon
+      FROM events WHERE event_id < 2000),
+    d AS (
+      SELECT a.event_id AS id_a, b.event_id AS id_b,
+             ROUND(2 * 6371000 * ASIN(SQRT(
+               SIN((RADIANS(b.lat) - RADIANS(a.lat)) / 2)
+                 * SIN((RADIANS(b.lat) - RADIANS(a.lat)) / 2)
+               + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                 * SIN((RADIANS(b.lon) - RADIANS(a.lon)) / 2)
+                 * SIN((RADIANS(b.lon) - RADIANS(a.lon)) / 2))), 3) AS dist_m
+      FROM p a JOIN p b ON a.event_id < b.event_id)
+    SELECT id_a, id_b, dist_m FROM d WHERE dist_m <= 300.0
+    """,
+)
+def geo_neighbor_pairs(spark, sf_dir):
+    """Spatial neighbor self-join: all event pairs within 300 m (haversine)
+    over md5-derived coordinates in a ~10 km box — grid blocking (cell ≥
+    radius, 3×3 neighborhood explode on one side, equi-join on the cell
+    key) with exact verify.  The oracle brute-forces ALL pairs in the
+    slice, so a hash match proves the blocking lost no pair."""
+    from compss_python_spark.geo.geo import neighbor_pairs
+
+    def u(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.concat(F.lit(tag), F.col("event_id").cast("string")), "UTF-8")),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(281474976710656.0)
+        )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            (F.lit(40.0) + u("lat:") * F.lit(0.1)).alias("lat"),
+            (F.lit(-74.0) + u("lon:") * F.lit(0.1)).alias("lon"),
+        )
+    )
+    return neighbor_pairs(ev, "event_id", "lat", "lon", 300.0)

@@ -164,3 +164,45 @@ def test_geohash_reference_vectors(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="precision"):
         geohash_expr("lat", "lon", 13)
+
+
+def test_neighbor_pairs_recall_and_polar_guard(spark):
+    """Grid blocking finds exactly the brute-force pair set (including
+    pairs straddling cell boundaries); points beyond the lat bound raise."""
+    import math
+
+    import pytest as _pt
+
+    from compss_python_spark.geo.geo import neighbor_pairs
+
+    # cluster around a cell corner: radius 200m grid => dlat ~0.0018 deg;
+    # put points on both sides of a multiple of dlat
+    pts = [
+        (1, 40.00000, -74.00000),
+        (2, 40.00150, -74.00000),   # ~167 m north (different cell likely)
+        (3, 40.00000, -73.99800),   # ~170 m east
+        (4, 40.00400, -74.00000),   # ~445 m north — out of radius
+        (5, 39.99850, -74.00170),   # diagonal ~210 m — out (>200)
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r["id_a"], r["id_b"]) for r in
+           neighbor_pairs(df, "id", "lat", "lon", 200.0).collect()}
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        p1, p2 = math.radians(la1), math.radians(la2)
+        dp, dl = p2 - p1, math.radians(lo2 - lo1)
+        h = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * 6371000 * math.asin(math.sqrt(h))
+
+    want = set()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            if round(hav(pts[i], pts[j]), 3) <= 200.0:
+                want.add((pts[i][0], pts[j][0]))
+    assert got == want and len(want) >= 2
+
+    polar = spark.createDataFrame([(1, 89.5, 0.0), (2, 89.5, 1.0)],
+                                  "id long, lat double, lon double")
+    with _pt.raises(Exception, match="lat"):
+        neighbor_pairs(polar, "id", "lat", "lon", 200.0).collect()
