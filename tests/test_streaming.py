@@ -246,3 +246,70 @@ def test_streaming_ewma_equals_sequential_reference(spark, events, tmp_path_fact
             want[u] = (n + 1, 0.3 * x + 0.7 * e)
     want = {u: (n, round(e, 6)) for u, (n, e) in want.items()}
     assert got == want
+
+
+def test_foreach_batch_cdc_upsert_pipeline(spark, tmp_path):
+    """Streaming micro-batches applied as CDC upserts via foreachBatch:
+    the folded snapshot equals the batch latest-per-key answer regardless
+    of batch boundaries (maxFilesPerTrigger=1 forces several batches).
+    This is the canonical stream→table merge pattern: each micro-batch is
+    a changelog slice, apply_changelog folds it into the running
+    snapshot with last-writer-wins per key."""
+    from compss_python_spark.operators.cdc import apply_changelog
+
+    rows = [
+        (1, "a", 10.0, 1), (2, "b", 20.0, 2), (1, "a2", 11.0, 3),
+        (3, "c", 30.0, 4), (2, "b2", 21.0, 5), (3, None, 31.0, 6),
+        (1, "a3", 12.0, 7), (4, "d", 40.0, 8),
+    ]
+    import glob
+    import os
+    import shutil
+    import time
+
+    # CDC contract: batches arrive in seq order (binlog semantics).  Write
+    # one parquet file per 2-row slice with INCREASING mtimes — the file
+    # source orders batches by modification time (same trick as the EWMA
+    # replay fixture), so maxFilesPerTrigger=1 yields ordered batches.
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    for i in range(0, len(rows), 2):
+        part = str(tmp_path / f"slice{i}")
+        spark.createDataFrame(
+            rows[i : i + 2], "k long, v string, amt double, seq long"
+        ).coalesce(1).write.mode("overwrite").parquet(part)
+        (f,) = glob.glob(part + "/part-*.parquet")
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.copyfile(f, dst)
+        os.utime(dst, (time.time() - 100 + i, time.time() - 100 + i))
+
+    state = {"snap": spark.createDataFrame([], "k long, v string, amt double")}
+
+    def fold(batch, batch_id):
+        ch = batch.withColumn("op", F.lit("U"))
+        snap = apply_changelog(state["snap"], ch, ["k"], "seq", "op")
+        # materialize so the next batch folds against data, not lineage
+        state["snap"] = spark.createDataFrame(
+            snap.collect(), "k long, v string, amt double"
+        )
+
+    q = (
+        spark.readStream.schema("k long, v string, amt double, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["k"]: (r["v"], r["amt"]) for r in state["snap"].collect()}
+    # batch answer: max-seq row per key
+    import collections
+
+    best = {}
+    for k, v, amt, seq in rows:
+        if k not in best or seq > best[k][0]:
+            best[k] = (seq, v, amt)
+    want = {k: (v, amt) for k, (seq, v, amt) in best.items()}
+    assert got == want
