@@ -605,6 +605,7 @@ def grouped_histogram_quantiles(
     group_col: str,
     probs: list[float],
     bins: int = 200,
+    round_dp: int = 6,
 ) -> DataFrame:
     """Per-group approximate quantiles on SHARED fixed bins (global
     bounds) with linear interpolation — the scale shape for "p95 latency
@@ -678,7 +679,10 @@ def grouped_histogram_quantiles(
     q = F.lit(lo) + F.lit(w) * (
         F.col("bucket") + (F.col("p") * F.col("n") - F.col("cb")) / F.col("c")
     )
-    return hit.select(group_col, "p", F.round(q, 6).alias("quantile"))
+    # round ONCE at the caller-chosen precision — double rounding (6 dp
+    # then re-rounding coarser downstream) diverges from a single coarse
+    # round exactly on the half-way band a cross-engine oracle hits
+    return hit.select(group_col, "p", F.round(q, round_dp).alias("quantile"))
 
 
 def partition_fingerprints(

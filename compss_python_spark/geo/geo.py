@@ -352,6 +352,12 @@ def neighbor_pairs(
 
     dlat = radius_m / 111_320.0
     dlon = radius_m / (111_320.0 * _math.cos(_math.radians(max_abs_lat)))
+    # Longitude cells are MODULAR (0..ncx-1 around the globe, lon shifted
+    # to [0, 360)): a pair straddling the ±180 antimeridian is ~meters
+    # apart but thousands of naive floor(lon/dlon) cells apart — modular
+    # neighbor arithmetic keeps the lossless-recall guarantee there
+    # (haversine itself is wrap-safe: sin(Δλ/2) ≈ 0 at Δλ ≈ 360°).
+    ncx = max(1, _math.ceil(360.0 / dlon))
     lat, lon = F.col(lat_col), F.col(lon_col)
     pts = df.select(
         F.col(id_col).alias("_id"),
@@ -366,7 +372,9 @@ def neighbor_pairs(
                 )
             ).cast("bigint"),
         ).otherwise(F.floor(lat / F.lit(dlat)).cast("bigint")).alias("_cy"),
-        F.floor(lon / F.lit(dlon)).cast("bigint").alias("_cx"),
+        F.pmod(
+            F.floor((lon + F.lit(180.0)) / F.lit(dlon)).cast("bigint"), F.lit(ncx)
+        ).alias("_cx"),
     )
     a = pts.select(
         F.col("_id").alias("id_a"),
@@ -374,7 +382,8 @@ def neighbor_pairs(
         F.col("_lon").alias("lon_a"),
         F.explode(
             F.array(*[F.struct(
-                (F.col("_cy") + dy).alias("_cy"), (F.col("_cx") + dx).alias("_cx"))
+                (F.col("_cy") + dy).alias("_cy"),
+                F.pmod(F.col("_cx") + dx, F.lit(ncx)).alias("_cx"))
                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
         ).alias("_c"),
     ).select("id_a", "lat_a", "lon_a", F.col("_c._cy").alias("_cy"), F.col("_c._cx").alias("_cx"))
@@ -386,11 +395,15 @@ def neighbor_pairs(
         "_cx",
     )
     d = haversine_m(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b"))
-    return (
+    # No distinct needed when ncx > 2: each point keys exactly one cell on
+    # the b side, and a's nine neighbor cells are pairwise DISTINCT, so a
+    # qualifying pair joins exactly once.  Degenerate globes (huge radius
+    # → ncx ≤ 2, where (cx±1) mod ncx collide) deduplicate explicitly.
+    out = (
         a.join(b, ["_cy", "_cx"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dist_m", F.round(d, 3))
         .filter(F.col("dist_m") <= radius_m)
         .select("id_a", "id_b", "dist_m")
-        .distinct()
     )
+    return out.distinct() if ncx <= 2 else out

@@ -171,6 +171,11 @@ def _pagerank_local(
     si, ti = si[order], ti[order]
     n = len(nodes)
     if n == 0:
+        if seed_ids is not None:
+            # match the distributed path's contract for the same input
+            raise ValueError(
+                "personalized_pagerank: no seed is a node of the graph"
+            )
         return spark.createDataFrame([], schema=_rank_schema(node_type))
     deg = np.bincount(si, minlength=n)
     w = 1.0 / deg[si]

@@ -167,6 +167,22 @@ def minhash_signatures(
     )
 
 
+def _validate_bands(num_hashes: int, bands: int, where: str) -> int:
+    """Band geometry contract shared by every banded-LSH entry point:
+    ``bands`` must divide ``num_hashes`` exactly and leave ≥ 1 row per
+    band — silently accepting bands > num_hashes makes every band key the
+    empty slice, collapsing the corpus into ONE bucket per band (the
+    all-pairs cartesian the bucket cap exists to prevent), and a
+    non-divisible split would silently drop trailing signature rows while
+    agreement still divides by num_hashes."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"{where}: bands={bands} must be a positive divisor of "
+            f"num_hashes={num_hashes} (rows_per_band = num_hashes / bands)"
+        )
+    return num_hashes // bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -245,7 +261,7 @@ def minhash_lsh_pairs(
             threshold, max_bucket, drop_metrics, collapse_exact=False,
         )
         return rep_pairs.unionByName(exact_edges)
-    rows_per_band = num_hashes // bands
+    rows_per_band = _validate_bands(num_hashes, bands, "minhash_lsh_pairs")
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
 
     banded = sig.select(
@@ -364,7 +380,7 @@ def minhash_lsh_pairs_md5(
     Production keeps xxhash64 (`minhash_lsh_pairs`) for speed; this twin
     exists to give the full LSH→CC→survivors pipeline an exact oracle.
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = _validate_bands(num_hashes, bands, "minhash_lsh_pairs_md5")
     sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
     sig = sh.select(
         "_id",
@@ -1194,7 +1210,7 @@ def minhash_index(
     exactly SQL-oracle-checkable.  Signature computation is fully narrow
     (zero shuffle); the posting explode is ×bands, still narrow.
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = _validate_bands(num_hashes, bands, "minhash_index")
     sh = df.select(
         F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
     )

@@ -286,18 +286,25 @@ def dsir_importance_weights(
     )
     tb = gram_buckets(target).groupBy("_b").agg(F.count("*").alias("_tc"))
     rb = doc_counts.groupBy("_b").agg(F.sum("_n").alias("_rc"))
-    # B-row model table: totals via an all-rows window (≤ num_buckets rows —
-    # the single partition is bounded by B, not by data size).
+    # Model totals: the TARGET total must sum over ALL target buckets —
+    # summing it over the rb-join result would drop target buckets no raw
+    # gram hits (a target domain with vocabulary outside the raw corpus),
+    # inflating every log p_target by a constant per gram and re-ranking
+    # long docs vs short ones.  Both totals ride in one broadcast 1-row
+    # table; the raw total window over the B-row rb table is fine (rb by
+    # construction covers every bucket a raw doc can score on).
+    t_total = tb.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tt"))
     w_all = Window.partitionBy(F.lit(1))
     b_ = float(num_buckets)
     llr = (
         rb.join(tb, "_b", "left")
+        .crossJoin(F.broadcast(t_total))
         .select(
             "_b",
             (
                 F.log(
                     (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(alpha))
-                    / (F.coalesce(F.sum("_tc").over(w_all), F.lit(0)) + F.lit(alpha * b_))
+                    / (F.col("_tt") + F.lit(alpha * b_))
                 )
                 - F.log(
                     (F.col("_rc") + F.lit(alpha))

@@ -869,8 +869,26 @@ def hard_negatives(
     labels) broadcasts, the corpus never shuffles, and ranking moves only
     (query, candidate) pairs.  Above broadcastable query counts, swap the
     candidate generator for :func:`ivf_topk` / :func:`lsh_topk` and apply
-    the same label-mismatch filter to its candidates."""
+    the same label-mismatch filter to its candidates.
+
+    NULL-label contract (explicit, not an accident of SQL null
+    semantics): unlabeled corpus rows are EXCLUDED up front — an unlabeled
+    item is not a known negative for anything — and unlabeled queries
+    raise rather than silently returning zero rows."""
     query_id_col = query_id_col or id_col
+    corpus = corpus.filter(F.col(label_col).isNotNull())
+    queries = queries.withColumn(
+        label_col,
+        F.when(
+            F.col(label_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "hard_negatives: query rows must carry a non-null "
+                    f"{label_col} (a null label cannot define 'different-label')"
+                )
+            ).cast(dict(queries.dtypes)[label_col]),
+        ).otherwise(F.col(label_col)),
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),

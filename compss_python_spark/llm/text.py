@@ -432,7 +432,15 @@ def kneser_ney_lm_score(
     precedent as the sibling's vocab size.
     """
     pairs = _pair_stream(df, text_col, [id_col])
-    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # The vocab-sized bigram table is the model AND feeds four consumers
+    # (type total, heads, continuations, the scoring join) — pinned once
+    # so each does not re-run the corpus tokenize + pair explode (the
+    # t_types count below materializes the checkpoint).
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     heads = bi.groupBy("w1").agg(
         F.sum("c2").alias("ch"), F.count("*").alias("n1_fwd")
     )

@@ -771,11 +771,10 @@ def quantiles_histogram_by_group(spark, sf_dir):
     interpolation."""
     from compss_python_spark.functions.statistics import grouped_histogram_quantiles
 
-    out = grouped_histogram_quantiles(
+    # 4 dp in ONE rounding step (round_dp=4 — double rounding via a 6-dp
+    # intermediate diverges from the oracle's single ROUND on half-way
+    # values): the repo's quantile convention, cf. quantiles_exact.
+    return grouped_histogram_quantiles(
         table(spark, sf_dir, "events"), "value", "event_type",
-        [0.5, 0.95], bins=200,
+        [0.5, 0.95], bins=200, round_dp=4,
     )
-    # 4 dp (the repo's quantile convention, cf. quantiles_exact): the
-    # interpolation lands on occasional 6-dp half-way points where a
-    # HUGEINT-vs-long promotion ulp flips the rounding across engines.
-    return out.select("event_type", "p", F.round("quantile", 4).alias("quantile"))

@@ -243,14 +243,19 @@ def write_binary_files(
     blobs to object storage.  Executor-side writes (Arrow-batched, no
     driver collect); ``path`` must be storage every executor can reach
     (shared FS / fuse mount) — true for local[*] and for clusters writing
-    to a mounted bucket.  Returns the manifest (id, file, n_bytes) as a
-    DataFrame; the write happens when the manifest is materialized (it IS
-    the job), so callers must consume it (e.g. ``.count()``)."""
+    to a mounted bucket.  EAGER like the other write_* sinks: the export
+    job runs inside this call (so overwrite never destroys the previous
+    export without replacing it in the same call — clearing the directory
+    at plan time against a write that might never be materialized would
+    be silent data loss), and the returned manifest (id, file, n_bytes)
+    is a checkpointed leaf.  The manifest id column keeps the INPUT id
+    type (a string media id must not be coerced to long)."""
     if mode == "overwrite" and os.path.isdir(path):
         import shutil
 
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
+    id_type = dict(df.dtypes)[id_col]
 
     def dump(batches):
         import pandas as pd
@@ -268,6 +273,7 @@ def write_binary_files(
                 {id_col: pdf[id_col], "file": files, "n_bytes": sizes}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        dump, f"{id_col} long, file string, n_bytes long"
+    manifest = df.select(id_col, payload_col).mapInPandas(
+        dump, f"{id_col} {id_type}, file string, n_bytes long"
     )
+    return manifest.localCheckpoint(eager=True)

@@ -206,3 +206,20 @@ def test_neighbor_pairs_recall_and_polar_guard(spark):
                                   "id long, lat double, lon double")
     with _pt.raises(Exception, match="lat"):
         neighbor_pairs(polar, "id", "lat", "lon", 200.0).collect()
+
+
+def test_neighbor_pairs_antimeridian_wrap(spark):
+    """Pairs straddling ±180° longitude are found (modular lon cells);
+    haversine itself is wrap-safe."""
+    from compss_python_spark.geo.geo import neighbor_pairs
+
+    pts = [
+        (1, 0.0, 179.9995),
+        (2, 0.0, -179.9995),  # ~111 m from point 1 across the antimeridian
+        (3, 0.0, 179.9900),   # ~1.1 km from point 1 — out at r=200
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r["id_a"], r["id_b"]): r["dist_m"]
+           for r in neighbor_pairs(df, "id", "lat", "lon", 200.0).collect()}
+    assert set(got) == {(1, 2)}
+    assert 100.0 < got[(1, 2)] < 130.0

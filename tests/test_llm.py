@@ -1369,3 +1369,58 @@ def test_skipgram_cooccurrence_window_and_pmi(spark):
     pmi = {(r.w1, r.w2): r.pmi for r in out.itertuples()}
     common_pmis = [v for (a, b), v in pmi.items() if a == "common" or b == "common"]
     assert pmi[("alpha", "beta")] > max(common_pmis)
+
+
+def test_minhash_band_geometry_validation(spark, docs):
+    """bands must divide num_hashes: degenerate geometries raise loudly
+    instead of collapsing the corpus into one bucket per band."""
+    sub = docs.limit(10)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.minhash_lsh_pairs(sub, num_hashes=16, bands=32).collect()
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.minhash_lsh_pairs_md5(sub, num_hashes=16, bands=3)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.minhash_index(sub, num_hashes=16, bands=0)
+
+
+def test_hard_negatives_null_label_contract(spark):
+    """Unlabeled corpus rows are excluded; unlabeled query rows raise."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 1), (3, [0.8, 0.2], None)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = corpus.filter("vec_id = 1")
+    out = similarity.hard_negatives(corpus, q, k=5).collect()
+    assert {r["neighbor_id"] for r in out} == {2}  # null-labeled 3 excluded
+
+    nullq = spark.createDataFrame(
+        [(9, [1.0, 0.0], None)], "vec_id long, embedding array<double>, label int"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        similarity.hard_negatives(corpus, nullq, k=5).collect()
+
+
+def test_dsir_target_total_counts_unseen_target_buckets(spark):
+    """The target model normalizer sums ALL target buckets, including
+    those no raw gram hits — two raw docs with identical raw-side
+    profiles keep equal weights when the target gains off-raw vocabulary,
+    and weights shift by the same constant for every raw gram."""
+    from compss_python_spark.llm.sampling import dsir_importance_weights
+
+    raw = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb")], "doc_id long, text string"
+    )
+    t1 = spark.createDataFrame([(10, "aa bb")], "doc_id long, text string")
+    # same target plus a doc whose grams are (almost surely) in buckets
+    # the raw corpus never touches
+    t2 = spark.createDataFrame(
+        [(10, "aa bb"), (11, "zz qq ww ee rr tt yy uu")],
+        "doc_id long, text string",
+    )
+    w1 = {r["doc_id"]: r["log_weight"]
+          for r in dsir_importance_weights(raw, t1, num_buckets=4096).collect()}
+    w2 = {r["doc_id"]: r["log_weight"]
+          for r in dsir_importance_weights(raw, t2, num_buckets=4096).collect()}
+    assert w1[1] == w1[2] and w2[1] == w2[2]
+    # enlarging the target total must strictly lower raw docs' weights
+    assert w2[1] < w1[1]
