@@ -157,7 +157,17 @@ def minhash_signatures(
     # One transform over a seed sequence, not num_hashes unrolled columns:
     # identical values, but O(1) generated-code size (64 unrolled array_min
     # expressions cost ~5 s of first-run JIT compilation).
-    sh = base.select("_id", shingle_hashes.alias("_sh"))
+    # The checkpoint is a COLLAPSE BARRIER, not (only) a cache: without a
+    # materialization boundary Catalyst's CollapseProject inlines the
+    # shingle-array expression into the num_hashes-seed lambda (reference
+    # counting does not see uses inside higher-order functions), so the
+    # whole tokenize→hash→shingle chain re-evaluates PER SEED — measured
+    # 500 s vs 5 s at sf0.1 for the bare signature job.  Callers that
+    # persist() downstream were accidentally protected; this makes the
+    # function safe standalone.
+    sh = base.select("_id", shingle_hashes.alias("_sh")).localCheckpoint(
+        eager=False
+    )
     return sh.select(
         "_id",
         F.transform(
@@ -381,7 +391,11 @@ def minhash_lsh_pairs_md5(
     exists to give the full LSH→CC→survivors pipeline an exact oracle.
     """
     rows_per_band = _validate_bands(num_hashes, bands, "minhash_lsh_pairs_md5")
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
+    # collapse barrier — see minhash_signatures: without it the shingle
+    # chain re-evaluates per seed inside the persisted computation
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
+    ).localCheckpoint(eager=False)
     sig = sh.select(
         "_id",
         F.transform(
@@ -1211,9 +1225,13 @@ def minhash_index(
     (zero shuffle); the posting explode is ×bands, still narrow.
     """
     rows_per_band = _validate_bands(num_hashes, bands, "minhash_index")
+    # collapse barriers — see minhash_signatures: one between shingles and
+    # the seed transform (else shingles re-evaluate per seed) and one
+    # between the signature and the band slices (else the 16-seed
+    # transform re-evaluates per band)
     sh = df.select(
         F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
-    )
+    ).localCheckpoint(eager=False)
     sig = sh.select(
         "_id",
         F.transform(
@@ -1225,7 +1243,7 @@ def minhash_index(
                 )
             ),
         ).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
     return sig.select(
         F.col("_id").alias(id_col),
         F.explode(

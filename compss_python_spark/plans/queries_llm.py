@@ -1178,8 +1178,24 @@ def dedup_minhash_index_probe(spark, sf_dir):
     must not be re-shuffled per increment.  md5 hash family → the oracle
     re-derives signatures, band keys, the bucket-capped probe join and
     every agreement fraction."""
+    import os
+
     docs = table(spark, sf_dir, "documents")
-    index = dedup.minhash_index(docs.filter(F.col("doc_id") % 5 != 0))
+    # The operational shape: the index is PERSISTED parquet (signatures
+    # computed once at ingest), not a live plan — probing a live plan
+    # would re-run the md5 signature stage for every consumer (the
+    # bucket-size aggregate and the probe join each re-evaluate their
+    # input).  Scratch layout mirrors the io queries.
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp", "io",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(root, f"mh_index_{tag}")
+    dedup.minhash_index(docs.filter(F.col("doc_id") % 5 != 0)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    index = spark.read.parquet(path)
     return dedup.minhash_index_probe(
         index, docs.filter(F.col("doc_id") % 5 == 0), threshold=0.3
     )
