@@ -614,7 +614,9 @@ def simhash_pairs(
     (pigeonhole: hamming ≤ bands−1 guarantees an exact-match band), candidate
     pairs share a chunk, verified with bit_count(xor) ≤ max_hamming."""
     chunk = 64 // bands
-    h = simhashes(df, id_col, text_col)
+    # pinned: the banded table self-joins (a × b) — without the barrier
+    # the per-doc simhash aggregation re-runs for each join side
+    h = simhashes(df, id_col, text_col).localCheckpoint(eager=False)
     banded = h.select(
         "_id",
         "_sh",
