@@ -209,6 +209,66 @@ def lsh_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 6,
+    seed: int = 42,
+    plane_source: str = "gauss",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): ONE hash table; each
+    query probes its home bucket plus every bucket at Hamming distance 1
+    (one sign bit flipped — the buckets a near-miss neighbor most likely
+    fell into).  Recall comparable to OR-amplification over ~num_planes
+    tables, at 1/num_tables the index cost: the corpus is bucketed and
+    shuffled ONCE and stored ONCE, and the (num_planes+1)× amplification
+    moves to the query side — the cheap side at 100 TB, where the corpus
+    dominates and query sets are bounded.  Exact cosine re-rank within
+    candidates, as :func:`lsh_topk`.
+
+    ``plane_source='md5'`` swaps Gaussian hyperplanes for
+    :func:`md5_planes` (SQL-recomputable → exact oracle parity)."""
+    planes = md5_planes(dim, num_planes, 0) if plane_source == "md5" else None
+    c = hyperplane_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv", dim, num_planes, seed, "_bkt", planes=planes,
+    )
+    q = hyperplane_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv", dim, num_planes, seed, "_bkt", planes=planes,
+    )
+    # Collapse barrier BEFORE the probe explode: the probe array references
+    # _bkt (num_planes+1) times, and CollapseProject would inline the full
+    # num_planes-dot-product bucket expression into every element
+    # (quadratic re-evaluation — see SCALE.md round-7 finding on HOF/alias
+    # re-eval).  Query side only; the corpus side references _bkt once and
+    # stays pipelined with the scan.
+    q = q.localCheckpoint(eager=False)
+    probes = F.explode(
+        F.array(
+            F.col("_bkt"),
+            *[F.col("_bkt").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+        )
+    ).alias("_pbkt")
+    qp = q.select("query_id", "_qv", probes)
+    cand = (
+        c.join(qp, c["_bkt"] == qp["_pbkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(cosine_expr(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6),
+    ).drop("_qv", "_cv")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def _train_quantizer_sample(
     corpus: DataFrame,
     vec_col: str,

@@ -459,6 +459,68 @@ def similarity_topk_lsh_md5(spark, sf_dir):
     )
 
 
+@query(
+    "similarity_topk_lsh_multiprobe_md5",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         planes AS (
+           SELECT p.p AS pl,
+                  list_transform(range(0, 64),
+                    d -> CAST('0x' || substr(md5(concat(0, ':', p.p, ':', d)), 1, 12) AS BIGINT)
+                         / 140737488355328.0 - 1.0) AS h
+           FROM generate_series(0, 5) p(p)
+         ),
+         cb AS (
+           SELECT v.vec_id,
+                  CAST(SUM(CASE WHEN list_dot_product(v.e, pl.h) > 0
+                           THEN 1 << pl.pl ELSE 0 END) AS BIGINT) AS bkt
+           FROM v, planes pl GROUP BY v.vec_id
+         ),
+         qb AS (SELECT q.query_id, cb.bkt FROM q JOIN cb ON cb.vec_id = q.query_id),
+         probes AS (
+           SELECT qb.query_id,
+                  unnest(list_prepend(qb.bkt,
+                    list_transform(range(0, 6),
+                      p -> xor(qb.bkt, CAST(1 << p AS BIGINT))))) AS pbkt
+           FROM qb
+         ),
+         cand AS (
+           SELECT DISTINCT pr.query_id, cb.vec_id AS neighbor_id
+           FROM probes pr JOIN cb ON cb.bkt = pr.pbkt
+           WHERE cb.vec_id <> pr.query_id
+         ),
+         scored AS (
+           SELECT c.query_id, c.neighbor_id,
+                  ROUND(LIST_DOT_PRODUCT(q.qe, v.e)
+                        / (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe))
+                           * SQRT(LIST_DOT_PRODUCT(v.e, v.e))), 6) AS cosine
+           FROM cand c JOIN q ON q.query_id = c.query_id
+                       JOIN v ON v.vec_id = c.neighbor_id
+         ),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rn
+           FROM scored)
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def similarity_topk_lsh_multiprobe_md5(spark, sf_dir):
+    """Multi-probe LSH ANN (Lv et al., VLDB'07) with md5-derived
+    hyperplanes: ONE hash table — the corpus is bucketed, shuffled and
+    stored ONCE — and each query probes its home bucket plus every
+    Hamming-distance-1 bucket (one sign bit flipped), recovering the
+    recall that `similarity_topk_lsh_md5` buys with 4× corpus
+    amplification.  At 100 TB the corpus side dominates; moving the
+    amplification to the bounded query side is the scale win.  DuckDB
+    recomputes buckets, the probe sequence, the candidate set and the
+    re-rank — full hash parity."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_multiprobe_topk(
+        emb, emb.filter("vec_id < 10"), k=5, num_planes=6, plane_source="md5",
+    )
+
+
 @query("similarity_topk_ivf", sql=None, headline=True)
 def similarity_topk_ivf(spark, sf_dir):
     """IVF ANN (KMeans coarse quantizer, nprobe=3 of 16 cells) — centroid

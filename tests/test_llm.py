@@ -175,6 +175,25 @@ def test_lsh_topk_recall(emb):
     assert recall > 0.5, f"LSH recall {recall} too low for 4 planes × 8 tables"
 
 
+def test_lsh_multiprobe_recall_dominates_single_table(emb):
+    """Multi-probe candidates are a superset of the single-table home-bucket
+    candidates (same seed → same hyperplanes for table 0), so its recall is
+    deterministically ≥ the single-table recall — the OR-amplification
+    replacement it exists to be."""
+    exact = similarity.brute_force_topk(emb, emb.filter("vec_id < 20"), k=5)
+    single = similarity.lsh_topk(
+        emb, emb.filter("vec_id < 20"), k=5, num_planes=4, num_tables=1
+    )
+    multi = similarity.lsh_multiprobe_topk(
+        emb, emb.filter("vec_id < 20"), k=5, num_planes=4
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    s = {(r["query_id"], r["neighbor_id"]) for r in single.collect()}
+    m = {(r["query_id"], r["neighbor_id"]) for r in multi.collect()}
+    assert len(e & m) >= len(e & s)
+    assert len(e & m) / len(e) > 0.5, f"multi-probe recall {len(e & m)/len(e)} too low"
+
+
 def test_embedding_near_dup_symmetric_bound(emb):
     out = dedup.embedding_near_dup_pairs(emb, min_cosine=0.5, allow_full_scan=True).collect()
     for r in out:
