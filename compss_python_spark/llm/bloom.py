@@ -279,6 +279,39 @@ def bloom_contains_sharded(
     )
 
 
+def bloom_prejoin(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    m: int = 1 << 20,
+    k: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Runtime-filter join: build a Bloom over ``small[on]``, prune ``big``
+    BEFORE its shuffle, then run the exact join.  The result is IDENTICAL
+    to ``big.join(small, on)`` — pruning has no false negatives (every true
+    match survives) and false positives are eliminated by the join itself —
+    so the whole plan is hash-oracle-able against a plain SQL join.
+
+    This is the explicit form of semi-join pushdown / runtime row-group
+    filtering: at 100 TB the big side's shuffle volume drops by the
+    selectivity of the small side's key set (bitmap cost: m/8 bytes
+    broadcast once, vs shuffling the non-matching majority of the big
+    table).  Spark's own InjectRuntimeFilter does this inside the scan for
+    eligible shapes; this operator makes it available on any source and
+    any plan position, at a false-positive rate of ~(1-e^{-kn/m})^k.
+
+    Only inner/semi joins are eligible (an outer join must keep unmatched
+    big-side rows, which pruning would drop)."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(f"bloom_prejoin: pruning is only sound for inner/semi joins, got {how!r}")
+    bf = bloom_build(small, on, m, k)
+    pruned = bloom_contains(big, on, bf, "_bloom_member").filter(
+        F.col("_bloom_member")
+    ).drop("_bloom_member")
+    return pruned.join(small, on, how)
+
+
 def bloom_filter_out(df: DataFrame, key_col: str, bf: BloomFilter) -> DataFrame:
     """Keep only rows whose key is (probably) NOT in the filter — the
     incremental-dedup / decontamination action.  By Bloom semantics this

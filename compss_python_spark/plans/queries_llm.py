@@ -1523,6 +1523,42 @@ def dedup_bloom_membership(spark, sf_dir):
 
 
 @query(
+    "join_bloom_runtime_filter",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_runtime_filter(spark, sf_dir):
+    """Bloom runtime-filter join: the filtered orders side builds a bitmap,
+    lineitem is pruned BEFORE its shuffle, then the exact join runs.  The
+    oracle is the PLAIN join — pruning is invisible in the result (no false
+    negatives; false positives die in the join), which is exactly the
+    point: a 100 TB fact table sheds its non-matching majority for the cost
+    of one broadcast bitmap instead of shuffling it all into the join."""
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "_jk", F.col("l_orderkey").cast("string")
+    )
+    od = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select(F.col("o_orderkey").cast("string").alias("_jk"))
+    )
+    j = bloom.bloom_prejoin(li, od, "_jk", m=1 << 20, k=5)
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
     "llm_leakage_safe_split",
     sql=r"""
     WITH RECURSIVE tok AS (

@@ -419,6 +419,32 @@ def test_bloom_filter_membership(spark):
     assert len(kept) == 300 - fp
 
 
+def test_bloom_prejoin_exact_and_pruning(spark):
+    """bloom_prejoin returns EXACTLY the plain join's rows (false positives
+    die in the join, no false negatives exist), while the pre-join prune
+    actually drops the non-matching majority of the big side; outer joins
+    are rejected (pruning would drop their unmatched rows)."""
+    import pandas as pd
+    import pytest as _pt
+
+    from compss_python_spark.llm import bloom
+
+    big = spark.createDataFrame(
+        pd.DataFrame({"k": [f"k{i}" for i in range(1000)], "v": range(1000)})
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": [f"k{i}" for i in range(0, 1000, 50)], "w": range(20)})
+    )
+    got = {(r["k"], r["v"], r["w"]) for r in bloom.bloom_prejoin(big, small, "k", m=4096, k=4).collect()}
+    want = {(r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect()}
+    assert got == want and len(want) == 20
+    bf = bloom.bloom_build(small, "k", m=4096, k=4)
+    pruned = bloom.bloom_contains(big, "k", bf, "_m").filter("_m").count()
+    assert pruned < 100  # 20 true matches + few false positives, not 1000
+    with _pt.raises(ValueError, match="inner/semi"):
+        bloom.bloom_prejoin(big, small, "k", how="left")
+
+
 def test_bloom_null_keys(spark):
     """Null keys: excluded from the build, reported as non-members in
     bloom_contains (no crash in the Arrow gather), kept by filter_out."""
