@@ -1533,6 +1533,7 @@ def dedup_bloom_membership(spark, sf_dir):
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY l_returnflag
     """,
+    headline=True,
 )
 def join_bloom_runtime_filter(spark, sf_dir):
     """Bloom runtime-filter join: the filtered orders side builds a bitmap,
