@@ -33,6 +33,7 @@ from pyspark.sql.functions import pandas_udf
 
 _MAX_BITMAP_BYTES = 1 << 30  # 1 GiB broadcast budget
 _SPARSE_MAX_SET_BITS = 4_000_000  # above this, collect bitmaps not rows
+_LITERAL_BITMAP_MAX_BITS = 1 << 16  # ≤1024-long array literal → pure-JVM membership
 
 
 def _h48(col, offset: int):
@@ -122,8 +123,41 @@ def bloom_build(
     return BloomFilter(bits=bits, m=m, k=k)
 
 
+def _bloom_contains_literal(
+    df: DataFrame, key_col: str, bf: BloomFilter, output_col: str
+) -> DataFrame:
+    """Pure-JVM membership for small bitmaps: the bits become a
+    constant-folded array<long> literal (little-endian packing: bit p lives
+    at bit (p & 63) of long (p >> 6)), and each of the k positions is
+    tested with element_at + shiftright + AND — whole-stage codegen, zero
+    Python.  Bit-identical to the Arrow-gather path (property-tested)."""
+    nlongs = (bf.m + 63) // 64
+    raw = bf.bits.tobytes().ljust(nlongs * 8, b"\x00")
+    words = np.frombuffer(raw, dtype="<u8").tolist()
+    signed = [int(w) - (1 << 64) if w >= (1 << 63) else int(w) for w in words]
+    lit_arr = F.array(*[F.lit(w).cast("long") for w in signed])
+    key = F.col(key_col)
+    safe = F.coalesce(key, F.lit(""))
+    h1, h2 = _h48(safe, 1), _h48(safe, 13)
+    member = F.lit(True)
+    for j in range(bf.k):
+        p = (h1 + F.lit(j) * h2) % F.lit(bf.m)
+        word = F.element_at(lit_arr, F.floor(p / F.lit(64)).cast("int") + F.lit(1))
+        bit = F.call_function(
+            "shiftright", word, (p % F.lit(64)).cast("int")
+        ).bitwiseAND(F.lit(1))
+        member = member & (bit == F.lit(1))
+    return df.withColumn(
+        output_col, F.when(key.isNull(), F.lit(False)).otherwise(member)
+    )
+
+
 def bloom_contains(
-    df: DataFrame, key_col: str, bf: BloomFilter, output_col: str = "bloom_member"
+    df: DataFrame,
+    key_col: str,
+    bf: BloomFilter,
+    output_col: str = "bloom_member",
+    deterministic: bool = True,
 ) -> DataFrame:
     """Adds a boolean ``output_col``: true iff all k positions of the key
     are set — "probably seen" (exact for members, false-positive at the
@@ -132,7 +166,21 @@ def bloom_contains(
     F.when short-circuit also keeps nulls out of the Arrow batch, where a
     null position array would poison the numpy gather).  Hashing runs
     JVM-side; the only Python is a vectorized bitmap gather over the
-    broadcast bits."""
+    broadcast bits.
+
+    ``deterministic=False`` marks the membership UDF nondeterministic —
+    results are identical, but it stops InferFiltersFromConstraints from
+    CLONING the membership predicate onto the other side of a downstream
+    equi-join on the key (observed in bloom_prejoin's plan: the small side
+    paid a second full Bloom pass for zero pruning, every reference key
+    being a member by construction).
+
+    Bitmaps of ≤ 2^16 bits skip Python entirely: the bitmap rides the plan
+    as a constant-folded array<long> literal and each of the k bit tests is
+    a shiftright/AND expression inside whole-stage codegen — no Arrow
+    round-trip for the common small-reference-set case."""
+    if bf.m <= _LITERAL_BITMAP_MAX_BITS:
+        return _bloom_contains_literal(df, key_col, bf, output_col)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(bf.bits)
 
@@ -145,6 +193,8 @@ def bloom_contains(
         hit = (bits[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1
         return pd.Series(hit.all(axis=1))
 
+    if not deterministic:
+        _member = _member.asNondeterministic()
     key = F.col(key_col)
     # The coalesce keeps the Arrow batch null-free even if Spark evaluates
     # the UDF branch on every row (CASE WHEN does not short-circuit Python
@@ -283,9 +333,10 @@ def bloom_prejoin(
     big: DataFrame,
     small: DataFrame,
     on: str,
-    m: int = 1 << 20,
+    m: int | None = None,
     k: int = 5,
     how: str = "inner",
+    bits_per_key: int = 10,
 ) -> DataFrame:
     """Runtime-filter join: build a Bloom over ``small[on]``, prune ``big``
     BEFORE its shuffle, then run the exact join.  The result is IDENTICAL
@@ -302,11 +353,30 @@ def bloom_prejoin(
     any plan position, at a false-positive rate of ~(1-e^{-kn/m})^k.
 
     Only inner/semi joins are eligible (an outer join must keep unmatched
-    big-side rows, which pruning would drop)."""
+    big-side rows, which pruning would drop).
+
+    ``m=None`` (default) auto-sizes the bitmap from the small side's key
+    count at ``bits_per_key`` (10 bits/key, k=5 → ~1% false positives) —
+    a FIXED m is a scale trap: the 100× probe showed a 2^20 bitmap
+    saturating at 30 M keys (fp → 1), paying the full membership pass on
+    the 600 M-row fact side while pruning NOTHING.  If the auto-sized
+    bitmap would blow the broadcast budget, pruning is skipped and the
+    plain join runs — the same degrade-to-exact fallback as Spark's own
+    runtime-filter `maxNumBits` guard (pruning is an optimization; the
+    join is the contract)."""
     if how not in ("inner", "semi", "left_semi", "leftsemi"):
         raise ValueError(f"bloom_prejoin: pruning is only sound for inner/semi joins, got {how!r}")
-    bf = bloom_build(small, on, m, k)
-    pruned = bloom_contains(big, on, bf, "_bloom_member").filter(
+    method = "auto"
+    if m is None:
+        n = small.filter(F.col(on).isNotNull()).count()
+        m = max(1 << 14, 1 << (max(1, bits_per_key * n) - 1).bit_length())
+        if (m + 7) // 8 > _MAX_BITMAP_BYTES:
+            return big.join(small, on, how)
+        # n is known — pick the build method here so bloom_build's 'auto'
+        # probe doesn't re-count the small side.
+        method = "sparse" if n * k <= _SPARSE_MAX_SET_BITS else "dense"
+    bf = bloom_build(small, on, m, k, method=method)
+    pruned = bloom_contains(big, on, bf, "_bloom_member", deterministic=False).filter(
         F.col("_bloom_member")
     ).drop("_bloom_member")
     return pruned.join(small, on, how)

@@ -1533,7 +1533,6 @@ def dedup_bloom_membership(spark, sf_dir):
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY l_returnflag
     """,
-    headline=True,
 )
 def join_bloom_runtime_filter(spark, sf_dir):
     """Bloom runtime-filter join: the filtered orders side builds a bitmap,
@@ -1550,7 +1549,7 @@ def join_bloom_runtime_filter(spark, sf_dir):
         .filter("o_orderpriority = '1-URGENT'")
         .select(F.col("o_orderkey").cast("string").alias("_jk"))
     )
-    j = bloom.bloom_prejoin(li, od, "_jk", m=1 << 20, k=5)
+    j = bloom.bloom_prejoin(li, od, "_jk")  # m auto-sized from the key count
     return j.groupBy("l_returnflag").agg(
         F.count("*").alias("n_lines"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(

@@ -417,6 +417,16 @@ def test_bloom_filter_membership(spark):
     kept = bloom.bloom_filter_out(probe, "k", sparse).collect()
     assert all(r["k"].startswith("novel-") for r in kept)
     assert len(kept) == 300 - fp
+    # the pure-JVM literal-bitmap path (m <= 2^16) is bit-identical to the
+    # Arrow-gather path on the same filter
+    orig = bloom._LITERAL_BITMAP_MAX_BITS
+    bloom._LITERAL_BITMAP_MAX_BITS = 0
+    try:
+        arrow_out = {r["k"]: r["bloom_member"]
+                     for r in bloom.bloom_contains(probe, "k", sparse).collect()}
+    finally:
+        bloom._LITERAL_BITMAP_MAX_BITS = orig
+    assert arrow_out == out
 
 
 def test_bloom_prejoin_exact_and_pruning(spark):
@@ -435,14 +445,23 @@ def test_bloom_prejoin_exact_and_pruning(spark):
     small = spark.createDataFrame(
         pd.DataFrame({"k": [f"k{i}" for i in range(0, 1000, 50)], "w": range(20)})
     )
-    got = {(r["k"], r["v"], r["w"]) for r in bloom.bloom_prejoin(big, small, "k", m=4096, k=4).collect()}
     want = {(r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect()}
-    assert got == want and len(want) == 20
+    for m in (4096, None):  # explicit and auto-sized bitmap
+        got = {(r["k"], r["v"], r["w"]) for r in bloom.bloom_prejoin(big, small, "k", m=m, k=4).collect()}
+        assert got == want and len(want) == 20
     bf = bloom.bloom_build(small, "k", m=4096, k=4)
     pruned = bloom.bloom_contains(big, "k", bf, "_m").filter("_m").count()
     assert pruned < 100  # 20 true matches + few false positives, not 1000
     with _pt.raises(ValueError, match="inner/semi"):
         bloom.bloom_prejoin(big, small, "k", how="left")
+    # over-budget auto-sizing degrades to the exact plain join, not an error
+    orig = bloom._MAX_BITMAP_BYTES
+    bloom._MAX_BITMAP_BYTES = 1
+    try:
+        got = {(r["k"], r["v"], r["w"]) for r in bloom.bloom_prejoin(big, small, "k").collect()}
+        assert got == want
+    finally:
+        bloom._MAX_BITMAP_BYTES = orig
 
 
 def test_bloom_null_keys(spark):
