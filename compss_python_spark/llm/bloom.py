@@ -345,12 +345,19 @@ def bloom_prejoin(
     so the whole plan is hash-oracle-able against a plain SQL join.
 
     This is the explicit form of semi-join pushdown / runtime row-group
-    filtering: at 100 TB the big side's shuffle volume drops by the
-    selectivity of the small side's key set (bitmap cost: m/8 bytes
-    broadcast once, vs shuffling the non-matching majority of the big
-    table).  Spark's own InjectRuntimeFilter does this inside the scan for
-    eligible shapes; this operator makes it available on any source and
-    any plan position, at a false-positive rate of ~(1-e^{-kn/m})^k.
+    filtering: the big side's shuffle volume drops by the selectivity of
+    the small side's key set (bitmap cost: m/8 bytes broadcast once, vs
+    shuffling the non-matching majority of the big table).  Spark's own
+    InjectRuntimeFilter does this inside the scan for eligible shapes;
+    this operator makes it available on any source and any plan position,
+    at a false-positive rate of ~(1-e^{-kn/m})^k.
+
+    Crossover condition (measured — SCALE.md round-7 sixth finding): the
+    prune pays k md5 probes per big-side row to save shuffle bytes, so it
+    wins only when the shuffle is the bottleneck — network-bound
+    exchanges, wide fact rows, low match selectivity.  On a single-JVM
+    local shuffle of narrow rows the PLAIN join is faster (8× at the 100×
+    probe); don't use this operator there.
 
     Only inner/semi joins are eligible (an outer join must keep unmatched
     big-side rows, which pruning would drop).
