@@ -14,7 +14,10 @@ as-is and l_partkey/l_suppkey are untouched, so dim joins remain valid and
 broadcast-able — exactly how a real 100 TB corpus grows (facts grow, dims
 don't).
 
-Usage: python tools/scale_probe.py [replicas] [--rebuild]
+Usage: python tools/scale_probe.py [replicas] [--rebuild] [name_filter...]
+Positional non-digit args are query-name substrings: when given, only
+matching queries run (and ANY registry query matches, not just headliners —
+handy for probing a new operator at 10×/100× before promoting it).
 Writes the replica under .scratch/sfX/ (gitignored) and prints one JSON
 line compatible with bench.py's shape.
 """
@@ -79,7 +82,16 @@ def main() -> None:
         build_replica(spark, dst, replicas)
         print(f"# built {dst} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    headline = {n: s for n, s in REGISTRY.items() if s.headline}
+    filters = [a for a in sys.argv[1:] if not a.isdigit() and not a.startswith("--")]
+    if filters:
+        headline = {
+            n: s for n, s in REGISTRY.items() if any(f in n for f in filters)
+        }
+        if not headline:
+            print(f"no registry query matches {filters}", file=sys.stderr)
+            sys.exit(1)
+    else:
+        headline = {n: s for n, s in REGISTRY.items() if s.headline}
     first, steady = {}, {}
     for name, spec in headline.items():
         t0 = time.perf_counter()
