@@ -355,10 +355,11 @@ def encode_jpeg(
 
 def decode_jpeg_pixels(payload: bytes | None) -> np.ndarray | None:
     """Decode a baseline-sequential JPEG to uint8 pixels: (H, W) for
-    grayscale, (H, W, 3) RGB for 3-component 4:4:4.  Returns None for
-    non-JPEG payloads; raises ValueError for JPEG features outside the
-    documented baseline scope (progressive, subsampled chroma, restart
-    intervals, 12-bit)."""
+    grayscale, (H, W, 3) RGB for 3-component 4:4:4 / 4:2:2 / 4:2:0
+    (nearest-neighbor chroma upsampling).  Returns None for non-JPEG
+    payloads; raises ValueError for JPEG features outside the documented
+    baseline scope (progressive, restart intervals, 12-bit, arithmetic
+    coding)."""
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     d = bytes(payload)
