@@ -173,7 +173,9 @@ def bloom_contains(
     CLONING the membership predicate onto the other side of a downstream
     equi-join on the key (observed in bloom_prejoin's plan: the small side
     paid a second full Bloom pass for zero pruning, every reference key
-    being a member by construction).
+    being a member by construction).  Honored on the Arrow path only: the
+    literal path below is a pure expression and cannot be marked
+    nondeterministic — see bloom_prejoin for why that is harmless there.
 
     Bitmaps of ≤ 2^16 bits skip Python entirely: the bitmap rides the plan
     as a constant-folded array<long> literal and each of the k bit tests is
@@ -375,17 +377,39 @@ def bloom_prejoin(
         raise ValueError(f"bloom_prejoin: pruning is only sound for inner/semi joins, got {how!r}")
     method = "auto"
     if m is None:
-        n = small.filter(F.col(on).isNotNull()).count()
+        # Materialize the small side once (lazy localCheckpoint: the sizing
+        # aggregate triggers it) so the three consumers — sizing count,
+        # bitmap build, final join — don't each re-execute its plan.
+        small = small.localCheckpoint(eager=False)
+        # Size from DISTINCT keys: a dup-heavy small side would oversize m
+        # (or spuriously trip the budget fallback) if sized by row count.
+        n = int(
+            small.filter(F.col(on).isNotNull())
+            .agg(F.count_distinct(F.col(on)))
+            .first()[0]
+        )
         m = max(1 << 14, 1 << (max(1, bits_per_key * n) - 1).bit_length())
         if (m + 7) // 8 > _MAX_BITMAP_BYTES:
             return big.join(small, on, how)
         # n is known — pick the build method here so bloom_build's 'auto'
-        # probe doesn't re-count the small side.
+        # probe doesn't re-count the small side.  (n*k counts distinct
+        # keys; duplicate rows re-set the same bits, so this bound holds.)
         method = "sparse" if n * k <= _SPARSE_MAX_SET_BITS else "dense"
-    bf = bloom_build(small, on, m, k, method=method)
-    pruned = bloom_contains(big, on, bf, "_bloom_member", deterministic=False).filter(
-        F.col("_bloom_member")
-    ).drop("_bloom_member")
+    # Collision-free flag column: big may already carry _bloom_member (e.g.
+    # the output of a prior bloom_contains), which the plain join would
+    # keep — silently replacing it would break the result-identity contract.
+    flag = "_bloom_member"
+    while flag in big.columns or flag in small.columns:
+        flag += "_"
+    # deterministic=False blocks InferFiltersFromConstraints from cloning
+    # the probe onto the small side.  Only the Arrow path honors it (pure
+    # expressions can't be marked nondeterministic); on the literal path
+    # (m ≤ 2^16 ⇒ small side ≤ ~6.5k keys) the clone costs k JVM probes
+    # over that tiny side — harmless by the same bound that sized the
+    # bitmap, and the literal filter stays pushdown-eligible on the big
+    # side in exchange.
+    pruned = bloom_contains(big, on, bloom_build(small, on, m, k, method=method),
+                            flag, deterministic=False).filter(F.col(flag)).drop(flag)
     return pruned.join(small, on, how)
 
 

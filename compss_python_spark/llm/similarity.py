@@ -103,6 +103,30 @@ def brute_force_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def _rerank_candidates(cand: DataFrame, k: int) -> DataFrame:
+    """Shared exact re-rank contract for the LSH candidate paths: dedup
+    (query_id, neighbor_id) pairs, cosine rounded to 6 dp, desc-cosine /
+    asc-neighbor tiebreak, rn ≤ k.  ONE definition — the SQL oracles
+    reproduce this exact tail, so a tweak here (tiebreak, rounding) can't
+    silently diverge between the variants."""
+    scored = (
+        cand.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_expr(
+                    F.col("_qv").cast("array<double>"),
+                    F.col("_cv").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def md5_planes(dim: int, num_planes: int, table_id: int = 0) -> list[list[float]]:
     """Engine-portable pseudo-random hyperplanes: component (table, p, d) =
     first 12 hex digits of md5("table:p:d") mapped linearly onto [-1, 1).
@@ -199,14 +223,8 @@ def lsh_topk(
         c.join(q, ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "_qv", "_cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine",
-        F.round(cosine_expr(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6),
-    ).drop("_qv", "_cv")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return _rerank_candidates(cand, k)
 
 
 def lsh_multiprobe_topk(
@@ -259,14 +277,8 @@ def lsh_multiprobe_topk(
         c.join(qp, c["_bkt"] == qp["_pbkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "_qv", "_cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine",
-        F.round(cosine_expr(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6),
-    ).drop("_qv", "_cv")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return _rerank_candidates(cand, k)
 
 
 def _train_quantizer_sample(

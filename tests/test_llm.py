@@ -462,6 +462,14 @@ def test_bloom_prejoin_exact_and_pruning(spark):
         assert got == want
     finally:
         bloom._MAX_BITMAP_BYTES = orig
+    # a pre-existing _bloom_member column on the big side survives (the
+    # internal prune flag picks a collision-free name)
+    big2 = big.withColumn("_bloom_member", big["v"] % 2 == 0)
+    out2 = bloom.bloom_prejoin(big2, small, "k", m=4096, k=4)
+    assert "_bloom_member" in out2.columns
+    want2 = {(r["k"], r["v"], r["_bloom_member"]) for r in big2.join(small, "k").collect()}
+    got2 = {(r["k"], r["v"], r["_bloom_member"]) for r in out2.collect()}
+    assert got2 == want2
 
 
 def test_bloom_null_keys(spark):

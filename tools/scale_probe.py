@@ -71,17 +71,18 @@ def build_replica(spark, dst: str, replicas: int) -> None:
 
 
 def main() -> None:
+    # Strict arg shape, validated BEFORE the (multi-minute) replica build:
+    # replicas must be argv[1]; a digit anywhere else is ambiguous ("probe
+    # bloom 100" would otherwise silently run at the default 10×).
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
-    dst = os.path.join(REPO, ".scratch", f"sf0.1x{replicas}")
-    spark = get_spark("scale_probe")
-
-    if "--rebuild" in sys.argv and os.path.isdir(dst):
-        shutil.rmtree(dst)
-    if not os.path.isdir(os.path.join(dst, "lineitem.parquet")):
-        t0 = time.perf_counter()
-        build_replica(spark, dst, replicas)
-        print(f"# built {dst} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
+    stray = [a for a in sys.argv[2:] if a.isdigit()]
+    if stray:
+        print(
+            f"replica count must be the FIRST argument; got stray digits {stray} "
+            f"(usage: scale_probe.py [replicas] [--rebuild] [name_filter...])",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     filters = [a for a in sys.argv[1:] if not a.isdigit() and not a.startswith("--")]
     if filters:
         headline = {
@@ -92,6 +93,16 @@ def main() -> None:
             sys.exit(1)
     else:
         headline = {n: s for n, s in REGISTRY.items() if s.headline}
+
+    dst = os.path.join(REPO, ".scratch", f"sf0.1x{replicas}")
+    spark = get_spark("scale_probe")
+
+    if "--rebuild" in sys.argv and os.path.isdir(dst):
+        shutil.rmtree(dst)
+    if not os.path.isdir(os.path.join(dst, "lineitem.parquet")):
+        t0 = time.perf_counter()
+        build_replica(spark, dst, replicas)
+        print(f"# built {dst} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     first, steady = {}, {}
     for name, spec in headline.items():
         t0 = time.perf_counter()
