@@ -689,6 +689,42 @@ def normalize_text(
     return df.withColumn(output_col, c)
 
 
+def html_to_text(col) -> Column:
+    """HTML → text extraction as ONE chained JVM regexp expression — the
+    dependency-free Spark-expression analogue of the boilerplate-removal
+    step every crawl pipeline runs before quality/dedup (CCNet, Dolma and
+    FineWeb use trafilatura/resiliparse; those are C/Python codecs, out of
+    scope here — this covers the deterministic tag/entity/whitespace
+    layer, zero Python, linear in bytes, zero shuffle).
+
+    Steps, in order: drop <script>/<style> elements with their content,
+    drop comments, convert <br> and closing block tags to newlines, strip
+    every remaining tag, decode the six dominant entities (&amp; LAST so
+    double-encoded text degrades deterministically), collapse horizontal
+    whitespace, collapse newline runs (absorbing surrounding spaces), trim.
+    Every step is RE2-compatible (no backreferences), so a SQL oracle
+    reproduces the extraction byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?i)<br[^>]*>", "\n")
+    s = F.regexp_replace(s, r"(?i)</(p|div|h[1-6]|li|tr|table|blockquote|ul|ol)>", "\n")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, ch in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ]:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, r"[ \t\x0B\f\r]+", " ")
+    s = F.regexp_replace(s, " ?\n[ \n]*", "\n")
+    return F.trim(s)
+
+
 def skipgram_cooccurrence(
     df: DataFrame,
     text_col: str = "text",

@@ -2421,6 +2421,92 @@ def text_normalize(spark, sf_dir):
     )
 
 
+_HTML_PREFIX = (
+    '<html><head><style>p{margin:0}</style>'
+    '<script>var x = "<p>hidden</p>";</script></head>'
+    "<body><h1>Title</h1>\n<p>"
+)
+_HTML_SUFFIX = (
+    "</p>\n<!-- footer comment --><br/>"
+    "<div>tail&nbsp;&amp;&lt;end&gt;</div></body></html>"
+)
+
+
+@query(
+    "text_html_extract",
+    sql="""
+    WITH esc AS (
+      SELECT doc_id,
+             replace(replace(replace(text, '&', '&amp;'),
+                     '<', '&lt;'), '>', '&gt;') AS t
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             '<html><head><style>p{margin:0}</style>'
+               || '<script>var x = "<p>hidden</p>";</script></head>'
+               || '<body><h1>Title</h1>' || chr(10) || '<p>'
+               || replace(t, chr(10), '</p>' || chr(10) || '<p>')
+               || '</p>' || chr(10) || '<!-- footer comment --><br/>'
+               || '<div>tail&nbsp;&amp;&lt;end&gt;</div></body></html>' AS html
+      FROM esc),
+    x AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(html,
+                             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                         '(?s)<!--.*?-->', ' ', 'g'),
+                       '(?i)<br[^>]*>', chr(10), 'g'),
+                     '(?i)</(p|div|h[1-6]|li|tr|table|blockquote|ul|ol)>',
+                     chr(10), 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+               '[ \\t\\x0B\\f\\r]+', ' ', 'g'),
+               ' ?\\n[ \\n]*', chr(10), 'g')) AS ext
+      FROM h)
+    SELECT doc_id, md5(ext) AS text_md5,
+           CAST(LENGTH(ext) AS BIGINT) AS n_chars
+    FROM x
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """HTML boilerplate extraction proven byte-for-byte: each document is
+    wrapped in a deterministic HTML shell (script/style elements whose
+    CONTENT must vanish, a comment, <br>, block tags, double-encoded
+    entities) that both engines synthesize identically; html_to_text's
+    RE2-compatible tag/entity/whitespace chain must then reduce it to the
+    same md5.  Zero shuffle — one chained JVM regexp expression, linear in
+    bytes, the Spark-expression analogue of the trafilatura/resiliparse
+    step in CCNet/Dolma-style crawl pipelines."""
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.replace(esc, F.lit("\n"), F.lit("</p>\n<p>")),
+        F.lit(_HTML_SUFFIX),
+    )
+    ext = text.html_to_text(html)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.encode(ext, "UTF-8")).alias("text_md5"),
+        F.length(ext).cast("long").alias("n_chars"),
+    )
+
+
 @query(
     "text_gopher_rules",
     sql=r"""

@@ -391,6 +391,25 @@ def test_duplicate_lines_boilerplate(spark):
         assert out[3]["clean_text"] == "totally unique document\nwith two lines"
 
 
+def test_html_to_text_extraction(spark):
+    """Handcrafted page: script/style CONTENT vanishes (including the fake
+    tags inside the script string), comments vanish, block closers and <br>
+    become newlines, entities decode, whitespace collapses."""
+    import pandas as pd
+
+    from compss_python_spark.llm import text as t
+
+    html = (
+        '<html><head><style>h{color:red}</style>'
+        '<script type="x">if (a<b) { alert("<p>no</p>"); }</script></head>'
+        "<body><h1>Head</h1><p>one &amp; two</p><ul><li>a</li><li>b</li></ul>"
+        "<div>x<br>y</div><!-- gone -->tail&nbsp;&lt;z&gt;</body></html>"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"h": [html]}))
+    out = df.select(t.html_to_text("h").alias("x")).first()["x"]
+    assert out == "Head\none & two\na\nb\nx\ny\ntail <z>"
+
+
 def test_bloom_filter_membership(spark):
     """No false negatives ever; sparse and dense builds produce identical
     bitmaps; bloom_filter_out never keeps a true member."""
