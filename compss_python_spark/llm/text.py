@@ -725,6 +725,74 @@ def html_to_text(col) -> Column:
     return F.trim(s)
 
 
+# Query params that identify tracking, not content — the standard crawl
+# canonicalization drop list (utm_* campaign tags, click ids, referrers).
+_TRACKING_PARAM_RE = "^(utm_[^=&#]*|gclid|fbclid|msclkid|ref|referrer)(=|$)"
+
+
+def canonicalize_url(col) -> Column:
+    """Crawl-style URL canonicalization as ONE chained JVM expression — the
+    prerequisite for URL-keyed dedup / frontier dedup (two spellings of the
+    same page must collide BEFORE the Bloom/exact-dedup key is built).
+
+    Rules, in order: strip the fragment; lowercase scheme and authority
+    (host casing is insignificant per RFC 3986, path casing is NOT —
+    preserved); drop default ports (:80 for http, :443 for https); resolve
+    ``/./`` and up to FOUR levels of ``/../`` dot segments (fixed-depth
+    chain — full RFC resolution is iterative; deeper nesting, vanishingly
+    rare in crawl URLs, passes through unresolved and still canonicalizes
+    consistently); empty path becomes ``/``; tracking params
+    (utm_*/gclid/fbclid/msclkid/ref/referrer) are removed by an array
+    filter over the split query string — order of surviving params is
+    PRESERVED (sorting would merge semantically different URLs whose
+    servers are order-sensitive); an emptied query drops its ``?``.
+
+    Everything is RE2-compatible (no backreferences, fixed-count
+    repetition), so a SQL oracle reproduces the canonical form
+    byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.substring_index(c, "#", 1)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    auth = F.when(
+        scheme == "http", F.regexp_replace(auth, ":80$", "")
+    ).otherwise(
+        F.when(scheme == "https", F.regexp_replace(auth, ":443$", "")).otherwise(auth)
+    )
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    path = F.substring_index(rest, "?", 1)
+    # Dot segments, lookahead-free so RE2 (the oracle engine) matches Java
+    # byte-for-byte.  '/./' twice (a global pass doesn't rescan its own
+    # replacements, so '/././' needs two), then a trailing '/.'.
+    path = F.regexp_replace(path, r"/\./", "/")
+    path = F.regexp_replace(path, r"/\./", "/")
+    path = F.regexp_replace(path, r"/\.$", "/")
+    # '/seg/../' resolution: four innermost-first passes, then a trailing
+    # '/seg/..'.  Deeper nesting passes through; '..' itself can match as
+    # the segment, so chains ABOVE the root ('/../../') may over-collapse —
+    # deterministic in both engines, documented, and irrelevant to real
+    # crawl URLs (servers reject above-root paths anyway).
+    for _ in range(4):
+        path = F.regexp_replace(path, r"/[^/]+/\.\./", "/")
+    path = F.regexp_replace(path, r"/[^/]+/\.\.$", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.substring(rest, F.instr(rest, "?") + F.lit(1), F.length(rest))
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    keep_qs = rest.contains("?") & (F.size(params) > 0)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(keep_qs, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
 def skipgram_cooccurrence(
     df: DataFrame,
     text_col: str = "text",

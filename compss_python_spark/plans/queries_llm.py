@@ -2508,6 +2508,86 @@ def text_html_extract(spark, sf_dir):
 
 
 @query(
+    "text_url_canonicalize",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://Src-' || source || '.Example.COM:443/Docs/'
+               || CAST(doc_id % 7 AS VARCHAR) || '/../'
+               || CAST(doc_id AS VARCHAR)
+               || '/./view?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+               || '&ref=rss&page=' || CAST(doc_id % 3 AS VARCHAR)
+               || '#sec-' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             split_part(url, '#', 1) AS u
+      FROM raw),
+    sa AS (
+      SELECT doc_id, u,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS auth0,
+             regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS rest
+      FROM parts),
+    sb AS (
+      SELECT doc_id, scheme, rest,
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+                  ELSE auth0 END AS auth,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 split_part(rest, '?', 1),
+                 '/\\./', '/', 'g'), '/\\./', '/', 'g'), '/\\.$', '/'),
+                 '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\./', '/', 'g'),
+                 '/[^/]+/\\.\\./', '/', 'g'), '/[^/]+/\\.\\./', '/', 'g'),
+                 '/[^/]+/\\.\\.$', '/') AS path0,
+             CASE WHEN instr(rest, '?') > 0
+                  THEN substring(rest, instr(rest, '?') + 1) ELSE '' END AS qs
+      FROM sa),
+    sc AS (
+      SELECT doc_id, scheme, auth,
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             list_filter(string_split(qs, '&'),
+               p -> len(p) > 0 AND NOT regexp_matches(p,
+                 '^(utm_[^=&#]*|gclid|fbclid|msclkid|ref|referrer)(=|$)')) AS params,
+             instr(rest, '?') > 0 AS had_q
+      FROM sb)
+    SELECT doc_id,
+           scheme || '://' || auth || path ||
+             CASE WHEN had_q AND len(params) > 0
+                  THEN '?' || array_to_string(params, '&') ELSE '' END
+             AS canonical_url
+    FROM sc
+    """,
+)
+def text_url_canonicalize(spark, sf_dir):
+    """URL canonicalization proven byte-for-byte: a deterministic messy URL
+    per document (mixed-case scheme/host, default port, '..' and '.' dot
+    segments, utm/ref tracking params interleaved with real ones, a
+    fragment) that both engines synthesize identically; canonicalize_url's
+    RE2-compatible chain must reduce it to the same canonical string.
+    Zero shuffle — one chained JVM expression, the crawl-dedup key step."""
+    d = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("HTTPS://Src-"),
+        F.col("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/../"),
+        d,
+        F.lit("/./view?utm_source=feed&id="),
+        d,
+        F.lit("&ref=rss&page="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("#sec-"),
+        d,
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", text.canonicalize_url(url).alias("canonical_url")
+    )
+
+
+@query(
     "text_gopher_rules",
     sql=r"""
     WITH s AS (

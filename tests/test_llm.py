@@ -410,6 +410,28 @@ def test_html_to_text_extraction(spark):
     assert out == "Head\none & two\na\nb\nx\ny\ntail <z>"
 
 
+def test_canonicalize_url(spark):
+    """Fragment stripped, scheme/host case-folded (path case preserved),
+    default ports dropped, dot segments resolved, tracking params removed
+    with surviving-param order preserved, emptied query drops its '?'."""
+    import pandas as pd
+
+    from compss_python_spark.llm import text as t
+
+    cases = {
+        "HTTPS://Example.COM:443/a/b/../c/./D?utm_source=x&id=5&fbclid=y#frag":
+            "https://example.com/a/c/D?id=5",
+        "http://Host.com:80": "http://host.com/",
+        "http://h/p?utm_a=1": "http://h/p",
+        "http://h/p?b=2&a=1&ref=spam": "http://h/p?b=2&a=1",
+        "http://h:8080/x/./y/../z?": "http://h:8080/x/z",
+        "https://h:80/q": "https://h:80/q",  # :80 is NOT default for https
+    }
+    df = spark.createDataFrame(pd.DataFrame({"u": list(cases)}))
+    out = {r["u"]: r["c"] for r in df.select("u", t.canonicalize_url("u").alias("c")).collect()}
+    assert out == cases
+
+
 def test_bloom_filter_membership(spark):
     """No false negatives ever; sparse and dense builds produce identical
     bitmaps; bloom_filter_out never keeps a true member."""
