@@ -430,6 +430,10 @@ def test_canonicalize_url(spark):
     df = spark.createDataFrame(pd.DataFrame({"u": list(cases)}))
     out = {r["u"]: r["c"] for r in df.select("u", t.canonicalize_url("u").alias("c")).collect()}
     assert out == cases
+    # canonical form is a fixed point: re-canonicalizing changes nothing
+    df2 = spark.createDataFrame(pd.DataFrame({"u": list(cases.values())}))
+    out2 = {r["u"]: r["c"] for r in df2.select("u", t.canonicalize_url("u").alias("c")).collect()}
+    assert out2 == {v: v for v in cases.values()}
 
 
 def test_bloom_filter_membership(spark):
