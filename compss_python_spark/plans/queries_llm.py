@@ -2588,6 +2588,102 @@ def text_url_canonicalize(spark, sf_dir):
 
 
 @query(
+    "pipeline_crawl_ingest",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id, text,
+             'HTTP://Mirror.Example.COM:80/item/'
+               || CAST(doc_id % 97 AS VARCHAR)
+               || '/./index?utm_medium=crawl&v=1#top' AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, text,
+             'http://mirror.example.com/item/'
+               || CAST(doc_id % 97 AS VARCHAR)
+               || '/index?v=1' AS canonical_url
+      FROM raw),
+    surv AS (
+      SELECT canonical_url, MIN(doc_id) AS keep_id
+      FROM canon GROUP BY canonical_url),
+    kept AS (
+      SELECT s.canonical_url, s.keep_id, c.text
+      FROM surv s JOIN canon c ON c.doc_id = s.keep_id),
+    ext AS (
+      SELECT keep_id,
+             trim(regexp_replace(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   '<html><body><p>'
+                     || replace(replace(replace(replace(text, '&', '&amp;'),
+                          '<', '&lt;'), '>', '&gt;'), chr(10),
+                          '</p>' || chr(10) || '<p>')
+                     || '</p></body></html>',
+                   '(?i)</(p|div|h[1-6]|li|tr|table|blockquote|ul|ol)>',
+                   chr(10), 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '[ \\t\\x0B\\f\\r]+', ' ', 'g'),
+               ' ?\\n[ \\n]*', chr(10), 'g')) AS t
+      FROM kept),
+    dec AS (
+      SELECT keep_id,
+             replace(replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+      FROM ext)
+    SELECT COUNT(*) AS n_pages,
+           CAST(SUM(len(string_split_regex(trim(t), '\\s+'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(LENGTH(t)) AS BIGINT) AS total_chars
+    FROM dec
+    """,
+)
+def pipeline_crawl_ingest(spark, sf_dir):
+    """Crawl-ingestion composite: messy per-doc URL (doc_id%97 item
+    slots → ~5 docs collide per canonical URL at sf0.01) → canonicalize_url → URL-keyed
+    exact dedup (min-doc_id survivor per canonical URL) → survivors'
+    synthetic HTML unwrapped by html_to_text → corpus totals.  The oracle
+    PRE-COMPUTES the canonical URL in closed form (the per-step chain is
+    already byte-proven by text_url_canonicalize) and replays the
+    extraction chain — composition-level parity on top of the unit
+    oracles.  Scale shape: one groupBy(canonical_url) shuffle for the
+    dedup; everything else is chained JVM expressions."""
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("HTTP://Mirror.Example.COM:80/item/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("/./index?utm_medium=crawl&v=1#top"),
+    )
+    canon = docs.select(
+        "doc_id", "text", text.canonicalize_url(url).alias("canonical_url")
+    )
+    surv = canon.groupBy("canonical_url").agg(F.min("doc_id").alias("keep_id"))
+    kept = surv.join(
+        canon.select(F.col("doc_id").alias("keep_id"), "text"), "keep_id"
+    )
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.replace(esc, F.lit("\n"), F.lit("</p>\n<p>")),
+        F.lit("</p></body></html>"),
+    )
+    ext = text.html_to_text(html)
+    return kept.select(ext.alias("t")).agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.size(F.split(F.trim(F.col("t")), r"\s+"))).cast("long").alias("total_tokens"),
+        F.sum(F.length("t")).cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "text_gopher_rules",
     sql=r"""
     WITH s AS (
