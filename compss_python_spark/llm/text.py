@@ -793,6 +793,33 @@ def canonicalize_url(col) -> Column:
     )
 
 
+def filter_boilerplate_lines(
+    text_col,
+    min_tokens: int = 3,
+    max_punct_pct: int = 50,
+) -> Column:
+    """Line-level boilerplate removal — the CCNet-style pass AFTER tag
+    stripping (:func:`html_to_text`): drop lines that read as navigation /
+    chrome rather than prose.  A line survives iff it has at least
+    ``min_tokens`` whitespace tokens AND its non-letter/digit/space
+    character count is at most ``max_punct_pct`` percent of its length
+    (menus, separators and cookie banners are short or punctuation-dense).
+    The ratio test is INTEGER cross-multiplication (punct·100 ≤ pct·len) —
+    no float division, so the SQL oracle is exact and empty lines can't
+    divide by zero.  One HOF filter over the split lines, reassembled with
+    array_join — zero Python, zero shuffle, linear in bytes."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def keep(ln):
+        toks = F.size(F.split(F.trim(ln), r"\s+"))
+        punct = F.length(F.regexp_replace(ln, r"[\p{L}\p{N}\s]", ""))
+        return (toks >= F.lit(min_tokens)) & (
+            punct * F.lit(100) <= F.lit(max_punct_pct) * F.length(ln)
+        )
+
+    return F.array_join(F.filter(F.split(c, "\n"), keep), "\n")
+
+
 def skipgram_cooccurrence(
     df: DataFrame,
     text_col: str = "text",

@@ -2684,6 +2684,49 @@ def pipeline_crawl_ingest(spark, sf_dir):
 
 
 @query(
+    "text_line_quality_filter",
+    sql="""
+    WITH messy AS (
+      SELECT doc_id,
+             text || chr(10) || '====' || chr(10) || '* * * * *'
+                  || chr(10) || 'OK' || chr(10)
+                  || 'this line stays here fine' AS m
+      FROM documents),
+    filt AS (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(string_split(m, chr(10)),
+                 ln -> len(string_split_regex(trim(ln), '\\s+')) >= 3
+                       AND len(regexp_replace(ln, '[\\p{L}\\p{N}\\s]', '', 'g')) * 100
+                           <= 50 * len(ln)),
+               chr(10)) AS t
+      FROM messy)
+    SELECT doc_id, md5(t) AS kept_md5,
+           CAST(LENGTH(t) AS BIGINT) AS n_chars,
+           CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines
+    FROM filt
+    """,
+)
+def text_line_quality_filter(spark, sf_dir):
+    """Line-level boilerplate filtering proven byte-for-byte: each document
+    gains four deterministic junk lines (separator run, punctuation burst,
+    a one-word line, one prose line that must SURVIVE); the
+    token-count + integer punct-ratio filter must reduce both engines to
+    the same reassembled md5.  Zero shuffle — one HOF filter expression."""
+    messy = F.concat(
+        F.col("text"),
+        F.lit("\n====\n* * * * *\nOK\nthis line stays here fine"),
+    )
+    kept = text.filter_boilerplate_lines(messy)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.encode(kept, "UTF-8")).alias("kept_md5"),
+        F.length(kept).cast("long").alias("n_chars"),
+        F.size(F.split(kept, "\n")).cast("long").alias("n_lines"),
+    )
+
+
+@query(
     "text_gopher_rules",
     sql=r"""
     WITH s AS (

@@ -436,6 +436,20 @@ def test_canonicalize_url(spark):
     assert out2 == {v: v for v in cases.values()}
 
 
+def test_filter_boilerplate_lines(spark):
+    """Separator runs, punctuation bursts and one-word lines drop; prose
+    lines survive in order."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from compss_python_spark.llm import text as t
+
+    doc = "real prose sentence here\n====\n* * * * *\nOK\nanother good long line"
+    df = spark.createDataFrame(pd.DataFrame({"x": [doc]}))
+    out = df.select(t.filter_boilerplate_lines("x").alias("k")).first()["k"]
+    assert out == "real prose sentence here\nanother good long line"
+
+
 def test_bloom_filter_membership(spark):
     """No false negatives ever; sparse and dense builds produce identical
     bitmaps; bloom_filter_out never keeps a true member."""
