@@ -39,10 +39,18 @@ from compss_python_spark.plans._proven import (  # noqa: E402
     SLOT_PRIORITY,
 )
 
-PROVEN_ALL: frozenset[str] = PROVEN | PROVEN_R6
+_repo_root = _pathlib.Path(__file__).resolve().parents[2]
+
+# Authoritative proven set: derived from the driver's own CORRECTNESS
+# artifacts (latest row per name must be green).  The static frozensets in
+# _proven are only the round-1 / corrupted-tree fallback — round 7 showed
+# that hand-maintained per-round sets rot (no PROVEN_R7 was ever written,
+# which would have burned the round-8 window re-proving the r7 batch).
+_artifact_proven = _depmap.proven_from_artifacts(_repo_root)
+PROVEN_ALL: frozenset[str] = _artifact_proven if _artifact_proven else (PROVEN | PROVEN_R6)
 
 _reslot = _depmap.reslot_for_changed(REGISTRY, PROVEN_ALL, CHANGED_MODULES)
-_round = _depmap.current_round(_pathlib.Path(__file__).resolve().parents[2])
+_round = _depmap.current_round(_repo_root)
 _canary_pool = [n for n in REGISTRY if n in PROVEN_ALL and n not in _reslot]
 _canary = _depmap.canary(_canary_pool, _round)
 

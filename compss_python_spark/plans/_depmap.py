@@ -158,6 +158,55 @@ def canary(proven_in_registry_order: list[str], round_no: int, k: int = 6) -> tu
     return tuple(proven_in_registry_order[(start + i) % n] for i in range(min(k, n)))
 
 
+def proven_from_artifacts(repo_root) -> frozenset[str]:
+    """Driver-proven query names derived from the ``CORRECTNESS_r*.json``
+    artifacts themselves (no hand-maintained per-round frozensets).
+
+    A name is proven iff its MOST RECENT driver row is green: a value-hash
+    match, or — for declared rows-only queries, which register no oracle —
+    the driver's weaker rows-only record (``err == 'no_oracle'`` with a
+    recorded spark row count).  Evaluating only the latest row per name
+    means a future red row automatically UN-proves the query, putting it
+    back in the window's tier 1 next round.  Returns an empty set when no
+    artifact parses (round 1, or a corrupted tree) — callers fall back to
+    the static frozensets in :mod:`._proven`.
+    """
+    import json
+    import os
+    import re
+
+    latest: dict[str, tuple[int, bool]] = {}
+    try:
+        files = [
+            f
+            for f in os.listdir(repo_root)
+            if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
+        ]
+    except OSError:
+        return frozenset()
+    # numeric sort so r10 follows r09 regardless of zero-padding
+    files.sort(key=lambda f: int(re.search(r"r(\d+)", f).group(1)))
+    for f in files:
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        try:
+            with open(os.path.join(repo_root, f), encoding="utf-8") as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, green)
+    return frozenset(n for n, (_, g) in latest.items() if g)
+
+
 def current_round(repo_root) -> int:
     """Round number inferred from the driver's CORRECTNESS_r*.json files —
     deterministic and clock-free (r01..r06 present -> round 7)."""

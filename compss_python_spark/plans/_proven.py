@@ -236,6 +236,19 @@ PROVEN_R6: frozenset[str] = frozenset({
 # of a shared helper re-proves its dependents in the driver window even
 # though their own bodies did not change.
 CHANGED_MODULES: frozenset[str] = frozenset({
+    # round 8 edits:
+    "geo.geo",                # neighbor_pairs antimeridian cell-width fix
+    "functions.statistics",   # histogram_quantiles lower-bound clamp
+    "llm.text",               # skipgram PMI double cast; HOF plan guard
+    "sources.io",             # atomic write_binary_files overwrite, id sanitization
+    "graph.pagerank",         # fused edge/node count aggregate, edges_unique contract
+    "llm.dedup",              # minhash index build/probe split
+})
+
+# Round-7 CHANGED_MODULES (kept for the record; the r7 window was consumed
+# by 50 new queries, so these re-slots never ran and roll into the r8
+# canary rotation instead):
+_CHANGED_MODULES_R7: frozenset[str] = frozenset({
     # round 7 edits:
     "functions.statistics",   # localCheckpoint boundary pinning, chi² nulls
     "functions.sketches",     # null-key contract

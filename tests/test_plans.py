@@ -239,6 +239,57 @@ def test_depmap_reslots_dependents_of_changed_modules():
     assert _depmap.reslot_for_changed(plans.REGISTRY, PROVEN_ALL, set()) == ()
 
 
+def test_proven_set_derives_from_correctness_artifacts():
+    """The proven set is read from the driver's CORRECTNESS_r*.json files,
+    not a hand-maintained frozenset (round 7's missing PROVEN_R7 would have
+    burned the round-8 window re-proving the same 50 rows).  Every name in
+    the NEWEST artifact must be proven — i.e. out of tier 1 — and a red or
+    errored row must NOT count as proven."""
+    import json
+    import pathlib
+    import re
+
+    from compss_python_spark import plans
+    from compss_python_spark.plans import PROVEN_ALL, _depmap
+
+    root = pathlib.Path(plans.__file__).resolve().parents[2]
+    files = sorted(
+        (f for f in root.iterdir() if re.fullmatch(r"CORRECTNESS_r\d+\.json", f.name)),
+        key=lambda f: int(re.search(r"r(\d+)", f.name).group(1)),
+    )
+    if not files:  # round 1: static fallback is in force
+        return
+    newest = json.loads(files[-1].read_text())
+    for name, row in newest.items():
+        green = bool(row.get("hash_match")) or (
+            row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+        )
+        if green and name in plans.REGISTRY:
+            assert name in PROVEN_ALL, f"{name} has a green driver row but sits in tier 1"
+    # tier 1 (window head) is exactly the unproven queries, in registry order
+    names = list(plans.REGISTRY)
+    n_unproven = sum(1 for n in names if n not in PROVEN_ALL)
+    assert all(n not in PROVEN_ALL for n in names[:n_unproven])
+
+    # red / errored rows never prove (synthetic artifact tree)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d)
+        (p / "CORRECTNESS_r01.json").write_text(json.dumps({
+            "good": {"hash_match": True, "err": None},
+            "red": {"hash_match": False, "rows_match": True, "err": None},
+            "errored": {"hash_match": None, "spark_rows": None, "err": "boom"},
+            "rows_only": {"hash_match": None, "spark_rows": 7, "err": "no_oracle"},
+            "regressed": {"hash_match": True, "err": None},
+        }))
+        (p / "CORRECTNESS_r02.json").write_text(json.dumps({
+            "regressed": {"hash_match": False, "rows_match": True, "err": None},
+        }))
+        got = _depmap.proven_from_artifacts(p)
+        assert got == {"good", "rows_only"}
+
+
 def test_depmap_canary_rotates_deterministically():
     from compss_python_spark.plans import _depmap
 
