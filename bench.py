@@ -1,8 +1,21 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "first_run": {name: sec}, "first_run_total": sec,
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines (round-7 lesson: the driver's tail buffer truncated a single
+long line into an unparseable artifact, so BOTH lines are kept small and
+either alone is a parseable record):
+
+1. a compact summary (<~300 B): {"metric", "value", "unit", "sf",
+   "n_queries", "calibration_sec", "first_run_total"}
+2. the detail line (<~4 KB): same keys plus {"queries": {name: sec},
+   "spread": {name: sec}} — per-query steady minima and spreads, rounded
+   to keep the line short.  The per-query FIRST-RUN map (cold-JVM
+   profile) moves to ``BENCH_FIRSTRUN.json`` next to this script.
+
+``calibration_sec`` is a fixed pure-JVM measurement
+(min-of-3 ``spark.range(500M).sum()``) so cross-round wall-clock can be
+normalized for host speed: round-7's driver and judge disagreed 6×
+uniformly on identical code — ambient host load, not code — and without a
+calibration row every round-over-round table is interpretive.
 
 Each query is executed to completion (collect-to-count of the result) —
 wall-clock includes scan, shuffle and result materialization.
@@ -37,6 +50,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from compss_python_spark.plans import REGISTRY  # noqa: E402
 from compss_python_spark.session import get_spark  # noqa: E402
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -79,22 +98,38 @@ def main() -> None:
             samples[name].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
     times = {n: min(s) for n, s in samples.items()}
-    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
+    spread = {n: round(max(s) - min(s), 2) for n, s in samples.items()}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "first_run": first_run,
-                "first_run_total": round(sum(first_run.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # Host-speed calibration: a fixed pure-JVM job (no Python, no parquet,
+    # no shuffle) whose cost depends only on the host.  min-of-3 steady.
+    cal = min(
+        _timed(lambda: spark.range(500_000_000).groupBy().sum("id").collect())
+        for _ in range(3)
     )
+
+    common = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(times),
+        "calibration_sec": cal,
+        "first_run_total": round(sum(first_run.values()), 3),
+    }
+    # Per-query cold-JVM detail goes to a sibling file, NOT stdout — it is
+    # the least-load-bearing map and the first candidate to push the detail
+    # line past the driver's tail window.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FIRSTRUN.json"),
+            "w",
+            encoding="utf-8",
+        ) as fh:
+            json.dump({**common, "first_run": first_run}, fh)
+    except OSError:
+        pass
+    print(json.dumps(common))
+    print(json.dumps({**common, "queries": times, "spread": spread}))
 
 
 if __name__ == "__main__":
