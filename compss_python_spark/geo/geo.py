@@ -357,7 +357,14 @@ def neighbor_pairs(
     # apart but thousands of naive floor(lon/dlon) cells apart — modular
     # neighbor arithmetic keeps the lossless-recall guarantee there
     # (haversine itself is wrap-safe: sin(Δλ/2) ≈ 0 at Δλ ≈ 360°).
-    ncx = max(1, _math.ceil(360.0 / dlon))
+    # ncx = FLOOR(360/dlon) with an effective cell width of 360/ncx ≥ dlon:
+    # ceil would leave a RESIDUAL last cell narrower than dlon, and a
+    # within-radius pair can straddle that whole cell — 2 cells apart,
+    # silently missed (e.g. radius 100.7 m at lat 84.9: points 5.3 m apart
+    # landed in cells ncx-2 and 0).  Flooring makes every modular cell at
+    # least dlon wide, so the one-boundary-max argument holds everywhere.
+    ncx = max(1, int(360.0 // dlon))
+    dlon_eff = 360.0 / ncx
     lat, lon = F.col(lat_col), F.col(lon_col)
     pts = df.select(
         F.col(id_col).alias("_id"),
@@ -373,7 +380,7 @@ def neighbor_pairs(
             ).cast("bigint"),
         ).otherwise(F.floor(lat / F.lit(dlat)).cast("bigint")).alias("_cy"),
         F.pmod(
-            F.floor((lon + F.lit(180.0)) / F.lit(dlon)).cast("bigint"), F.lit(ncx)
+            F.floor((lon + F.lit(180.0)) / F.lit(dlon_eff)).cast("bigint"), F.lit(ncx)
         ).alias("_cx"),
     )
     a = pts.select(

@@ -223,3 +223,44 @@ def test_neighbor_pairs_antimeridian_wrap(spark):
            for r in neighbor_pairs(df, "id", "lat", "lon", 200.0).collect()}
     assert set(got) == {(1, 2)}
     assert 100.0 < got[(1, 2)] < 130.0
+
+
+def test_neighbor_pairs_residual_cell_never_narrow(spark):
+    """Regression (round-8 advice): with ncx = ceil(360/dlon) the LAST
+    modular lon cell was narrower than dlon, so a within-radius pair could
+    straddle the whole residual cell — 2 cells apart — and be silently
+    missed (radius 100.7 m, lat 84.9, points 5.3 m apart landed in cells
+    34684 and 0 of ncx=34686).  Flooring (cell width 360/ncx ≥ dlon)
+    restores lossless recall; verify against brute force across a sweep of
+    offsets around ±180°."""
+    import math
+
+    from compss_python_spark.geo.geo import neighbor_pairs
+
+    radius, lat = 100.7, 84.9
+    # pairs 5.3 m apart at several positions straddling / near ±180°
+    dl = 5.3 / (111_320.0 * math.cos(math.radians(lat)))
+    pts = []
+    for k, center in enumerate((180.0, 179.9999, -179.9999, 179.999, 179.99)):
+        lo_a = center - dl / 2
+        lo_b = center + dl / 2
+        wrap = lambda x: ((x + 180.0) % 360.0) - 180.0
+        pts.append((10 * k + 1, lat, wrap(lo_a)))
+        pts.append((10 * k + 2, lat, wrap(lo_b)))
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r["id_a"], r["id_b"]) for r in
+           neighbor_pairs(df, "id", "lat", "lon", radius).collect()}
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        p1, p2 = math.radians(la1), math.radians(la2)
+        dp, dlmb = p2 - p1, math.radians(lo2 - lo1)
+        h = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dlmb / 2) ** 2
+        return 2 * 6371000 * math.asin(math.sqrt(h))
+
+    want = {(pts[i][0], pts[j][0])
+            for i in range(len(pts)) for j in range(i + 1, len(pts))
+            if round(hav(pts[i], pts[j]), 3) <= radius}
+    # every 5.3 m pair must be present — this is the lossless-recall claim
+    assert got == want
+    assert {(10 * k + 1, 10 * k + 2) for k in range(5)} <= got
