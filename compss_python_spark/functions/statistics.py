@@ -564,12 +564,22 @@ def histogram_quantiles(
             [(float(p), float(lo)) for p in sorted(probs)], "p double, quantile double"
         )
     w = (hi - lo) / float(bins)
+    # Clamp BOTH ends: values above a caller-supplied hi fold into the last
+    # bucket, and values below a caller-supplied lo fold into bucket 0 —
+    # an unclamped negative bucket index sorts before bucket 0 in the
+    # cumulative walk and shifts every quantile (interpolated results
+    # below lo).  With data-derived bounds both clamps are no-ops.
     hist = (
         df.filter(F.col(col).isNotNull())
         .select(
-            F.least(
-                F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)).cast("int"),
-                F.lit(bins - 1),
+            F.greatest(
+                F.least(
+                    F.floor(
+                        (F.col(col).cast("double") - F.lit(lo)) / F.lit(w)
+                    ).cast("int"),
+                    F.lit(bins - 1),
+                ),
+                F.lit(0),
             ).alias("bucket")
         )
         .groupBy("bucket")

@@ -587,8 +587,15 @@ def bigram_pmi(
             "w1",
             "w2",
             F.col("c_ab").cast("long").alias("c_ab"),
+            # cast BOTH products to double first: c_ab·T and c_a·c_b are
+            # long×long and silently wrap past 2^63 at the corpus scales
+            # this module targets (error under ANSI mode) — the oracle's
+            # DuckDB arithmetic promotes to HUGEINT and never wraps
             F.round(
-                F.log(F.col("c_ab") * F.col("_t") / (F.col("c_a") * F.col("c_b"))),
+                F.log(
+                    F.col("c_ab").cast("double") * F.col("_t")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
                 6,
             ).alias("pmi"),
         )
@@ -877,8 +884,13 @@ def skipgram_cooccurrence(
             "w1",
             "w2",
             F.col("c_pair").cast("long").alias("c_pair"),
+            # double-cast both products — long×long wraps past 2^63 at
+            # target corpus scale (see bigram_pmi)
             F.round(
-                F.log(F.col("c_pair") * F.col("_t") / (F.col("c_a") * F.col("c_b"))),
+                F.log(
+                    F.col("c_pair").cast("double") * F.col("_t")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
                 6,
             ).alias("pmi"),
         )

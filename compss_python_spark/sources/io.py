@@ -249,13 +249,24 @@ def write_binary_files(
     at plan time against a write that might never be materialized would
     be silent data loss), and the returned manifest (id, file, n_bytes)
     is a checkpointed leaf.  The manifest id column keeps the INPUT id
-    type (a string media id must not be coerced to long)."""
-    if mode == "overwrite" and os.path.isdir(path):
-        import shutil
+    type (a string media id must not be coerced to long).
 
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
+    Overwrite is ATOMIC-ON-SUCCESS: the export job writes into a temp
+    sibling directory and the old export is replaced by a rename only
+    after the job finishes — a mid-job failure leaves the previous export
+    untouched (rmtree-before-job would destroy it and leave a partial new
+    tree).  Ids whose string form contains a path separator or is a
+    relative-path token are rejected executor-side (they would escape the
+    target directory)."""
+    import shutil
+
     id_type = dict(df.dtypes)[id_col]
+    atomic = mode == "overwrite"
+    write_dir = f"{path.rstrip(os.sep)}.__tmp_export__" if atomic else path
+    if atomic and os.path.isdir(write_dir):
+        shutil.rmtree(write_dir)  # stale temp from a crashed prior call
+    os.makedirs(write_dir, exist_ok=True)
+    final_dir = path
 
     def dump(batches):
         import pandas as pd
@@ -263,11 +274,22 @@ def write_binary_files(
         for pdf in batches:
             files, sizes = [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                fp = os.path.join(path, f"{mid}{suffix}")
+                name = f"{mid}{suffix}"
+                if (
+                    os.sep in str(mid)
+                    or (os.altsep and os.altsep in str(mid))
+                    or str(mid) in ("", ".", "..")
+                ):
+                    raise ValueError(
+                        f"write_binary_files: id {mid!r} contains a path "
+                        "separator or is a relative-path token — it would "
+                        "write outside the target directory"
+                    )
                 data = bytes(p)
-                with open(fp, "wb") as f:
+                with open(os.path.join(write_dir, name), "wb") as f:
                     f.write(data)
-                files.append(fp)
+                # manifest records the FINAL location, not the temp dir
+                files.append(os.path.join(final_dir, name))
                 sizes.append(len(data))
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "file": files, "n_bytes": sizes}
@@ -276,4 +298,14 @@ def write_binary_files(
     manifest = df.select(id_col, payload_col).mapInPandas(
         dump, f"{id_col} {id_type}, file string, n_bytes long"
     )
-    return manifest.localCheckpoint(eager=True)
+    try:
+        manifest = manifest.localCheckpoint(eager=True)  # runs the export job
+    except Exception:
+        if atomic:
+            shutil.rmtree(write_dir, ignore_errors=True)
+        raise
+    if atomic:
+        if os.path.isdir(final_dir):
+            shutil.rmtree(final_dir)
+        os.rename(write_dir, final_dir)
+    return manifest

@@ -701,6 +701,41 @@ def test_binary_files_sink_and_source_roundtrip(spark, tmp_path):
     assert all(r["length"] == len(bytes(r["content"])) for r in rows)
 
 
+def test_binary_files_sink_atomic_overwrite_and_id_sanitization(spark, tmp_path):
+    """Round-8 advice: overwrite must not destroy the previous export until
+    the new one succeeds, and ids with path separators must be rejected
+    (they would write outside the target directory)."""
+    import os
+
+    import pytest as _pt
+
+    from compss_python_spark.sources.io import write_binary_files
+
+    out = str(tmp_path / "blobs")
+    ok = spark.createDataFrame([("a", b"v1")], "media_id string, payload binary")
+    write_binary_files(ok, out).collect()
+    assert (tmp_path / "blobs" / "a.bin").read_bytes() == b"v1"
+
+    # a failing overwrite (escaping id) leaves the OLD export intact
+    evil = spark.createDataFrame(
+        [("b", b"v2"), (f"..{os.sep}escape", b"v2")],
+        "media_id string, payload binary",
+    )
+    with _pt.raises(Exception, match="path separator|outside the target"):
+        write_binary_files(evil, out)
+    assert (tmp_path / "blobs" / "a.bin").read_bytes() == b"v1"
+    assert not (tmp_path / "escape.bin").exists()
+    assert not os.path.isdir(out + ".__tmp_export__")  # temp cleaned up
+
+    # a successful overwrite replaces it
+    new = spark.createDataFrame([("b", b"v2")], "media_id string, payload binary")
+    m = write_binary_files(new, out).collect()
+    assert [r["media_id"] for r in m] == ["b"]
+    assert m[0]["file"] == os.path.join(out, "b.bin")  # manifest: final path
+    assert (tmp_path / "blobs" / "b.bin").read_bytes() == b"v2"
+    assert not (tmp_path / "blobs" / "a.bin").exists()
+
+
 def test_histogram_quantiles_error_bound_and_edges(spark):
     """Histogram quantiles land within one bin width of the exact
     type-7 quantile; constant columns and bad probs handled."""
@@ -731,6 +766,21 @@ def test_histogram_quantiles_error_bound_and_edges(spark):
         histogram_quantiles(
             spark.createDataFrame([], "x double"), "x", [0.5]
         )
+
+    # Regression (round-8 advice): caller-supplied lo ABOVE the data min
+    # used to give values below lo negative bucket indices (only the upper
+    # end was clamped), shifting the cumulative walk and interpolating
+    # quantiles BELOW lo.  They must fold into bucket 0 — every quantile
+    # stays within [lo, hi] and upper quantiles stay exact-within-a-bin.
+    clamped = {r["p"]: r["quantile"] for r in
+               histogram_quantiles(df, "x", [0.5, 0.9], bins=500,
+                                   lo=float(np.quantile(vals, 0.10)),
+                                   hi=max(vals)).collect()}
+    lo10 = float(np.quantile(vals, 0.10))
+    w2 = (max(vals) - lo10) / 500.0
+    assert all(q >= lo10 - 1e-9 for q in clamped.values()), clamped
+    exact90 = float(np.quantile(np.array(vals), 0.9, method="linear"))
+    assert abs(clamped[0.9] - exact90) <= w2 + 1e-9
 
 
 def test_grouped_histogram_quantiles_per_group_error_bound(spark):

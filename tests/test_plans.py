@@ -239,6 +239,24 @@ def test_depmap_reslots_dependents_of_changed_modules():
     assert _depmap.reslot_for_changed(plans.REGISTRY, PROVEN_ALL, set()) == ()
 
 
+def test_pair_stream_split_evaluates_once_in_optimized_plan(spark):
+    """_pair_stream projects the token array to a bound column so the
+    split is NOT re-evaluated per element inside the transform lambda
+    (O(tokens²) per document, measured 15× slower).  CollapseProject can
+    inline projections into HOF lambdas on some plan shapes
+    (dedup.minhash_signatures needed a localCheckpoint barrier for
+    exactly that), so assert the shape rather than trust the idiom: the
+    optimized plan must contain exactly ONE split(...), sitting in a
+    Project below the Generate — never inlined into the lambdafunction."""
+    from compss_python_spark.llm.text import _pair_stream
+
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    plan = _pair_stream(df, "text", [])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    lam = plan[plan.index("lambdafunction"):] if "lambdafunction" in plan else ""
+    assert "split(" not in lam.split("ELSE")[0], plan
+
+
 def test_proven_set_derives_from_correctness_artifacts():
     """The proven set is read from the driver's CORRECTNESS_r*.json files,
     not a hand-maintained frozenset (round 7's missing PROVEN_R7 would have
