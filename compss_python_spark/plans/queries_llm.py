@@ -1185,6 +1185,91 @@ def decontaminate_corpus(spark, sf_dir):
     return out.select("doc_id", "n_hits", "contaminated")
 
 
+def _mh_index_path(sf_dir) -> str:
+    """Scratch location of the persisted MinHash-LSH index for ``sf_dir``.
+    The version tag invalidates prebuilt indexes when the signature
+    algorithm changes (bump it with any hash-family / banding edit)."""
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp", "io",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(root, f"mh_index_v1_{tag}")
+
+
+def _ensure_mh_index(spark, sf_dir) -> str:
+    """Build + persist the index shard (doc_id % 5 ≠ 0) only when absent,
+    so the PROBE query's steady-state cost measures the probe — the
+    operator's reason to exist is that increments do NOT pay ingest.  The
+    BUILD query (`dedup_minhash_index_build`) times ingest separately and
+    refreshes the same path whenever it runs."""
+    import os
+
+    path = _mh_index_path(sf_dir)
+    if not (os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS"))):
+        docs = table(spark, sf_dir, "documents")
+        dedup.minhash_index(docs.filter(F.col("doc_id") % 5 != 0)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+@query(
+    "dedup_minhash_index_build",
+    headline=True,
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok
+    ),
+    mh AS (
+      SELECT doc_id, g.j AS seed,
+             MIN(CAST('0x' || substr(md5(u.sg || '#' || g.j), 1, 12) AS BIGINT)) AS mh
+      FROM sh, UNNEST(sh.s) AS u(sg), generate_series(0, 15) AS g(j)
+      GROUP BY doc_id, g.j
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id)
+    SELECT doc_id, CAST(b.b AS BIGINT) AS band,
+           array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',') AS bkey,
+           array_to_string(sig, ',') AS sig_csv
+    FROM sig, generate_series(0, 3) AS b(b)
+    """,
+)
+def dedup_minhash_index_build(spark, sf_dir):
+    """INGEST half of the incremental MinHash-LSH dedup pipeline: compute
+    posting rows (doc_id, band, bkey, sig) for the historical shard
+    (doc_id % 5 ≠ 0) and persist them as the parquet index the probe
+    reads.  Registered separately from `dedup_minhash_index_probe` so the
+    bench charges ingest and probe to different rows — round 7's combined
+    query re-ingested per execution, and the headline number measured
+    ingest while claiming to measure the probe.  The timed body includes
+    the write AND a read-back (what an ingest actually costs); the oracle
+    re-derives every posting row, full signature included (as CSV — the
+    compare stringifies cells, and engine array renderings differ)."""
+    docs = table(spark, sf_dir, "documents")
+    path = _mh_index_path(sf_dir)
+    dedup.minhash_index(docs.filter(F.col("doc_id") % 5 != 0)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path).select(
+        "doc_id",
+        F.col("band").cast("long").alias("band"),
+        "bkey",
+        F.array_join(
+            F.transform("sig", lambda x: x.cast("string")), ","
+        ).alias("sig_csv"),
+    )
+
+
 @query(
     "dedup_minhash_index_probe",
     headline=True,
@@ -1233,31 +1318,17 @@ def decontaminate_corpus(spark, sf_dir):
     """,
 )
 def dedup_minhash_index_probe(spark, sf_dir):
-    """Incremental dedup against a PERSISTED LSH index: the corpus is
-    split into an already-ingested index side (doc_id % 5 ≠ 0, posting
-    table from `minhash_index`) and a new shard (doc_id % 5 = 0) that
-    probes it — the operational shape at 100 TB, where historical data
-    must not be re-shuffled per increment.  md5 hash family → the oracle
-    re-derives signatures, band keys, the bucket-capped probe join and
-    every agreement fraction."""
-    import os
-
+    """PROBE half of incremental dedup against a PERSISTED LSH index: the
+    new shard (doc_id % 5 = 0) probes the parquet posting table the BUILD
+    query ingested (doc_id % 5 ≠ 0) — the operational shape at 100 TB,
+    where historical data must not be re-shuffled (or re-ingested) per
+    increment.  The index is built lazily only if absent, so steady-state
+    timings measure the probe alone (round-7 verdict: the combined query's
+    headline number was dominated by ingest).  md5 hash family → the
+    oracle re-derives signatures, band keys, the bucket-capped probe join
+    and every agreement fraction."""
     docs = table(spark, sf_dir, "documents")
-    # The operational shape: the index is PERSISTED parquet (signatures
-    # computed once at ingest), not a live plan — probing a live plan
-    # would re-run the md5 signature stage for every consumer (the
-    # bucket-size aggregate and the probe join each re-evaluate their
-    # input).  Scratch layout mirrors the io queries.
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".tmp", "io",
-    )
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(root, f"mh_index_{tag}")
-    dedup.minhash_index(docs.filter(F.col("doc_id") % 5 != 0)).write.mode(
-        "overwrite"
-    ).parquet(path)
-    index = spark.read.parquet(path)
+    index = spark.read.parquet(_ensure_mh_index(spark, sf_dir))
     return dedup.minhash_index_probe(
         index, docs.filter(F.col("doc_id") % 5 == 0), threshold=0.3
     )
