@@ -53,8 +53,17 @@ def pagerank(
     checkpoint_every: int = 2,
     num_partitions: int | None = None,
     local_threshold: int = 4_000_000,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Returns (node, rank) with Σrank = 1 (uniform init, dangling-aware).
+
+    ``edges_unique=True`` is a caller CONTRACT that the (src, dst) pairs
+    are already deduplicated — the survivors pipeline's component edges
+    and pre-distincted fixtures qualify — and skips the distinct exchange
+    entirely (the single most expensive stage at the 100× probe: the
+    distinct over a 600 M-row join feed dominated the 56.7 s wall).
+    Duplicate edges under the contract silently over-weight their source's
+    contribution, so assert it only when the producer guarantees it.
 
     Two physical strategies, chosen by measured edge count (the same
     bounded-small-side adaptivity as Spark's broadcast-join threshold and
@@ -83,35 +92,31 @@ def pagerank(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     # ONE setup job serves the regime gate AND the loop stats: distinct +
-    # persist (which the distributed loop needs regardless), then a single
-    # agg over the 2·|E| id stream yields edge count (gate + width
-    # formula) and node count (init + dangling), materializing the cache
-    # as a side effect.  The previous raw-count gate paid a FULL extra
-    # scan of the edge source on the distributed path purely to decide
-    # the gate — when edges come from a join (the customer→supplier
-    # probe), that was a second multi-million-row join execution, and it
-    # dominated the measured wall at 10× (the loop itself is ~1 s).
-    # Gating on the DISTINCT count is also strictly more accurate:
-    # duplication-heavy edge tables no longer get pushed to the
-    # distributed loop when their real edge set fits locally.
-    e = d.distinct().persist()
-    # The gate needs only the edge count (materializes the cache as a side
-    # effect); the node count — a second distinct aggregation — is only
-    # needed by the distributed loop, so small graphs skip it entirely and
-    # its one extra job on the large path reads the cache, not the source.
-    n_edges = e.count()
+    # persist (which the distributed loop needs regardless, skipped under
+    # the edges_unique contract), then a SINGLE aggregate over the 2·|E|
+    # exploded id stream yields the edge count (gate + width formula) AND
+    # the node count (init + dangling) together, materializing the cache
+    # as a side effect.  History of this preamble: the round-6 raw-count
+    # gate re-executed a join-shaped SOURCE purely to decide the gate
+    # (dominated the 10× probe); round 7 counted the cached distinct edges
+    # but still paid a SECOND cache pass for the node count_distinct —
+    # two jobs over a 600 M-row feed at the 100× probe.  Fused, the cache
+    # is scanned once: the count_distinct's map-side partial agg rides the
+    # same pass as the row count.
+    e = (d if edges_unique else d.distinct()).persist()
+    stats = (
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        .agg(F.count("*").alias("_n2"), F.count_distinct("node").alias("_nn"))
+        .first()
+    )
+    n_edges = int(stats["_n2"]) // 2
+    n_nodes = int(stats["_nn"])
     if local_threshold and 2 * n_edges <= local_threshold:
         try:
             # Collect from the CACHED deduped edges (bounded by the gate).
             return _pagerank_local(e, damping, max_iters)
         finally:
             e.unpersist()
-    n_nodes = int(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .agg(F.count_distinct("node").alias("nn"))
-        .first()["nn"]
-    )
     if num_partitions is None:
         # ~500k edges/partition: measured optimum on a 5.9M-edge graph at
         # local[32] (16 partitions: 12.6 s vs 3: 16.7 s vs 32: 19.2 s for 8
@@ -296,6 +301,7 @@ def personalized_pagerank(
     checkpoint_every: int = 2,
     num_partitions: int | None = None,
     local_threshold: int = 4_000_000,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: random walk with restart into the SEED set
     (uniform over seeds) instead of the whole graph — the similarity /
@@ -321,7 +327,9 @@ def personalized_pagerank(
     d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
-    e = d.distinct().persist()
+    # edges_unique: same caller contract as :func:`pagerank` — skip the
+    # distinct exchange when the producer guarantees deduped pairs.
+    e = (d if edges_unique else d.distinct()).persist()
     # Edge count only (node count is not needed: the restart vector is
     # seed-based); one job, materializes the cache.
     n_edges = e.count()

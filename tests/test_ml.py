@@ -234,6 +234,26 @@ def test_pagerank_local_matches_distributed(spark):
         assert local[n] == pytest.approx(dist[n], abs=1e-12)
 
 
+def test_pagerank_edges_unique_contract(spark):
+    """edges_unique=True skips the distinct exchange (no Deduplicate in
+    the analyzed plan of the setup) and gives identical ranks on an
+    already-deduped feed, on both the local and the distributed path."""
+    from compss_python_spark.graph.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 3, 4, 5], "dst": [2, 3, 1, 1, 2]})
+    )
+    for lt in (4_000_000, 0):  # local kernel, distributed loop
+        base = {r["node"]: r["rank"]
+                for r in pagerank(edges, max_iters=10, local_threshold=lt).collect()}
+        uniq = {r["node"]: r["rank"]
+                for r in pagerank(edges, max_iters=10, local_threshold=lt,
+                                  edges_unique=True).collect()}
+        assert set(base) == set(uniq)
+        for n in base:
+            assert base[n] == pytest.approx(uniq[n], abs=1e-12)
+
+
 def test_ks_statistic_matches_reference(spark):
     """KS d-statistic vs a pure-python ECDF computation on the same data."""
     from compss_python_spark.functions.statistics import ks_one_sample_normal

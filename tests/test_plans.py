@@ -239,6 +239,45 @@ def test_depmap_reslots_dependents_of_changed_modules():
     assert _depmap.reslot_for_changed(plans.REGISTRY, PROVEN_ALL, set()) == ()
 
 
+def test_headline_plans_have_no_undeclared_python_nodes(spark, sf_dir):
+    """Every headline query's returned plan must stay JVM-side unless the
+    query is on the declared Python-kernel allowlist (Arrow-batched numpy
+    kernels where no built-in expression exists: multimodal decode,
+    sequence packing, IVF-PQ encode).  This mechanizes two past findings:
+    the Bloom probe's ArrowEvalPython cloned onto the broadcast side of a
+    join (round-7 PLANS.md staleness), and generally any regression that
+    drops a Python eval into a hot path.  Eagerly-materialized operators
+    return checkpointed leaves, so their loop internals are out of scope
+    by design — this guards the RETURNED dataflow."""
+    PY_NODES = (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+        "FlatMapGroupsInArrow",
+    )
+    ALLOWED = {
+        "llm_pack_sequences",          # applyInPandas 2-int loop state
+        "similarity_topk_ivfpq_md5",   # PQ encode numpy kernel
+        "multimodal_probe_headers",    # binary header decode
+        "multimodal_png_pixel_stats",  # PNG inflate+unfilter decode
+        "multimodal_jpeg_pixel_stats", # JPEG Huffman/IDCT decode
+    }
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if not spec.headline:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        hits = [n for n in PY_NODES if n in plan]
+        if hits and name not in ALLOWED:
+            offenders[name] = hits
+        if not hits and name in ALLOWED:
+            # allowlist rot: the query went pure-JVM — tighten the list
+            offenders[name] = "allowlisted but plan is pure JVM — remove"
+        spark.catalog.clearCache()
+    assert not offenders, offenders
+
+
 def test_pair_stream_split_evaluates_once_in_optimized_plan(spark):
     """_pair_stream projects the token array to a bound column so the
     split is NOT re-evaluated per element inside the transform lambda
