@@ -1,10 +1,19 @@
-"""Driver-proven query names from prior rounds.
+"""Driver-proven query names — static FALLBACK sets + this round's edits.
 
 The driver's per-round CORRECTNESS check records only the first ~50 REGISTRY
 entries (dict order).  ``plans/__init__`` therefore sorts queries that do not
-yet have a driver row FIRST, so each round proves a fresh batch.  A name
-belongs here once some CORRECTNESS_r{N}.json contains its row (green hash
-match, or the rows-only result for declared rows-only queries).
+yet have a driver row FIRST, so each round proves a fresh batch.
+
+Since round 8 the authoritative proven set is DERIVED at import time from
+the ``CORRECTNESS_r*.json`` artifacts themselves
+(:func:`._depmap.proven_from_artifacts` — a name is proven iff its most
+recent driver row is green), because hand-maintained per-round frozensets
+rot: round 7 never wrote a ``PROVEN_R7``, which would have burned the
+round-8 window re-proving the already-green r7 batch.  The frozensets
+below are kept ONLY as the fallback for a round-1 / corrupted-artifact
+tree.  What this module still maintains by hand each round:
+:data:`CHANGED_MODULES` (drives tier-2 re-proving) and
+:data:`SLOT_PRIORITY` (rare hand-pins).
 """
 
 # Rounds 1-5 (CORRECTNESS_r0{1..5}.json): every recorded row that was green
