@@ -25,7 +25,9 @@ DataFrame joins/aggs, with two scale-critical choices the reference lacks:
 - **Gate-sized setup**: the regime gate counts the distinct-edge cache the
   loop needs anyway (never the raw edge SOURCE — re-executing a join-shaped
   source to count it dominated the 10× probe); the node count (init +
-  dangling) runs only on the distributed path, as a cached-side aggregate.
+  dangling) is a narrow count of the persisted node list the distributed
+  loop materializes anyway — no standalone distinct-id aggregate runs
+  (a second 600 M-row cache pass dominated the 100× probe in round 7).
 
 Dangling nodes (no out-links) redistribute their mass uniformly, matching
 the standard formulation (and networkx) rather than leaking mass.
@@ -91,26 +93,18 @@ def pagerank(
     d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
-    # ONE setup job serves the regime gate AND the loop stats: distinct +
-    # persist (which the distributed loop needs regardless, skipped under
-    # the edges_unique contract), then a SINGLE aggregate over the 2·|E|
-    # exploded id stream yields the edge count (gate + width formula) AND
-    # the node count (init + dangling) together, materializing the cache
-    # as a side effect.  History of this preamble: the round-6 raw-count
-    # gate re-executed a join-shaped SOURCE purely to decide the gate
-    # (dominated the 10× probe); round 7 counted the cached distinct edges
-    # but still paid a SECOND cache pass for the node count_distinct —
-    # two jobs over a 600 M-row feed at the 100× probe.  Fused, the cache
-    # is scanned once: the count_distinct's map-side partial agg rides the
-    # same pass as the row count.
+    # Preamble job accounting (the 100× probe's dominant cost — history:
+    # the round-6 raw-count gate re-executed a join-shaped SOURCE purely
+    # to decide the gate; round 7 counted the cached distinct edges but
+    # paid a SECOND 600 M-row cache pass for the node count_distinct).
+    # Now the gate costs ONE cheap count of the cached distinct edges,
+    # and the node count comes free: the distributed loop materializes a
+    # distinct node list anyway, so n_nodes is a narrow count of THAT
+    # cached table inside the loop scope — no standalone distinct-id
+    # aggregate ever runs.  Under the edges_unique contract the edge
+    # distinct itself is skipped too.
     e = (d if edges_unique else d.distinct()).persist()
-    stats = (
-        e.select(F.explode(F.array("src", "dst")).alias("node"))
-        .agg(F.count("*").alias("_n2"), F.count_distinct("node").alias("_nn"))
-        .first()
-    )
-    n_edges = int(stats["_n2"]) // 2
-    n_nodes = int(stats["_nn"])
+    n_edges = e.count()
     if local_threshold and 2 * n_edges <= local_threshold:
         try:
             # Collect from the CACHED deduped edges (bounded by the gate).
@@ -129,7 +123,7 @@ def pagerank(
     try:
         with scoped_shuffle_partitions(spark, num_partitions):
             ranks, loop_helpers = _pagerank_loop(
-                e, n_nodes, damping, max_iters, checkpoint_every
+                e, damping, max_iters, checkpoint_every
             )
             helpers += loop_helpers
             # Materialize under the scoped conf; the returned plan is a
@@ -220,13 +214,15 @@ def _rank_schema(node_type) -> "T.StructType":
 
 def _pagerank_loop(
     e: DataFrame,
-    n_nodes: int,
     damping: float,
     max_iters: int,
     checkpoint_every: int,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Runs the iteration; returns (ranks, persisted helpers the caller
-    must unpersist after materializing ranks).
+    must unpersist after materializing ranks).  The node count (init +
+    dangling constant) is a narrow count of the persisted node list the
+    loop materializes anyway — see the preamble accounting in
+    :func:`pagerank`.
 
     Note: a source-nodes-only loop state (sinks' ranks never feed back;
     full-node update once at the end) was implemented and MEASURED SLOWER
@@ -241,6 +237,7 @@ def _pagerank_loop(
         .repartition("node")
         .persist()
     )
+    n_nodes = nodes.count()  # cached-side narrow job; materializes nodes
 
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     edges_w = (
