@@ -303,4 +303,18 @@ _CHANGED_MODULES_R7: frozenset[str] = frozenset({
 # Hand-pinned re-slots beyond what the dependency map finds (rarely
 # needed now; kept for queries whose behavior depends on state the static
 # map cannot see, e.g. fixture layout changes).
-SLOT_PRIORITY: tuple[str, ...] = ()
+#
+# Round 8: the dep map re-slots 83 proven queries (six modules changed)
+# but the ~50-row window only fits 18 of them IN REGISTRY ORDER — which
+# front-loads the statistics family (touched only by a one-line clamp
+# fix) while the queries whose executed code actually changed land at
+# positions 53-101.  Pin those six so the driver re-proves the real
+# edits; the coarse module-level re-slots fill the remaining slots.
+SLOT_PRIORITY: tuple[str, ...] = (
+    "quantiles_histogram",           # lower-bound clamp fix (statistics.py)
+    "quantiles_histogram_by_group",  # same helper, grouped path
+    "dedup_minhash_index_probe",     # new lazy-read body (ingest/probe split)
+    "graph_pagerank",                # fused count aggregate + node-list count
+    "graph_pagerank_symmetric",      # same loop, 2x-edge contract fixture
+    "text_skipgram_pmi",             # PMI long-overflow double cast
+)
