@@ -323,8 +323,11 @@ def test_proven_set_derives_from_correctness_artifacts():
         )
         if green and name in plans.REGISTRY:
             assert name in PROVEN_ALL, f"{name} has a green driver row but sits in tier 1"
-    # tier 1 (window head) is exactly the unproven queries, in registry order
-    names = list(plans.REGISTRY)
+    # After the tier-0 hand-pins, the window head is exactly the unproven
+    # queries (tier 1), in registry order.
+    from compss_python_spark.plans._proven import SLOT_PRIORITY
+
+    names = [n for n in plans.REGISTRY if n not in SLOT_PRIORITY]
     n_unproven = sum(1 for n in names if n not in PROVEN_ALL)
     assert all(n not in PROVEN_ALL for n in names[:n_unproven])
 
