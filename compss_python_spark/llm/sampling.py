@@ -253,12 +253,20 @@ def dsir_importance_weights(
     rank ties.  Documents with NULL text produce no grams and are
     excluded (match the raw side on ids to re-admit them if needed).
 
-    Scale shape: the corpus is scanned once per side for the gram explode
-    feeding a map-combined groupBy(bucket) — the model tables are
-    ``num_buckets`` rows however big the corpora, their totals come from a
-    window over those few rows, and the per-document scoring joins the
-    B-row log-ratio table BROADCAST onto doc-bucket counts.  No shuffle
-    wider than (doc, bucket); nothing driver-side.
+    Scale shape: each side's BUCKET MODEL comes from its own gram explode
+    feeding a map-combined groupBy(bucket) — B-row results however big
+    the corpora, nothing cached; the per-document scoring joins the B-row
+    log-ratio table BROADCAST onto a doc-bucket count aggregate consumed
+    exactly once.  The raw side is therefore exploded twice (model pass +
+    scoring pass) ON PURPOSE: the earlier design pinned the (doc, bucket)
+    table with a localCheckpoint to share one explode between the two
+    consumers, but that cache is O(docs × buckets-per-doc) rows — a
+    third-decade probe (5 M docs, round 8) showed it GC-thrashing a 32 g
+    heap into OOM and still costing 555 s at 96 g, while the explode it
+    saves is a narrow, spill-free ~100 s pass.  Recompute beats
+    materialize when the cache grows with the corpus and the recompute is
+    one narrow scan.  No shuffle wider than (doc, bucket); nothing
+    driver-side; zero cache footprint.
     """
     from pyspark.sql import Window
 
@@ -273,19 +281,18 @@ def dsir_importance_weights(
             "_id", F.pmod(md5_hash48(F.col("_g")), F.lit(num_buckets)).alias("_b")
         )
 
-    # Per-doc bucket counts pinned ONCE: they feed both the raw bucket
-    # model (a re-aggregation of them — Σ_doc n_b ≡ corpus bucket count)
-    # and the final scoring join; without the pin each consumer re-scans
-    # the corpus and re-runs the gram explode.  The (doc, bucket) table is
-    # far smaller than the gram stream (≤ B distinct buckets per doc).
+    # Per-doc bucket counts are consumed exactly ONCE (the scoring join),
+    # so they are never cached; the raw bucket model runs its own narrow
+    # explode + map-combined agg (Σ_doc n_b ≡ corpus bucket count, so the
+    # two formulations are identical).  See the docstring's scale-shape
+    # note for why recompute beats pinning here.
     doc_counts = (
         gram_buckets(raw)
         .groupBy("_id", "_b")
         .agg(F.count("*").alias("_n"))
-        .localCheckpoint(eager=False)
     )
     tb = gram_buckets(target).groupBy("_b").agg(F.count("*").alias("_tc"))
-    rb = doc_counts.groupBy("_b").agg(F.sum("_n").alias("_rc"))
+    rb = gram_buckets(raw).groupBy("_b").agg(F.count("*").alias("_rc"))
     # Model totals: the TARGET total must sum over ALL target buckets —
     # summing it over the rb-join result would drop target buckets no raw
     # gram hits (a target domain with vocabulary outside the raw corpus),
