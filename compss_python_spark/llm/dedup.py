@@ -669,10 +669,17 @@ def decontaminate(
     Plan shape: both sides explode to distinct n-gram keys, equi-join on the
     key, count distinct hits per corpus doc.  The benchmark side is tiny
     relative to the corpus (eval suites, not training data) → its distinct
-    gram set broadcasts; the corpus side is narrow-exploded and never
-    shuffled beyond the per-doc hit count.  ``use_hash`` joins on xxhash64
-    of the gram (8-byte keys) instead of raw strings — the scale default;
-    pass False for engine-portable exact string keys.
+    gram set broadcasts — but the broadcast is BUDGETED, not forced: the
+    benchmark gram count is sized with one narrow approx_count_distinct
+    pass (over the benchmark only, never the corpus), and past ~4 M hashed
+    / ~1 M raw-string keys the hint is dropped so the join shuffles and
+    AQE picks the strategy from runtime stats (a round-8 third-decade
+    probe drove a replica whose "benchmark" slice grew with the corpus —
+    a forced multi-GB broadcast of gram strings to every task).  The
+    corpus side is narrow-exploded and never shuffled beyond the per-doc
+    hit count.  ``use_hash`` joins on xxhash64 of the gram (8-byte keys)
+    instead of raw strings — the scale default; pass False for
+    engine-portable exact string keys.
 
     Returns ``corpus`` columns + ``n_hits`` (0 when clean) + ``contaminated``.
     """
@@ -685,9 +692,16 @@ def decontaminate(
         return df.select(F.col(id_col), F.explode(g).alias("_gk"))
 
     bench_keys = gram_keys(benchmark).select("_gk").distinct()
+    est = (
+        gram_keys(benchmark)
+        .agg(F.approx_count_distinct("_gk").alias("c"))
+        .first()["c"]
+    )
+    if est <= (4_000_000 if use_hash else 1_000_000):
+        bench_keys = F.broadcast(bench_keys)
     hits = (
         gram_keys(corpus)
-        .join(F.broadcast(bench_keys), "_gk")
+        .join(bench_keys, "_gk")
         .groupBy(id_col)
         .agg(F.count_distinct("_gk").alias("n_hits"))
     )
