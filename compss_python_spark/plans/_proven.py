@@ -317,4 +317,7 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "graph_pagerank",                # fused count aggregate + node-list count
     "graph_pagerank_symmetric",      # same loop, 2x-edge contract fixture
     "text_skipgram_pmi",             # PMI long-overflow double cast
+    "llm_dsir_select",               # doc-bucket pin removed (sampling.py)
+    "decontaminate_corpus",          # budgeted benchmark broadcast
+    "pipeline_curation_full",        # composite over both edits above
 )
