@@ -17,8 +17,15 @@ normalized for host speed: round-7's driver and judge disagreed 6×
 uniformly on identical code — ambient host load, not code — and without a
 calibration row every round-over-round table is interpretive.
 
-Each query is executed to completion (collect-to-count of the result) —
-wall-clock includes scan, shuffle and result materialization.
+Each query is executed to completion — and "completion" means EVERY
+output column of EVERY row is computed, not ``.count()``: Catalyst prunes
+row-preserving operators (windows, projections) out of a count-only plan,
+so counting would time a plan the query never promised (round-8 lesson —
+a window-EWMA prototype "ran" 100 M rows in 0.5 s under count()).  The
+timed action hashes the full output row (`xxhash64(struct(*))` summed,
+pure JVM) so wall-clock includes scan, shuffle and materialization of the
+complete declared result; queries with unhashable output types fall back
+to count().
 
 Methodology — BOTH cost profiles are reported so round-over-round
 comparisons never conflate measurement with optimization (round-5 lesson):
@@ -58,6 +65,27 @@ def _timed(fn) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def force(df) -> None:
+    """Evaluate a query to FULL completion: every output column of every
+    row.  ``count()`` is not enough — Catalyst prunes row-preserving
+    operators (windows, projected expressions) from a count-only plan, so
+    a timed count can measure a plan that skips the operator under test.
+    One xxhash64 over the output struct per row is a negligible, pure-JVM
+    materialization cost; output types xxhash64 can't digest (maps) fall
+    back to count()."""
+    from pyspark.sql import functions as F
+
+    try:
+        probe = df.select(
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("_h")
+        )
+    except Exception:
+        df.count()
+        return
+    # bit_xor, not sum: summing 2^63-range hashes overflows under ANSI
+    probe.agg(F.bit_xor("_h")).collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -74,7 +102,7 @@ def main() -> None:
     first_run: dict[str, float] = {}
     for name, spec in headline.items():
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
+        force(spec.fn(spark, sf_dir))
         first_run[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
 
@@ -88,13 +116,13 @@ def main() -> None:
     for _pass in range(2):
         for name, spec in headline.items():
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
+            force(spec.fn(spark, sf_dir))
             samples[name].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
     for name, spec in headline.items():
         if max(samples[name]) > 1.0:
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
+            force(spec.fn(spark, sf_dir))
             samples[name].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
     times = {n: min(s) for n, s in samples.items()}
@@ -115,6 +143,11 @@ def main() -> None:
         "n_queries": len(times),
         "calibration_sec": cal,
         "first_run_total": round(sum(first_run.values()), 3),
+        # Measurement contract marker: round ≤7 artifacts timed count()
+        # (row-preserving operators pruned); from round 8 every output
+        # column of every row is evaluated.  Cross-round per-query
+        # comparisons must not read the contract change as a regression.
+        "evaluated": "full_output",
     }
     # Per-query cold-JVM detail goes to a sibling file, NOT stdout — it is
     # the least-load-bearing map and the first candidate to push the detail

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from compss_python_spark.plans import REGISTRY  # noqa: E402
 from compss_python_spark.plans.registry import table  # noqa: E402
 from compss_python_spark.session import get_spark  # noqa: E402
+from bench import force  # noqa: E402  (full-output evaluation; count() lets Catalyst prune row-preserving operators)
 
 SRC = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -106,12 +107,12 @@ def main() -> None:
     first, steady = {}, {}
     for name, spec in headline.items():
         t0 = time.perf_counter()
-        spec.fn(spark, dst).count()
+        force(spec.fn(spark, dst))
         first[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
     for name, spec in headline.items():
         t0 = time.perf_counter()
-        spec.fn(spark, dst).count()
+        force(spec.fn(spark, dst))
         steady[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
 
