@@ -320,4 +320,6 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "llm_dsir_select",               # doc-bucket pin removed (sampling.py)
     "decontaminate_corpus",          # budgeted benchmark broadcast
     "pipeline_curation_full",        # composite over both edits above
+    "dedup_semantic_md5",            # per-row norm hoist out of pair cosine
+    "embedding_near_dup",            # same hoist, exact all-pairs oracle
 )
