@@ -98,15 +98,19 @@ def kmeans_lloyd(
                 lambda acc, x: acc + x,
             )
 
-        best = F.reduce(
-            F.col("_cs"),
-            F.struct(
-                F.lit(float("inf")).alias("d2"), F.lit(-1).cast("int").alias("cid")
-            ),
-            lambda acc, s: F.when(
-                d2(s["_c"]) < acc["d2"],
-                F.struct(d2(s["_c"]).alias("d2"), s["_cid"].cast("int").alias("cid")),
-            ).otherwise(acc),
+        # argmin as array_min over (d2, cid) structs — struct comparison
+        # orders by d2 then cid, which IS the ties-toward-smaller-cid
+        # contract.  The earlier F.reduce form evaluated d2(s) twice per
+        # centroid (once in the when-condition, once in the kept struct) —
+        # the HOF lambda re-evaluation trap; array_min computes each
+        # centroid's distance exactly once.
+        best = F.array_min(
+            F.transform(
+                F.col("_cs"),
+                lambda s: F.struct(
+                    d2(s["_c"]).alias("d2"), s["_cid"].cast("int").alias("cid")
+                ),
+            )
         )
         return (
             pts_df.crossJoin(F.broadcast(packed(cents_df)))

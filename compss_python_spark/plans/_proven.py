@@ -322,4 +322,5 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "pipeline_curation_full",        # composite over both edits above
     "dedup_semantic_md5",            # per-row norm hoist out of pair cosine
     "embedding_near_dup",            # same hoist, exact all-pairs oracle
+    "ml_kmeans_lloyd_fixed_init",    # argmin reduce -> array_min struct form
 )
