@@ -155,14 +155,19 @@ def gaussian_nb_exact(
             terms, F.lit(0.0), lambda acc, x: acc + x
         )
 
-    best = F.reduce(
-        F.col("_cs"),
-        F.struct(
-            F.lit(float("-inf")).alias("ll"), F.lit(-1).cast("int").alias("y")
-        ),
-        lambda acc, s: F.when(
-            loglik(s) > acc["ll"], F.struct(loglik(s).alias("ll"), s["_y"].alias("y"))
-        ).otherwise(acc),
+    # argmax as array_min over (−ll, y) structs: min of −ll is max ll, and
+    # struct ordering breaks ties toward the smaller label — the documented
+    # contract.  The earlier F.reduce form evaluated loglik(s) TWICE per
+    # class (when-condition + kept struct): a zip_with/aggregate over the
+    # full feature vector, re-run — the HOF lambda re-evaluation trap (same
+    # fix as clustering.kmeans_lloyd).
+    best = F.array_min(
+        F.transform(
+            F.col("_cs"),
+            lambda s: F.struct(
+                (-loglik(s)).alias("negll"), s["_y"].cast("int").alias("y")
+            ),
+        )
     )
     return (
         test.select(

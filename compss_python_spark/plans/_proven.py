@@ -323,4 +323,5 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "dedup_semantic_md5",            # per-row norm hoist out of pair cosine
     "embedding_near_dup",            # same hoist, exact all-pairs oracle
     "ml_kmeans_lloyd_fixed_init",    # argmin reduce -> array_min struct form
+    "ml_gaussian_nb",                # same argmin fix in NB scoring
 )
