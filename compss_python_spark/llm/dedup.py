@@ -1097,7 +1097,7 @@ def semantic_dedup(
     min_cosine: float = 0.95,
     n_cells: int = 16,
     seed: int = 42,
-    max_cluster_rows: int | None = 2_000_000,
+    max_cluster_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via embedding clustering — cluster with a coarse
@@ -1119,7 +1119,13 @@ def semantic_dedup(
     ``max_cluster_rows`` turns a degenerate quantizer (one giant cell →
     cartesian bomb) into a loud plan-side raise instead of a silent
     multi-day stage: the guard is a k-row aggregate broadcast back into
-    the plan, NOT an eager pre-scan.
+    the plan, NOT an eager pre-scan.  The default (100 k rows/cell →
+    ≤5 B pairs/cell) is sized for the PAIR stage, which is what actually
+    explodes — the earlier 2 M default allowed 2×10¹² pairs per cell, a
+    silent multi-week stage the guard exists to forbid (round-8 finding:
+    the full-output bench contract exposed a fixed-k fixture grinding
+    ~2.5 B pairs; see SCALE.md).  Pass a larger value explicitly when a
+    cluster-scale deployment really wants bigger cells.
 
     ``centroids`` fixes the quantizer (e.g. :func:`~compss_python_spark.
     llm.similarity.md5_planes`) making every verdict exactly
