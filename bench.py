@@ -4,12 +4,15 @@ JSON lines (round-7 lesson: the driver's tail buffer truncated a single
 long line into an unparseable artifact, so BOTH lines are kept small and
 either alone is a parseable record):
 
-1. a compact summary (<~300 B): {"metric", "value", "unit", "sf",
-   "n_queries", "calibration_sec", "first_run_total"}
-2. the detail line (<~4 KB): same keys plus {"queries": {name: sec},
-   "spread": {name: sec}} — per-query steady minima and spreads, rounded
-   to keep the line short.  The per-query FIRST-RUN map (cold-JVM
-   profile) moves to ``BENCH_FIRSTRUN.json`` next to this script.
+1. FIRST the detail line (<~4 KB): summary keys plus {"queries":
+   {name: sec}, "spread": {name: sec}} — per-query steady minima and
+   spreads (also written to ``BENCH_DETAIL.json``).
+2. LAST a compact summary (<~300 B): {"metric", "value", "unit", "sf",
+   "n_queries", "calibration_sec", "first_run_total"} — the driver keeps
+   only the last ~2.2 KB of stdout, so the short line must come last
+   (round-8 lesson: the reverse order beheaded the artifact again).
+   The per-query FIRST-RUN map (cold-JVM profile) goes to
+   ``BENCH_FIRSTRUN.json`` next to this script.
 
 ``calibration_sec`` is a fixed pure-JVM measurement
 (min-of-3 ``spark.range(500M).sum()``) so cross-round wall-clock can be
@@ -79,11 +82,13 @@ def force(df) -> None:
         probe = df.select(
             F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("_h")
         )
+        # bit_xor, not sum: summing 2^63-range hashes overflows under ANSI.
+        # The collect stays INSIDE the try: under deferred-analysis
+        # execution (Spark Connect) unsupported-type errors only surface
+        # here, and they must hit the same count() fallback.
+        probe.agg(F.bit_xor("_h")).collect()
     except Exception:
         df.count()
-        return
-    # bit_xor, not sum: summing 2^63-range hashes overflows under ANSI
-    probe.agg(F.bit_xor("_h")).collect()
 
 
 def main() -> None:
@@ -161,8 +166,24 @@ def main() -> None:
             json.dump({**common, "first_run": first_run}, fh)
     except OSError:
         pass
+    # The per-query steady detail also goes to a sibling file so nothing
+    # is lost, and to stdout FIRST.  The driver keeps only the LAST
+    # ~2.2 KB of stdout (round-8 lesson: printing the summary first let
+    # the long detail line push it out of the tail window and the
+    # artifact was again unparseable) — so the <300 B summary line MUST
+    # be the final thing printed.
+    detail = {**common, "queries": times, "spread": spread}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+            encoding="utf-8",
+        ) as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass
+    print(json.dumps(detail))
     print(json.dumps(common))
-    print(json.dumps({**common, "queries": times, "spread": spread}))
 
 
 if __name__ == "__main__":

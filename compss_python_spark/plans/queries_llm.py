@@ -3424,9 +3424,11 @@ def multimodal_wav_decimate(spark, sf_dir):
       FROM generate_series(0, 7) p(p)),
     pr AS (
       SELECT v.vec_id, pl.pl,
-             ROUND(list_dot_product(v.e, pl.h) / SQRT(8.0), 5) AS x
+             CAST(ROUND(ROUND(list_dot_product(v.e, pl.h) / SQRT(8.0), 5)
+                        * 100000) AS BIGINT) AS x
       FROM v, planes pl)
-    SELECT vec_id, list(x ORDER BY pl) AS proj
+    SELECT vec_id,
+           string_agg(CAST(x AS VARCHAR), ',' ORDER BY pl) AS proj_csv
     FROM pr GROUP BY vec_id
     """,
 )
@@ -3434,10 +3436,23 @@ def embedding_random_projection(spark, sf_dir):
     """Johnson–Lindenstrauss projection 64→8 dims with md5-portable
     hyperplanes (scaled 1/√8): zero-shuffle literal-plane dot products;
     the oracle recomputes every plane component and projection
-    bit-for-bit."""
+    bit-for-bit.  The projection is serialized as a CSV of 1e5-scaled
+    integers (the repo's sig_csv convention): the driver's canonicalizer
+    sorts raw cells and cannot hash Python lists, and integer text is the
+    only float encoding stable across Spark and DuckDB formatting."""
     from compss_python_spark.llm.similarity import random_projection
 
-    return random_projection(table(spark, sf_dir, "embeddings"), out_dim=8)
+    proj = random_projection(table(spark, sf_dir, "embeddings"), out_dim=8)
+    return proj.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                "proj",
+                lambda x: F.round(x * F.lit(100000.0), 0).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("proj_csv"),
+    )
 
 
 @query(

@@ -399,3 +399,28 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, (
         "global top-k must run as per-partition heaps, not a global sort"
     )
+
+
+def test_no_oracled_query_returns_complex_top_level_columns(spark, sf_dir):
+    """The driver's correctness canon sorts raw cells and hashes them — it
+    cannot hash a Python list (round-8 red row `embedding_random_projection`:
+    ``TypeError: unhashable type: 'list'``).  Every ORACLED query must
+    therefore serialize array/map outputs (array_join / sig_csv
+    convention) before returning.  Schema-level check: no execution."""
+    from pyspark.sql import types as T
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if spec.sql is None:
+            continue  # rows-only: driver records row count, never hashes
+        df = spec.fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracled queries returning driver-unhashable complex columns: {offenders}"
+    )

@@ -33,6 +33,26 @@ def duck_connection(sf_dir: str):
     return con
 
 
+def complex_cols(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells are raw Python containers (list/dict/ndarray).
+
+    The driver's canonicalizer sorts raw cells and hashes them — it
+    cannot hash a list (round-8 red row `embedding_random_projection`:
+    ``TypeError: unhashable type: 'list'``).  This gate used to silently
+    stringify such cells, so the local canon was LAXER than the driver's
+    and green-lit exactly the output the driver rejects.  Any oracled
+    query returning one of these must serialize (array_join / sig_csv
+    convention) instead."""
+    import numpy as np
+
+    bad = []
+    for c in df.columns:
+        col = df[c].dropna()
+        if len(col) and isinstance(col.iloc[0], (list, tuple, dict, set, np.ndarray)):
+            bad.append(c)
+    return bad
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
@@ -82,6 +102,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"✗ {name}: ORACLE ERROR {str(e)[:2000]}")
+            continue
+        bad = complex_cols(sdf)
+        if bad:
+            failures.append((name, f"complex output columns {bad}"))
+            print(
+                f"✗ {name}: raw complex output columns {bad} — the driver "
+                "canon cannot hash list/map cells; serialize with array_join"
+            )
             continue
         sc, oc = sorted(sdf.columns), sorted(odf.columns)
         if sc != oc:
