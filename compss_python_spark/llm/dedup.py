@@ -660,6 +660,7 @@ def decontaminate(
     n: int = 8,
     min_hits: int = 1,
     use_hash: bool = True,
+    benchmark_grams_hint: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing ≥ ``min_hits``
     distinct word ``n``-grams with ANY benchmark document (the standard
@@ -680,6 +681,14 @@ def decontaminate(
     hit count.  ``use_hash`` joins on xxhash64 of the gram (8-byte keys)
     instead of raw strings — the scale default; pass False for
     engine-portable exact string keys.
+
+    EAGERNESS CONTRACT: when ``benchmark_grams_hint`` is None, the sizing
+    pass above runs as ONE eager Spark job at plan-CONSTRUCTION time
+    (a narrow approx_count_distinct over the benchmark side only) — i.e.
+    this function is not fully lazy, and composing it repeatedly pays one
+    small job per call.  Callers that know the benchmark's distinct-gram
+    cardinality (or compose plans before data is reachable) pass
+    ``benchmark_grams_hint`` to skip the job and stay lazy.
 
     Returns ``corpus`` columns + ``n_hits`` (0 when clean) + ``contaminated``.
     """
@@ -1124,8 +1133,11 @@ def semantic_dedup(
     explodes — the earlier 2 M default allowed 2×10¹² pairs per cell, a
     silent multi-week stage the guard exists to forbid (round-8 finding:
     the full-output bench contract exposed a fixed-k fixture grinding
-    ~2.5 B pairs; see SCALE.md).  Pass a larger value explicitly when a
-    cluster-scale deployment really wants bigger cells.
+    ~2.5 B pairs; see SCALE.md).  BREAKING (round 8): the default dropped
+    from 2,000,000 to 100,000 — inputs with 100 k–2 M-row cells that
+    previously planned now raise at plan time; that raise is deliberate
+    (such a cell is ≥5 B pairs of silent work), pass a larger value
+    explicitly when a cluster-scale deployment really wants bigger cells.
 
     ``centroids`` fixes the quantizer (e.g. :func:`~compss_python_spark.
     llm.similarity.md5_planes`) making every verdict exactly
@@ -1185,6 +1197,25 @@ def semantic_dedup(
         # BM25 postings; spills to disk above memory.
         .localCheckpoint(eager=False)
     )
+    return _semantic_verdict_tail(
+        assigned, id_col, min_cosine, max_cluster_rows, "semantic_dedup"
+    )
+
+
+def _semantic_verdict_tail(
+    assigned: DataFrame,
+    id_col: str,
+    min_cosine: float,
+    max_cluster_rows: int | None,
+    op_name: str,
+) -> DataFrame:
+    """Shared post-assignment tail of the SemDeDup family (centroid and
+    SRP quantizers): cluster-size guard → within-cell self-join with the
+    hoisted-norm cosine → min-id-keeper dup verdict.  ONE definition so
+    the variants cannot silently diverge on tiebreaks or rounding —
+    ``assigned`` must be a PINNED (_id, cell, _vd, _n) frame."""
+    from compss_python_spark.llm.similarity import dot_expr
+
     if max_cluster_rows is not None:
         # The raise is folded into `cell` ITSELF (not a scratch column a
         # projection would prune away) so every downstream read of the
@@ -1199,7 +1230,7 @@ def semantic_dedup(
                     F.raise_error(
                         F.concat(
                             F.lit(
-                                "semantic_dedup: cluster exceeds max_cluster_rows="
+                                f"{op_name}: cluster exceeds max_cluster_rows="
                                 f"{max_cluster_rows} (cell "
                             ),
                             F.col("cell").cast("string"),
@@ -1232,6 +1263,73 @@ def semantic_dedup(
         F.col("_id").alias(id_col),
         "cell",
         F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semantic_dup"),
+    )
+
+
+def semantic_dedup_srp(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    rows_per_cell: int = 64,
+    table_id: int = 29,
+    dim: int | None = None,
+    n_rows: int | None = None,
+    max_cluster_rows: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup with a sign-random-projection coarse quantizer whose cell
+    count GROWS with the corpus: ``b = max(1, ceil(log2(n /
+    rows_per_cell)))`` md5-portable hyperplanes give ``2^b`` cells, so the
+    expected cell size — and with it the within-cell pair count PER ROW —
+    stays constant as n grows.  This is the scale-honest headline shape:
+    the fixed-k centroid fixture (`semantic_dedup` with 8 md5 centroids)
+    keeps k constant for oracle brevity, which makes its pair stage
+    quadratic in corpus size (round-8 finding: 56% of the ×10 bench);
+    here both stages are ~linear — assignment is O(n·b·d) with b
+    logarithmic, pairs are O(n·rows_per_cell).
+
+    Against nearest-centroid with k∝n this also dodges the O(n·k·d)
+    assignment blow-up: sign bits cost log2(k) dot products per row, not
+    k.  SRP cells are less balanced than trained centroids — acceptable
+    because ``max_cluster_rows`` still guards the tail, and the verdict
+    semantics (min-id keeper within cell at cosine ≥ threshold) are
+    identical via the shared :func:`_semantic_verdict_tail`.
+
+    Contract note: when ``n_rows`` is None this runs ONE eager count() at
+    plan-construction time to size b (same documented eagerness as
+    :func:`decontaminate`'s sizing pass — pass ``n_rows`` to stay fully
+    lazy), and when ``dim`` is None one first() probes the width.  Every
+    plane component, bucket bit, and verdict is exactly
+    SQL-oracle-checkable (md5 planes; the oracle derives b from COUNT(*)
+    with the same formula)."""
+    import math as _math
+
+    from compss_python_spark.llm.similarity import (
+        hyperplane_lsh_bucket,
+        md5_planes,
+        norm_expr,
+    )
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if n_rows is None:
+        n_rows = df.count()
+    b = max(1, _math.ceil(_math.log2(max(n_rows, 1) / float(rows_per_cell))))
+    planes = md5_planes(dim, b, table_id)
+    assigned = (
+        hyperplane_lsh_bucket(
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            "_v",
+            planes=planes,
+            alias="cell",
+        )
+        # same per-row hoists + single pin as semantic_dedup (see there)
+        .withColumn("_vd", F.col("_v").cast("array<double>"))
+        .withColumn("_n", norm_expr(F.col("_vd")))
+        .localCheckpoint(eager=False)
+    )
+    return _semantic_verdict_tail(
+        assigned, id_col, min_cosine, max_cluster_rows, "semantic_dedup_srp"
     )
 
 

@@ -257,4 +257,11 @@ def salted_join(
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
-    return l.join(r, [*on, "_salt"], how).drop("_salt")
+    # SHUFFLE_HASH-hint the replicated side: salting exists ONLY for the
+    # shuffle path (a broadcastable right side never needs salt), but on a
+    # small fixture AQE would happily broadcast the 16×-replicated right
+    # and the salt would be pure overhead while the plan under test never
+    # exercises the skew-spreading shuffle.  The hint pins the physical
+    # shape the operator is FOR: both sides hash-partitioned on
+    # (key, salt), hot keys spread over salt_buckets reducers.
+    return l.join(r.hint("shuffle_hash"), [*on, "_salt"], how).drop("_salt")

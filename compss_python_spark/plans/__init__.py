@@ -46,7 +46,12 @@ _repo_root = _pathlib.Path(__file__).resolve().parents[2]
 # _proven are only the round-1 / corrupted-tree fallback — round 7 showed
 # that hand-maintained per-round sets rot (no PROVEN_R7 was ever written,
 # which would have burned the round-8 window re-proving the r7 batch).
-_artifact_proven = _depmap.proven_from_artifacts(_repo_root)
+_artifact_proven = _depmap.proven_from_artifacts(
+    _repo_root,
+    declared_rows_only=frozenset(
+        n for n, s in REGISTRY.items() if s.sql is None
+    ),
+)
 PROVEN_ALL: frozenset[str] = _artifact_proven if _artifact_proven else (PROVEN | PROVEN_R6)
 
 _reslot = _depmap.reslot_for_changed(REGISTRY, PROVEN_ALL, CHANGED_MODULES)

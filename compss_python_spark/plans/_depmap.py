@@ -158,18 +158,25 @@ def canary(proven_in_registry_order: list[str], round_no: int, k: int = 6) -> tu
     return tuple(proven_in_registry_order[(start + i) % n] for i in range(min(k, n)))
 
 
-def proven_from_artifacts(repo_root) -> frozenset[str]:
+def proven_from_artifacts(
+    repo_root, declared_rows_only: frozenset[str] | None = None
+) -> frozenset[str]:
     """Driver-proven query names derived from the ``CORRECTNESS_r*.json``
     artifacts themselves (no hand-maintained per-round frozensets).
 
     A name is proven iff its MOST RECENT driver row is green: a value-hash
-    match, or — for declared rows-only queries, which register no oracle —
+    match, or — for DECLARED rows-only queries, which register no oracle —
     the driver's weaker rows-only record (``err == 'no_oracle'`` with a
-    recorded spark row count).  Evaluating only the latest row per name
-    means a future red row automatically UN-proves the query, putting it
-    back in the window's tier 1 next round.  Returns an empty set when no
-    artifact parses (round 1, or a corrupted tree) — callers fall back to
-    the static frozensets in :mod:`._proven`.
+    recorded spark row count).  ``declared_rows_only`` (the registry names
+    whose spec.sql is None) scopes that weaker rule: without the scoping,
+    a query whose oracle merely failed to REGISTER would be permanently
+    proven with no value check (round-8 advisory).  ``None`` preserves the
+    old unscoped behavior for callers without a registry in hand.
+    Evaluating only the latest row per name means a future red row
+    automatically UN-proves the query, putting it back in the window's
+    tier 1 next round.  Returns an empty set when no artifact parses
+    (round 1, or a corrupted tree) — callers fall back to the static
+    frozensets in :mod:`._proven`.
     """
     import json
     import os
@@ -199,7 +206,9 @@ def proven_from_artifacts(repo_root) -> frozenset[str]:
             if not isinstance(row, dict):
                 continue
             green = bool(row.get("hash_match")) or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and (declared_rows_only is None or name in declared_rows_only)
             )
             prev = latest.get(name)
             if prev is None or rnd >= prev[0]:

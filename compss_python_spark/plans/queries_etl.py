@@ -444,6 +444,56 @@ def broadcast_dim_join(spark, sf_dir):
     )
 
 
+@query(
+    "skew_salted_join",
+    headline=True,
+    sql="""
+    WITH s AS (
+      SELECT CASE WHEN event_id % 10 < 7 THEN 0
+                  ELSE event_id % 997 END AS k,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    d AS (SELECT r.range AS k, (r.range * 37) % 100 AS w FROM range(0, 997) r)
+    SELECT s.k, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(s.cents * d.w) AS BIGINT) AS weighted_cents
+    FROM s JOIN d ON s.k = d.k
+    GROUP BY 1
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Skew-stress fixture for `salted_join`: 70% of events collapse onto
+    ONE join key (k=0), the adversarial shape where a plain shuffle join
+    lands 70% of the fact table in a single reducer task and the stage
+    runs at straggler speed.  The salt spreads k=0 over 16 (key, salt)
+    reducers; the right side (a 997-key weight dim) replicates 16× and is
+    SHUFFLE_HASH-pinned so the plan under test is the skew-spreading
+    shuffle, not an AQE broadcast (see salted_join).  Salting is
+    semantics-invisible, so the oracle is simply the UNSALTED join —
+    exact-integer cents arithmetic keeps the 70k-row hot-key sum
+    order-independent across engines.  Complements AQE's runtime skew
+    split (spark.sql.adaptive.skewJoin), which only engages past
+    ~256 MB partitions — known-ahead skew at any size salts here."""
+    events = table(spark, sf_dir, "events")
+    skewed = events.select(
+        F.when(F.col("event_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("event_id") % 997)
+        .cast("long")
+        .alias("k"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    dim = spark.range(0, 997).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 100).alias("w")
+    )
+    return (
+        joins.salted_join(skewed, dim, on="k", salt_buckets=16)
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("cents") * F.col("w")).alias("weighted_cents"),
+        )
+    )
+
+
 # --- §2.5 sort / top-k ----------------------------------------------------
 
 

@@ -296,7 +296,6 @@ def embedding_near_dup(spark, sf_dir):
 
 @query(
     "dedup_semantic_md5",
-    headline=True,
     sql="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cents AS (
@@ -338,6 +337,112 @@ def dedup_semantic_md5(spark, sf_dir):
         table(spark, sf_dir, "embeddings"),
         centroids=similarity.md5_planes(64, 8, table_id=23),
         min_cosine=0.35,
+    )
+
+
+@query(
+    "dedup_semantic_scaled",
+    headline=True,
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bb AS (SELECT GREATEST(1, CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT)) AS b
+           FROM v),
+    planes AS (
+      SELECT i.i AS pl,
+             list_transform(range(0, 64),
+               d -> CAST('0x' || substr(md5(concat('29:', i.i, ':', d)), 1, 12)
+                         AS BIGINT) / 140737488355328.0 - 1.0) AS h
+      FROM range(0, 32) i(i), bb WHERE i.i < bb.b),
+    ca AS (
+      SELECT v.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(v.e, p.h) > 0
+                           THEN 1 << p.pl ELSE 0 END) AS INT) AS cell
+      FROM v, planes p GROUP BY 1),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE ROUND(LIST_DOT_PRODUCT(va.e, vb.e)
+                  / (SQRT(LIST_DOT_PRODUCT(va.e, va.e))
+                     * SQRT(LIST_DOT_PRODUCT(vb.e, vb.e))), 6) >= 0.35
+    )
+    SELECT ca.vec_id, ca.cell,
+           ca.vec_id IN (SELECT vec_id FROM dups) AS is_semantic_dup
+    FROM ca
+    """,
+)
+def dedup_semantic_scaled(spark, sf_dir):
+    """SemDeDup with the PRODUCTION k∝n quantizer — the scale-honest
+    headline for the semantic-dedup family.  `dedup_semantic_md5` pins
+    k=8 cells for oracle brevity, which makes its pair stage quadratic in
+    corpus size (round-8: 56% of the entire ×10 bench); here the SRP cell
+    count is 2^ceil(log2(n/64)) — derived from the corpus row count with
+    an oracle-matching formula — so expected cell size stays ~64 rows and
+    the whole operator is ~linear per decade.  Everything (plane
+    components, bucket bits, verdicts) hash-checks against the SQL twin,
+    which re-derives b from COUNT(*)."""
+    return dedup.semantic_dedup_srp(
+        table(spark, sf_dir, "embeddings"),
+        min_cosine=0.35,
+        rows_per_cell=64,
+        table_id=29,
+        dim=64,
+    )
+
+
+@query(
+    "embedding_near_dup_scaled",
+    headline=True,
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bb AS (SELECT GREATEST(1, CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT)) AS b
+           FROM v),
+    planes AS (
+      SELECT i.i AS pl,
+             list_transform(range(0, 64),
+               d -> CAST('0x' || substr(md5(concat('31:', i.i, ':', d)), 1, 12)
+                         AS BIGINT) / 140737488355328.0 - 1.0) AS h
+      FROM range(0, 32) i(i), bb WHERE i.i < bb.b),
+    ca AS (
+      SELECT v.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(v.e, p.h) > 0
+                           THEN 1 << p.pl ELSE 0 END) AS INT) AS cell
+      FROM v, planes p GROUP BY 1)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_DOT_PRODUCT(va.e, vb.e)
+                 / (SQRT(LIST_DOT_PRODUCT(va.e, va.e))
+                    * SQRT(LIST_DOT_PRODUCT(vb.e, vb.e))), 6) AS cosine
+    FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN v va ON va.vec_id = a.vec_id
+    JOIN v vb ON vb.vec_id = b.vec_id
+    WHERE ROUND(LIST_DOT_PRODUCT(va.e, vb.e)
+                / (SQRT(LIST_DOT_PRODUCT(va.e, va.e))
+                   * SQRT(LIST_DOT_PRODUCT(vb.e, vb.e))), 6) >= 0.35
+    """,
+)
+def embedding_near_dup_scaled(spark, sf_dir):
+    """Embedding near-dup pairs under a k∝n SRP blocking — the oracled
+    scale sibling of the fixed-8-bucket `embedding_near_dup_lsh` (which
+    stays rows-only/recall-tested) and of the exact all-pairs
+    `embedding_near_dup`.  Bucket count 2^ceil(log2(n/64)) grows with the
+    corpus so the within-bucket self-join stays O(n·64) instead of
+    O(n²/8); single deterministic md5 table keeps every candidate pair
+    SQL-derivable (the multi-table OR-amplified variant trades that
+    determinism for recall — both shapes ship)."""
+    import math
+
+    emb = table(spark, sf_dir, "embeddings")
+    # eager sizing count, same documented contract as semantic_dedup_srp
+    n = emb.count()
+    b = max(1, math.ceil(math.log2(max(n, 1) / 64.0)))
+    planes = similarity.md5_planes(64, b, table_id=31)
+
+    def block_fn(v):
+        return similarity.hyperplane_lsh_bucket(v, "_v", planes=planes, alias="_blk")
+
+    return dedup.embedding_near_dup_pairs(
+        emb, min_cosine=0.35, block_fn=block_fn
     )
 
 
@@ -1188,7 +1293,13 @@ def decontaminate_corpus(spark, sf_dir):
 def _mh_index_path(sf_dir) -> str:
     """Scratch location of the persisted MinHash-LSH index for ``sf_dir``.
     The version tag invalidates prebuilt indexes when the signature
-    algorithm changes (bump it with any hash-family / banding edit)."""
+    algorithm changes (bump it with any hash-family / banding edit); the
+    DATA fingerprint (size+mtime of the documents parquet) invalidates
+    them when the fixture at the same path is regenerated — without it a
+    stale index silently fails the oracle (which re-derives from current
+    documents) and the probe row goes red for a fixture problem, not a
+    code bug."""
+    import hashlib
     import os
 
     root = os.path.join(
@@ -1196,7 +1307,19 @@ def _mh_index_path(sf_dir) -> str:
         ".tmp", "io",
     )
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(root, f"mh_index_v1_{tag}")
+    docs = os.path.join(sf_dir, "documents.parquet")
+    stats = []
+    for p in sorted(
+        [docs] + ([os.path.join(docs, f) for f in os.listdir(docs)]
+                  if os.path.isdir(docs) else [])
+    ):
+        try:
+            st = os.stat(p)
+            stats.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            pass
+    fp = hashlib.md5(";".join(stats).encode()).hexdigest()[:10]
+    return os.path.join(root, f"mh_index_v1_{tag}_{fp}")
 
 
 def _ensure_mh_index(spark, sf_dir) -> str:

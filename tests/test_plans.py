@@ -424,3 +424,14 @@ def test_no_oracled_query_returns_complex_top_level_columns(spark, sf_dir):
     assert not offenders, (
         f"oracled queries returning driver-unhashable complex columns: {offenders}"
     )
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "skew_salted_join")
+    assert "ShuffledHashJoin" in plan, (
+        "the salt exists only for the shuffle path — a broadcast would "
+        "replicate the right side 16x for nothing and never spread the hot key"
+    )
+    assert "BroadcastHashJoin" not in plan
+    left_keys = plan.split("Left keys")[1].splitlines()[0]
+    assert "_salt" in left_keys, f"join keys must include the salt column: {left_keys}"
