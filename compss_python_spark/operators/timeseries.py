@@ -158,6 +158,7 @@ def ewma_bounded(
     tiebreak_col: str,
     alpha: float = 0.3,
     lookback: int = 20,
+    join_partitions: int | None = None,
 ):
     """Exponentially weighted moving average with a BOUNDED lookback of
     ``lookback`` observations: ewma_t = Σ_{j<L} (1−α)^j·x_{t−j} /
@@ -171,6 +172,17 @@ def ewma_bounded(
     on the entity, and both engines express it identically (which is what
     makes the oracle hash-exact; a float recurrence would accumulate
     engine-ordering ulps).
+
+    ``join_partitions`` widens the banded join's shuffle beyond the
+    session default: the join stream fans out ≤2L× the input, so at the
+    third decade (100 M rows, L=20) the default 32-partition shuffle
+    spills (SCALE.md round-8: 170.6 s vs ~100 s linear fit).  Both sides
+    repartition on the join keys themselves, so the join reuses that
+    partitioning (no extra exchange) and the per-task spill shrinks
+    ~(join_partitions/default)×; the post-join aggregate is map-side
+    combined before its own (session-width) exchange, so only the fat
+    join stage needs the width.  None keeps the session default — on a
+    real cluster, size it as rows·2L·row_bytes / 64 MB.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -205,6 +217,9 @@ def ewma_bounded(
             )
         ).alias("_bkt"),
     )
+    if join_partitions is not None:
+        a = a.repartition(join_partitions, "_e", "_bkt")
+        b = b.repartition(join_partitions, "_e", "_bkt")
     wgt = F.pow(F.lit(1.0 - alpha), F.col("_rna") - F.col("_rnb"))
     joined = a.join(b, ["_e", "_bkt"]).filter(
         (F.col("_rnb") <= F.col("_rna"))

@@ -14,7 +14,7 @@ as-is and l_partkey/l_suppkey are untouched, so dim joins remain valid and
 broadcast-able — exactly how a real 100 TB corpus grows (facts grow, dims
 don't).
 
-Usage: python tools/scale_probe.py [replicas] [--rebuild] [name_filter...]
+Usage: python tools/scale_probe.py [replicas] [--rebuild] [--reverse] [name_filter...]
 Positional non-digit args are query-name substrings: when given, only
 matching queries run (and ANY registry query matches, not just headliners —
 handy for probing a new operator at 10×/100× before promoting it).
@@ -94,6 +94,12 @@ def main() -> None:
             sys.exit(1)
     else:
         headline = {n: s for n, s in REGISTRY.items() if s.headline}
+    if "--reverse" in sys.argv:
+        # Run in REVERSE registry order: if a query's in-context cost
+        # tracks its position in the run rather than its name, the gap is
+        # harness physics (JVM/GC/codegen-cache state after N heavy
+        # queries), not that query's plan (round-8 pagerank question).
+        headline = dict(reversed(list(headline.items())))
 
     dst = os.path.join(REPO, ".scratch", f"sf0.1x{replicas}")
     spark = get_spark("scale_probe")
