@@ -1555,3 +1555,61 @@ def test_dsir_target_total_counts_unseen_target_buckets(spark):
     assert w1[1] == w1[2] and w2[1] == w2[2]
     # enlarging the target total must strictly lower raw docs' weights
     assert w2[1] < w1[1]
+
+
+def test_semantic_dedup_srp_matches_brute_force(spark, emb):
+    """The k∝n SRP variant: cell = sign bits of the md5-plane projections
+    with b = ceil(log2(n/rows_per_cell)); verdicts equal a brute-force
+    within-cell recomputation (same min-id-keeper tail as the centroid
+    variant)."""
+    import math
+
+    import numpy as np
+
+    n = emb.count()
+    rows_per_cell = 8
+    b = max(1, math.ceil(math.log2(n / rows_per_cell)))
+    planes = np.array(similarity.md5_planes(64, b, table_id=29))
+    out = dedup.semantic_dedup_srp(
+        emb, min_cosine=0.35, rows_per_cell=rows_per_cell, table_id=29, dim=64
+    ).toPandas()
+    assert len(out) == n
+
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    assign = {
+        vid: sum((1 << i) for i in range(b) if float(planes[i] @ v) > 0)
+        for vid, v in V.items()
+    }
+    assert assign == dict(zip(out.vec_id, out.cell))
+
+    by_cell = {}
+    for vid in sorted(V):
+        by_cell.setdefault(assign[vid], []).append(vid)
+    dup_expect = set()
+    for cell_ids in by_cell.values():
+        for i, a in enumerate(cell_ids):
+            for bb in cell_ids[i + 1 :]:
+                cos = float(V[a] @ V[bb] / (np.linalg.norm(V[a]) * np.linalg.norm(V[bb])))
+                if round(cos, 6) >= 0.35:
+                    dup_expect.add(bb)
+    assert set(out[out.is_semantic_dup].vec_id) == dup_expect
+
+
+def test_semantic_dedup_srp_guard_and_lazy_hint(spark):
+    """n_rows short-circuits the eager sizing count; the shared cluster
+    guard fires through the SRP path too."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # rows_per_cell >= n -> b=1 -> 2 cells of ~16; guard at 5 must fire
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        dedup.semantic_dedup_srp(
+            df, rows_per_cell=32, dim=8, n_rows=32, max_cluster_rows=5
+        ).collect()
+    out = dedup.semantic_dedup_srp(
+        df, min_cosine=0.999, rows_per_cell=4, dim=8, n_rows=32
+    ).toPandas()
+    assert len(out) == 32 and not out.is_semantic_dup.any()

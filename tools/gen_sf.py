@@ -85,20 +85,14 @@ def ts_between(lo: str, hi: str, salt: int, *cols):
     hi_s = int(dt.datetime.fromisoformat(hi).timestamp())
     return F.timestamp_seconds(
         F.lit(lo_s) + (u(salt, *cols) * (hi_s - lo_s)).cast("long")
-    )
+    ).cast("timestamp_ntz")  # driver testdata stores TIMESTAMP_NTZ
 
 
-def main() -> None:
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    dst = os.path.join(REPO, ".scratch", f"sfgen{mult}")
-    spark = get_spark("gen_sf")
+def build_tables(spark, mult: int):
+    """The generated fact tables as lazy DataFrames, keyed by name —
+    exposed separately from main() so tests can assert schema parity with
+    the driver's testdata without writing anything."""
     n = {t: c * mult for t, c in BASE.items()}
-    t0 = time.perf_counter()
-
-    for t in ("region", "nation"):
-        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{dst}/{t}.parquet"
-        )
 
     def rng(count, key):
         return spark.range(count).select(F.col("id").alias(key))
@@ -203,18 +197,31 @@ def main() -> None:
         (u(82, F.col("vec_id")) * 10).cast("int").alias("label"),
     )
 
-    for name, df in (
-        ("part", part),
-        ("supplier", supplier),
-        ("customer", customer),
-        ("orders", orders),
-        ("lineitem", lineitem),
-        ("events", events),
-        ("documents", documents),
-        ("embeddings", embeddings),
-    ):
+    return {
+        "part": part,
+        "supplier": supplier,
+        "customer": customer,
+        "orders": orders,
+        "lineitem": lineitem,
+        "events": events,
+        "documents": documents,
+        "embeddings": embeddings,
+    }
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = os.path.join(REPO, ".scratch", f"sfgen{mult}")
+    spark = get_spark("gen_sf")
+    t0 = time.perf_counter()
+
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    for name, df in build_tables(spark, mult).items():
         df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
-        print(f"# {name}: {n[name]} rows", file=sys.stderr)
+        print(f"# {name}: {BASE[name] * mult} rows", file=sys.stderr)
     print(f"# wrote {dst} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     print(dst)
 
