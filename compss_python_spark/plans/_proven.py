@@ -245,7 +245,16 @@ PROVEN_R6: frozenset[str] = frozenset({
 # of a shared helper re-proves its dependents in the driver window even
 # though their own bodies did not change.
 CHANGED_MODULES: frozenset[str] = frozenset({
-    # round 8 edits:
+    # round 9 edits:
+    "llm.dedup",              # semantic verdict-tail refactor + SRP variant;
+                              # decontaminate benchmark_grams_hint
+    "operators.joins",        # salted_join SHUFFLE_HASH pin
+    "operators.timeseries",   # ewma_bounded join_partitions knob (default None)
+})
+
+# Round-8 CHANGED_MODULES (kept for the record; all re-slots consumed in
+# the r8 window — every row green):
+_CHANGED_MODULES_R8: frozenset[str] = frozenset({
     "geo.geo",                # neighbor_pairs antimeridian cell-width fix
     "functions.statistics",   # histogram_quantiles lower-bound clamp
     "llm.text",               # skipgram PMI double cast; HOF plan guard
@@ -304,24 +313,20 @@ _CHANGED_MODULES_R7: frozenset[str] = frozenset({
 # needed now; kept for queries whose behavior depends on state the static
 # map cannot see, e.g. fixture layout changes).
 #
-# Round 8: the dep map re-slots 83 proven queries (six modules changed)
-# but the ~50-row window only fits 18 of them IN REGISTRY ORDER — which
-# front-loads the statistics family (touched only by a one-line clamp
-# fix) while the queries whose executed code actually changed land at
-# positions 53-101.  Pin those six so the driver re-proves the real
-# edits; the coarse module-level re-slots fill the remaining slots.
+# Round 9: lead the window with the four rows that MUST land — the
+# round-8 red row under its new sig_csv encoding and the three new
+# queries (scale-honest semantic family + skew-stress join); then the
+# queries whose executed shared code changed (semantic tail refactor,
+# salted-join hint, ewma knob plumb-through); the dep-map re-slots fill
+# the rest.
 SLOT_PRIORITY: tuple[str, ...] = (
-    "quantiles_histogram",           # lower-bound clamp fix (statistics.py)
-    "quantiles_histogram_by_group",  # same helper, grouped path
-    "dedup_minhash_index_probe",     # new lazy-read body (ingest/probe split)
-    "graph_pagerank",                # fused count aggregate + node-list count
-    "graph_pagerank_symmetric",      # same loop, 2x-edge contract fixture
-    "text_skipgram_pmi",             # PMI long-overflow double cast
-    "llm_dsir_select",               # doc-bucket pin removed (sampling.py)
-    "decontaminate_corpus",          # budgeted benchmark broadcast
-    "pipeline_curation_full",        # composite over both edits above
-    "dedup_semantic_md5",            # per-row norm hoist out of pair cosine
-    "embedding_near_dup",            # same hoist, exact all-pairs oracle
-    "ml_kmeans_lloyd_fixed_init",    # argmin reduce -> array_min struct form
-    "ml_gaussian_nb",                # same argmin fix in NB scoring
+    "embedding_random_projection",   # r8 RED row: proj now sig_csv-serialized
+    "dedup_semantic_scaled",         # NEW: k∝n SRP quantizer headline
+    "embedding_near_dup_scaled",     # NEW: oracled k∝n near-dup blocking
+    "skew_salted_join",              # NEW: hot-key fixture over salted_join
+    "dedup_semantic_md5",            # verdict tail refactored (shared helper)
+    "embedding_near_dup",            # pair path unchanged-but-retouched module
+    "timeseries_ewma",               # join_partitions param (default None)
+    "decontaminate_corpus",          # benchmark_grams_hint arm added
+    "pipeline_curation_full",        # composite over decontaminate
 )
