@@ -265,3 +265,88 @@ def salted_join(
     # shape the operator is FOR: both sides hash-partitioned on
     # (key, salt), hot keys spread over salt_buckets reducers.
     return l.join(r.hint("shuffle_hash"), [*on, "_salt"], how).drop("_salt")
+
+
+_AQE_SCOPE_LOCK = None  # created lazily; module import stays cheap
+
+
+def aqe_skew_scope(
+    spark,
+    *,
+    partition_factor: float = 5.0,
+    partition_threshold: str = "256mb",
+    advisory_size: str = "64mb",
+    scan_split_bytes: str | None = None,
+    force: bool = False,
+):
+    """Context manager scoping the AQE skew-join knobs for one eager job.
+
+    The OTHER half of the skew toolkit next to `salted_join`: AQE's
+    OptimizeSkewedJoin splits an oversized reduce partition into
+    per-map-output chunks at RUNTIME, using the actual shuffle sizes —
+    no salt column, no right-side replication, no ahead-of-time skew
+    knowledge.  Its limits (why `salted_join` still exists):
+
+    - split granularity is MAP outputs — a hot key written by one mapper
+      (e.g. a single-file scan at small SF) cannot be split; at 100 TB
+      the scan has thousands of mappers and this is a non-issue, while
+      ``scan_split_bytes`` narrows `spark.sql.files.maxPartitionBytes`
+      to reproduce the multi-mapper shape on small fixtures;
+    - the split is skipped when it would break a downstream partitioning
+      reuse (e.g. a groupBy on the join key) unless ``force=True``
+      (spark.sql.adaptive.forceOptimizeSkewedJoin), which trades one
+      extra shuffle for straggler removal — the right trade when the hot
+      partition is 70% of the stage, the wrong one at mild skew;
+    - defaults mirror Spark's production values (factor 5, 256 MB
+      threshold, 64 MB advisory) — callers narrow them only on
+      small-data demonstrations.
+
+    Spark SQL conf is session-global, so the caller MUST materialize the
+    join INSIDE the scope (write/collect/localCheckpoint); the scope
+    serializes against itself and restores every key (unsetting keys
+    that were unset) on exit.
+    """
+    import threading
+    from contextlib import contextmanager
+
+    global _AQE_SCOPE_LOCK
+    if _AQE_SCOPE_LOCK is None:
+        _AQE_SCOPE_LOCK = threading.RLock()
+
+    pairs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": str(partition_factor),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": partition_threshold,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory_size,
+        # a broadcast join has no shuffle to split — pin the shuffle path
+        # so the scope demonstrates what it claims to demonstrate
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    if force:
+        pairs["spark.sql.adaptive.forceOptimizeSkewedJoin"] = "true"
+    if scan_split_bytes is not None:
+        pairs["spark.sql.files.maxPartitionBytes"] = scan_split_bytes
+        pairs["spark.sql.files.openCostInBytes"] = "0"
+
+    @contextmanager
+    def _scope():
+        with _AQE_SCOPE_LOCK:
+            prev: dict[str, str | None] = {}
+            for k in pairs:
+                try:
+                    prev[k] = spark.conf.get(k)
+                except Exception:  # noqa: BLE001 — unset key
+                    prev[k] = None
+            for k, v in pairs.items():
+                spark.conf.set(k, v)
+            try:
+                yield
+            finally:
+                for k, v in prev.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+
+    return _scope()

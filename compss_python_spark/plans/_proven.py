@@ -324,6 +324,7 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "dedup_semantic_scaled",         # NEW: k∝n SRP quantizer headline
     "embedding_near_dup_scaled",     # NEW: oracled k∝n near-dup blocking
     "skew_salted_join",              # NEW: hot-key fixture over salted_join
+    "skew_aqe_join",                 # NEW: same fixture via AQE runtime split
     "dedup_semantic_md5",            # verdict tail refactored (shared helper)
     "embedding_near_dup",            # pair path unchanged-but-retouched module
     "timeseries_ewma",               # join_partitions param (default None)

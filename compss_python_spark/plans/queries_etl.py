@@ -494,6 +494,81 @@ def skew_salted_join(spark, sf_dir):
     )
 
 
+@query(
+    "skew_aqe_join",
+    headline=True,
+    sql="""
+    WITH s AS (
+      SELECT CASE WHEN event_id % 10 < 7 THEN 0
+                  ELSE event_id % 997 END AS k,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    d AS (SELECT r.range AS k, (r.range * 37) % 100 AS w FROM range(0, 997) r)
+    SELECT s.k, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(s.cents * d.w) AS BIGINT) AS weighted_cents
+    FROM s JOIN d ON s.k = d.k
+    GROUP BY 1
+    """,
+)
+def skew_aqe_join(spark, sf_dir):
+    """The RUNTIME half of the skew toolkit — same 70%-hot-key fixture as
+    `skew_salted_join`, handled by AQE's OptimizeSkewedJoin instead of an
+    ahead-of-time salt: a PLAIN join whose oversized reduce partition is
+    split into per-map-output chunks after the shuffle sizes are known
+    (the executed plan reads `SortMergeJoin(skew=true)` over an
+    `AQEShuffleRead skewed` — asserted in tests/test_plans.py).
+
+    Contract vs the salted sibling: no salt column, no 16× right-side
+    replication, no skew knowledge in the query — but `force=True`
+    because the downstream groupBy("k") would otherwise make AQE decline
+    the split (it breaks the join output's reusable hash partitioning;
+    the extra shuffle is the right trade at 70%-in-one-key), and
+    `scan_split_bytes` narrows the scan so a small fixture has the many
+    map outputs a 100 TB scan has for free.  Thresholds are fixture-
+    sized (the production defaults are 256 MB partitions); semantics are
+    conf-independent, so the oracle is simply the unsalted join.  The
+    join materializes INSIDE the scope (session conf is global) to a
+    scratch parquet and the returned frame reads that back.
+    """
+    import os
+
+    events = table(spark, sf_dir, "events")
+    skewed = events.select(
+        F.when(F.col("event_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("event_id") % 997)
+        .cast("long")
+        .alias("k"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    dim = spark.range(0, 997, 1, 8).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 100).alias("w")
+    )
+    out = (
+        skewed.join(dim, "k")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("cents") * F.col("w")).alias("weighted_cents"),
+        )
+    )
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp", "io",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    scratch = os.path.join(root, f"aqe_skew_{tag}")
+    with joins.aqe_skew_scope(
+        spark,
+        partition_factor=1.2,
+        partition_threshold="1kb",
+        advisory_size="512b",
+        scan_split_bytes="64kb",
+        force=True,
+    ):
+        out.write.mode("overwrite").parquet(scratch)
+    return spark.read.parquet(scratch)
+
+
 # --- §2.5 sort / top-k ----------------------------------------------------
 
 

@@ -435,3 +435,57 @@ def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     left_keys = plan.split("Left keys")[1].splitlines()[0]
     assert "_salt" in left_keys, f"join keys must include the salt column: {left_keys}"
+
+
+def test_aqe_skew_scope_splits_hot_partition_and_restores_conf(spark):
+    # The scope must (a) make OptimizeSkewedJoin actually split the 70%-hot
+    # reduce partition (executed plan carries skew=true on the join), and
+    # (b) restore every conf key it touched — including unsetting the keys
+    # that were unset before the scope.
+    from pyspark.sql import functions as F
+
+    from compss_python_spark.operators.joins import aqe_skew_scope
+
+    before_force = None
+    try:
+        before_force = spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    except Exception:  # noqa: BLE001 — unset is the expected baseline
+        pass
+    before_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+    left = spark.range(0, 200_000, 1, 8).select(
+        F.when(F.col("id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("id") % 997)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    right = spark.range(0, 997, 1, 4).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    j = (
+        left.join(right, "k")
+        .groupBy("k")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+    )
+    with aqe_skew_scope(
+        spark,
+        partition_factor=1.2,
+        partition_threshold="1kb",
+        advisory_size="512b",
+        force=True,
+    ):
+        assert len(j.collect()) == 997
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, (
+        "AQE must split the hot partition under the scoped thresholds:\n"
+        + plan[:2000]
+    )
+
+    after_force = None
+    try:
+        after_force = spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    except Exception:  # noqa: BLE001
+        pass
+    assert after_force == before_force
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before_bcast
