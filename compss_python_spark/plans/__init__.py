@@ -16,6 +16,7 @@ from compss_python_spark.plans import queries_ml  # noqa: F401
 from compss_python_spark.plans import queries_geo  # noqa: F401
 from compss_python_spark.plans import queries_feature  # noqa: F401
 from compss_python_spark.plans import queries_io  # noqa: F401
+from compss_python_spark.plans import queries_streaming  # noqa: F401
 
 # The driver's CORRECTNESS check records only the first ~50 REGISTRY entries
 # per round (dict order).  Reorder so the window proves what needs proving,

@@ -250,6 +250,7 @@ CHANGED_MODULES: frozenset[str] = frozenset({
                               # decontaminate benchmark_grams_hint
     "operators.joins",        # salted_join SHUFFLE_HASH pin
     "operators.timeseries",   # ewma_bounded join_partitions knob (default None)
+    "streaming.stateful",     # streaming_ewma round_dp emission contract
 })
 
 # Round-8 CHANGED_MODULES (kept for the record; all re-slots consumed in
@@ -325,6 +326,11 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup_scaled",     # NEW: oracled k∝n near-dup blocking
     "skew_salted_join",              # NEW: hot-key fixture over salted_join
     "skew_aqe_join",                 # NEW: same fixture via AQE runtime split
+    "stream_tumbling_replay",        # NEW: real-stream window-state merge
+    "stream_session_replay",         # NEW: session windows, single-batch
+    "stream_dedup_replay",           # NEW: dropDuplicatesWithinWatermark
+    "stream_stateful_running_totals",  # NEW: applyInPandasWithState
+    "stream_ewma_sequential",        # NEW: bit-deterministic recurrence
     "dedup_semantic_md5",            # verdict tail refactored (shared helper)
     "embedding_near_dup",            # pair path unchanged-but-retouched module
     "timeseries_ewma",               # join_partitions param (default None)

@@ -1,0 +1,244 @@
+"""Declared queries: Structured Streaming replays (SURVEY.md §2.10).
+
+The reference is batch-only; streaming is the engine extension the events
+table motivates.  Until round 9 the streaming module was proven only by
+stream/batch-equivalence unit tests — these queries make it DRIVER-proven:
+each one drives a REAL Structured Streaming run (parquet file source →
+micro-batches → memory sink, synchronously via processAllAvailable) inside
+the query function and returns the materialized result, which a plain-SQL
+DuckDB oracle then checks like any batch query.  The replay splits the
+source into 4 files consumed one per micro-batch (maxFilesPerTrigger=1), so
+cross-batch state — window merge, session merge, dedup state, per-key
+applyInPandasWithState — is genuinely exercised, not simulated on a single
+batch.
+
+Determinism contract (why these CAN be hash-oracled):
+- complete-mode aggregations and final-state reductions are independent of
+  how rows land in micro-batches;
+- the dedup replay injects EXACT duplicate rows, so whichever copy survives
+  is byte-identical;
+- watermarks are set wider than the fixture's full time span, so no row is
+  ever late-dropped (the bounded-state behavior under tight watermarks is
+  covered by tests/test_streaming.py, where lateness is constructed);
+- the one order-sensitive recurrence (true sequential EWMA) replays from a
+  single file so arrival order is the sorted batch order.
+
+At scale the same topologies run unbounded: the memory sink becomes a real
+sink, the file source a log/queue source, and state lives in the
+RocksDB-backed state store partitioned by the grouping key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from compss_python_spark.plans.registry import query, table
+from compss_python_spark.streaming import stateful as S
+from compss_python_spark.streaming import windows as W
+
+_WM = "36500 days"  # wider than the fixture's time span: nothing is late
+
+
+def _scratch_root() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp", "io",
+    )
+
+
+def _data_tag(sf_dir: str) -> str:
+    """sf-dir basename + events-parquet fingerprint, so a regenerated
+    fixture invalidates the replay source (same contract as the MinHash
+    index scratch — a stale copy would fail the oracle for a fixture
+    problem, not a code bug)."""
+    import hashlib
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    stats = []
+    for p in sorted(
+        [ev] + ([os.path.join(ev, f) for f in os.listdir(ev)] if os.path.isdir(ev) else [])
+    ):
+        try:
+            st = os.stat(p)
+            stats.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            pass
+    fp = hashlib.md5(";".join(stats).encode()).hexdigest()[:10]
+    return f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}_{fp}"
+
+
+def _ensure_stream_src(spark, sf_dir, *, kind: str, n_files: int) -> tuple[str, object]:
+    """Write the events table (µs timestamps — the streaming source can't
+    read TIMESTAMP_NANOS) to a scratch dir in ``n_files`` files, once per
+    fixture generation.  kind='dups' writes every row TWICE (exact copies,
+    projected to the dedup columns) for the streaming-dedup replay.
+    Returns (path, schema-to-stream-with)."""
+    ev = table(spark, sf_dir, "events")
+    if kind == "dups":
+        ev = ev.select("event_id", "ts", "event_type")
+        ev = ev.unionAll(ev)
+    path = os.path.join(_scratch_root(), f"stream_src_{kind}_{n_files}_{_data_tag(sf_dir)}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path, ev.schema
+
+
+def _replay(spark, src, schema, builder, name, *, output_mode, one_batch=False):
+    return W.replay_as_stream(
+        spark, src, schema, builder, query_name=name,
+        output_mode=output_mode,
+        max_files_per_trigger=None if one_batch else 1,
+    )
+
+
+@query(
+    "stream_tumbling_replay",
+    sql="""
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP) AS w_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_replay(spark, sf_dir):
+    """5-minute tumbling count/sum through a REAL stream: 4 micro-batches,
+    complete mode — per-window partials merge in the state store across
+    batches, so the oracle checks cross-batch window-state merge, not just
+    the window expression (the batch twin `tumbling_window_agg` covers
+    that)."""
+    src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=4)
+    return _replay(
+        spark, src, schema, W.tumbling_window_counts, "q_stream_tumble",
+        output_mode="complete",
+    )
+
+
+@query(
+    "stream_session_replay",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events),
+    sess AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked)
+    SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def stream_session_replay(spark, sf_dir):
+    """Session windows (30-min gap) through a real stream, complete mode,
+    SINGLE micro-batch — the stream/batch-equivalence contract the unit
+    tests prove.  Replay is deliberately NOT multi-batch: measured on this
+    fixture, complete-mode session merge across micro-batches WITHOUT a
+    watermark silently dropped ~half the rows (Spark's session-state
+    finalization is watermark-driven; complete mode + no watermark is an
+    unsupported corner it does not reject), and a watermark wider than the
+    data span never finalizes any session in append mode.  Cross-batch
+    state is driver-proven by the tumbling/dedup/running-totals replays,
+    whose merge semantics are watermark-independent.  Streaming allows one
+    stateful aggregation per query, so the per-user rollup runs as a batch
+    agg over the materialized per-session rows."""
+    src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=1)
+    sessions = _replay(
+        spark, src, schema, W.session_window_stats, "q_stream_sess",
+        output_mode="complete", one_batch=True,
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+@query(
+    "stream_dedup_replay",
+    sql="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM (SELECT DISTINCT event_id, ts, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_replay(spark, sf_dir):
+    """Bounded-state streaming dedup over a duplicate-injected stream (every
+    event twice, exact copies, arriving in different micro-batches):
+    `dropDuplicatesWithinWatermark` keeps one row per event_id across
+    batches.  Survivors are byte-identical to their duplicates, so the
+    result is deterministic; the per-type rollup runs as a batch agg over
+    the deduped append-mode output."""
+    src, schema = _ensure_stream_src(spark, sf_dir, kind="dups", n_files=4)
+    deduped = _replay(
+        spark, src, schema,
+        lambda s: W.streaming_dedup(s, keys=("event_id",), watermark=_WM),
+        "q_stream_dedup", output_mode="append",
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("id_sum")
+    )
+
+
+@query(
+    "stream_stateful_running_totals",
+    sql="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) driver-proven: each
+    user's (count, sum) state survives across 4 micro-batches; update mode
+    emits one row per touched key per batch, so the FINAL state per key is
+    the row with the largest running count (strictly increasing), selected
+    with max_by after materialization.  The Python kernel is the declared
+    slow path — two numbers of state per key; the shuffle is the same hash
+    partition a groupBy pays."""
+    src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=4)
+    updates = _replay(
+        spark, src, schema, S.running_totals_stateful, "q_stream_totals",
+        output_mode="update",
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max_by("total", "n").alias("total")
+    )
+
+
+@query(
+    "stream_ewma_sequential",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_ewma_sequential(spark, sf_dir):
+    """TRUE sequential EWMA (e ← α·x + (1−α)·e) as a stateful streaming
+    operator — the unbounded recurrence the batch operator
+    (operators/timeseries.ewma_bounded) deliberately truncates.  Replayed
+    from a single file so arrival order is the per-batch (ts, event_id)
+    sort.  Hash-proving an order-sensitive float recurrence cross-engine
+    needs BIT determinism, not rounding: a first attempt with α=0.3 and
+    fixed-dp rounding double-rounded onto .5 boundaries (2/150 users
+    flipped at 4 dp).  With α=0.25 both α and 1−α are exactly
+    representable doubles, the per-step ops (two mults, one add) run in
+    the same IEEE order in both engines, and the unrounded accumulators
+    match bit-for-bit (measured: 150/150 users identical to DuckDB's
+    list_reduce over the ts-ordered value list)."""
+    src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=1)
+    out = _replay(
+        spark, src, schema,
+        lambda s: S.streaming_ewma(s, alpha=0.25, round_dp=None),
+        "q_stream_ewma", output_mode="update", one_batch=True,
+    )
+    return out.select("user_id", "n_obs", "ewma")

@@ -57,6 +57,7 @@ def streaming_ewma(
     value_col: str = "value",
     tiebreak_col: str = "event_id",
     alpha: float = 0.3,
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """TRUE (unbounded-recurrence) EWMA as a stateful streaming operator:
     e ← α·x + (1−α)·e per observation, per key, seeded by the key's first
@@ -67,7 +68,11 @@ def streaming_ewma(
     micro-batch; cross-batch order is the stream's delivery contract
     (bound disorder upstream with a watermark).
 
-    Emits (key, n_obs, ewma) per key per micro-batch (update mode)."""
+    Emits (key, n_obs, ewma) per key per micro-batch (update mode).
+    ``round_dp=None`` emits the raw accumulator — with an exactly-
+    representable alpha (0.25, 0.5) the recurrence is bit-deterministic,
+    so an oracle running the same IEEE ops in the same order matches the
+    full double (how the registry query hash-proves this operator)."""
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -81,7 +86,8 @@ def streaming_ewma(
                 n += 1
         state.update((n, e))
         yield pd.DataFrame(
-            {key_col: [key[0]], "n_obs": [n], "ewma": [round(e, 6)]}
+            {key_col: [key[0]], "n_obs": [n],
+             "ewma": [e if round_dp is None else round(e, round_dp)]}
         )
 
     return events.groupBy(key_col).applyInPandasWithState(
