@@ -267,7 +267,9 @@ def salted_join(
     return l.join(r.hint("shuffle_hash"), [*on, "_salt"], how).drop("_salt")
 
 
-_AQE_SCOPE_LOCK = None  # created lazily; module import stays cheap
+import threading as _threading
+
+_AQE_SCOPE_LOCK = _threading.RLock()
 
 
 def aqe_skew_scope(
@@ -306,12 +308,7 @@ def aqe_skew_scope(
     serializes against itself and restores every key (unsetting keys
     that were unset) on exit.
     """
-    import threading
     from contextlib import contextmanager
-
-    global _AQE_SCOPE_LOCK
-    if _AQE_SCOPE_LOCK is None:
-        _AQE_SCOPE_LOCK = threading.RLock()
 
     pairs = {
         "spark.sql.adaptive.enabled": "true",
