@@ -327,6 +327,7 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "skew_salted_join",              # NEW: hot-key fixture over salted_join
     "skew_aqe_join",                 # NEW: same fixture via AQE runtime split
     "stream_tumbling_replay",        # NEW: real-stream window-state merge
+    "stream_sliding_replay",         # NEW: overlapping-window merge
     "stream_session_replay",         # NEW: session windows, single-batch
     "stream_dedup_replay",           # NEW: dropDuplicatesWithinWatermark
     "stream_stateful_running_totals",  # NEW: applyInPandasWithState

@@ -118,6 +118,34 @@ def stream_tumbling_replay(spark, sf_dir):
 
 
 @query(
+    "stream_sliding_replay",
+    sql="""
+    WITH x AS (
+      SELECT event_type, FLOOR(EPOCH(ts) / 300) * 300 AS b FROM events),
+    w AS (
+      SELECT event_type, b AS ws FROM x
+      UNION ALL
+      SELECT event_type, b - 300 AS ws FROM x)
+    SELECT CAST(TO_TIMESTAMP(ws) AS TIMESTAMP) AS w_start, event_type,
+           COUNT(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_replay(spark, sf_dir):
+    """Sliding windows (10-min length, 5-min slide) through a real stream,
+    4 micro-batches, complete mode: every event lands in exactly TWO
+    overlapping windows whose epoch-aligned starts are b and b−300 for
+    b = 5-min bucket of ts — which is also how the oracle expands them
+    (UNION ALL of the two bucketings), with the same cross-batch
+    window-state merge contract as the tumbling replay."""
+    src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=4)
+    return _replay(
+        spark, src, schema, W.sliding_window_counts, "q_stream_slide",
+        output_mode="complete",
+    )
+
+
+@query(
     "stream_session_replay",
     sql="""
     WITH marked AS (
