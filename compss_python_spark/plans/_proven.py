@@ -332,6 +332,7 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "stream_dedup_replay",           # NEW: dropDuplicatesWithinWatermark
     "stream_stateful_running_totals",  # NEW: applyInPandasWithState
     "stream_ewma_sequential",        # NEW: bit-deterministic recurrence
+    "stream_interval_join_replay",   # NEW: stream-stream join state
     "dedup_semantic_md5",            # verdict tail refactored (shared helper)
     "embedding_near_dup",            # pair path unchanged-but-retouched module
     "timeseries_ewma",               # join_partitions param (default None)

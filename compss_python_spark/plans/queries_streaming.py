@@ -215,6 +215,47 @@ def stream_dedup_replay(spark, sf_dir):
 
 
 @query(
+    "stream_interval_join_replay",
+    sql="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS event_id_r, r.ts AS ts_r
+    FROM events l JOIN events r ON l.user_id = r.user_id
+    WHERE l.event_type = 'view' AND r.event_type = 'click'
+      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_interval_join_replay(spark, sf_dir):
+    """STREAM–STREAM inner interval join (view→click attribution within
+    10 minutes) with BOTH sides real streams over the same replayed
+    source, 4 micro-batches each, append mode — a view buffered in batch
+    1 joins clicks arriving in batches 2–4, so cross-batch join state is
+    genuinely exercised.  Inner-join output is batching-independent as
+    long as no state is evicted: the watermark is wider than the fixture
+    span, so every (view, click) pair within the interval is emitted
+    exactly once and the batch twin's oracle (`interval_join_events`)
+    applies unchanged.  The bounded-state behavior under tight watermarks
+    (buffered left rows dropped once the right watermark passes
+    left.ts + interval) is covered by tests/test_streaming.py, where
+    lateness is constructed."""
+    src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=4)
+
+    def builder(stream):
+        views = stream.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        return W.stream_stream_interval_join(
+            views, clicks, within="10 minutes", watermark=_WM
+        )
+
+    return _replay(
+        spark, src, schema, builder, "q_stream_ivjoin", output_mode="append"
+    )
+
+
+@query(
     "stream_stateful_running_totals",
     sql="""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
