@@ -333,6 +333,7 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "stream_stateful_running_totals",  # NEW: applyInPandasWithState
     "stream_ewma_sequential",        # NEW: bit-deterministic recurrence
     "stream_interval_join_replay",   # NEW: stream-stream join state
+    "session_window_agg",            # oracle gap comparator >= -> > (Spark merges touching sessions)
     "dedup_semantic_md5",            # verdict tail refactored (shared helper)
     "embedding_near_dup",            # pair path unchanged-but-retouched module
     "timeseries_ewma",               # join_partitions param (default None)

@@ -151,7 +151,7 @@ def stream_sliding_replay(spark, sf_dir):
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       FROM events),
     sess AS (
       SELECT user_id,

@@ -78,7 +78,14 @@ def streaming_ewma(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n, e = state.get if state.exists else (0, None)
-        for pdf in pdfs:
+        # Concatenate the key's Arrow chunks BEFORE sorting: a group larger
+        # than arrow.maxRecordsPerBatch arrives as several pdfs in source
+        # order, and sorting each chunk independently silently violates the
+        # documented within-batch (ts, tiebreak) order (caught at the
+        # sfgen10 density — 2k rows/key — where 425/500 keys diverged from
+        # the sequential oracle; sf0.01's ~67 rows/key fit one chunk).
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values([ts_col, tiebreak_col])
             for x in pdf[value_col]:
                 x = float(x)
