@@ -55,11 +55,14 @@ def regression_metrics(df: DataFrame, label_col: str = "label",
     """MSE/RMSE/MAE/R² as one aggregate (oracle-expressible)."""
     err = F.col(prediction_col) - F.col(label_col)
     # Σ(y−ȳ)² = n·var_pop(y) ⇒ R² = 1 − avg(err²)/var_pop(y) — single pass,
-    # no nested aggregate.
+    # no nested aggregate.  Error metrics round at 2 dp: they scale with
+    # the label magnitude (mse ~1e8 on price labels), and 6 dp there is
+    # past double precision — summation-order ulp flips the rounded digit
+    # (caught at sfgen10).  R² is dimensionless and keeps 6 dp.
     return df.agg(
-        F.round(F.avg(err * err), 6).alias("mse"),
-        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
-        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.avg(err * err), 2).alias("mse"),
+        F.round(F.sqrt(F.avg(err * err)), 2).alias("rmse"),
+        F.round(F.avg(F.abs(err)), 2).alias("mae"),
         F.round(F.lit(1.0) - F.avg(err * err) / F.var_pop(label_col), 6).alias("r2"),
     )
 

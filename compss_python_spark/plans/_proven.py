@@ -250,7 +250,8 @@ CHANGED_MODULES: frozenset[str] = frozenset({
                               # decontaminate benchmark_grams_hint
     "operators.joins",        # salted_join SHUFFLE_HASH pin
     "operators.timeseries",   # ewma_bounded join_partitions knob (default None)
-    "streaming.stateful",     # streaming_ewma round_dp emission contract
+    "streaming.stateful",     # streaming_ewma round_dp + chunk-concat ordering
+    "ml.evaluation",          # regression error metrics re-rounded to 2 dp
 })
 
 # Round-8 CHANGED_MODULES (kept for the record; all re-slots consumed in
@@ -334,6 +335,10 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "stream_ewma_sequential",        # NEW: bit-deterministic recurrence
     "stream_interval_join_replay",   # NEW: stream-stream join state
     "session_window_agg",            # oracle gap comparator >= -> > (Spark merges touching sessions)
+    "tpch_q1_pricing_summary",       # money sums re-rounded to 2 dp (16th-digit ulp at gen-SF magnitude)
+    "window_ntile_percent_rank",     # pr/cd now unrounded bit-exact divisions
+    "agg_regression_family",         # day-scaled x: slope off its rounding quantum
+    "ml_regression_metrics",         # error metrics 2 dp (label-scaled magnitudes)
     "dedup_semantic_md5",            # verdict tail refactored (shared helper)
     "embedding_near_dup",            # pair path unchanged-but-retouched module
     "timeseries_ewma",               # join_partitions param (default None)

@@ -16,8 +16,8 @@ from compss_python_spark.plans.registry import query, table
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -35,8 +35,8 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -1503,8 +1503,8 @@ def tpch_q20_part_promotion(spark, sf_dir):
     sql="""
     SELECT event_id, user_id,
            CAST(NTILE(4) OVER w AS INT) AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-           ROUND(CUME_DIST() OVER w, 6) AS cd
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -1512,14 +1512,18 @@ def tpch_q20_part_promotion(spark, sf_dir):
 def window_ntile_percent_rank(spark, sf_dir):
     """Ranking-window family (ntile/percent_rank/cume_dist) under a total
     order (ts, event_id tiebreak) — per-key partitions, no global window,
-    so the sort is partition-local after one hash exchange."""
+    so the sort is partition-local after one hash exchange.  pr/cd are
+    UNROUNDED: each is one IEEE division of exact integers, so the
+    doubles match bit-for-bit cross-engine, whereas 6-dp rounding
+    diverged at the sfgen10 density (k/3200 terminates at 7 decimals —
+    exact ties that Spark HALF_UP and DuckDB half-even round apart)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
     )
 
 

@@ -191,9 +191,9 @@ def ml_simple_linreg(spark, sf_dir):
     sql="""
     WITH p AS (SELECT o_totalprice AS label, o_totalprice * 0.9 + 1000 AS prediction
                FROM orders)
-    SELECT ROUND(AVG((prediction - label) * (prediction - label)), 6) AS mse,
-           ROUND(SQRT(AVG((prediction - label) * (prediction - label))), 6) AS rmse,
-           ROUND(AVG(ABS(prediction - label)), 6) AS mae,
+    SELECT ROUND(AVG((prediction - label) * (prediction - label)), 2) AS mse,
+           ROUND(SQRT(AVG((prediction - label) * (prediction - label))), 2) AS rmse,
+           ROUND(AVG(ABS(prediction - label)), 2) AS mae,
            ROUND(1.0 - AVG((prediction - label) * (prediction - label)) / VAR_POP(label), 6) AS r2
     FROM p
     """,

@@ -252,12 +252,12 @@ def agg_moments(spark, sf_dir):
     "agg_regression_family",
     sql="""
     SELECT event_type,
-           ROUND(REGR_SLOPE(value, EPOCH(ts)), 6) AS slope,
-           ROUND(REGR_INTERCEPT(value, EPOCH(ts)), 4) AS intercept,
-           ROUND(REGR_R2(value, EPOCH(ts)), 6) AS r2,
-           CAST(REGR_COUNT(value, EPOCH(ts)) AS BIGINT) AS n,
-           ROUND(REGR_AVGX(value, EPOCH(ts)), 4) AS avg_x,
-           ROUND(REGR_AVGY(value, EPOCH(ts)), 4) AS avg_y
+           ROUND(REGR_SLOPE(value, EPOCH(ts) / 86400), 6) AS slope,
+           ROUND(REGR_INTERCEPT(value, EPOCH(ts) / 86400), 4) AS intercept,
+           ROUND(REGR_R2(value, EPOCH(ts) / 86400), 8) AS r2,
+           CAST(REGR_COUNT(value, EPOCH(ts) / 86400) AS BIGINT) AS n,
+           ROUND(REGR_AVGX(value, EPOCH(ts) / 86400), 4) AS avg_x,
+           ROUND(REGR_AVGY(value, EPOCH(ts) / 86400), 4) AS avg_y
     FROM events GROUP BY event_type
     """,
 )
@@ -266,12 +266,18 @@ def agg_regression_family(spark, sf_dir):
     group — one-pass partial/final aggregation in both engines, the
     declarative cousin of ml_simple_linreg's closed form."""
     ev = table(spark, sf_dir, "events")
-    x = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    # x in DAYS, not seconds: against epoch-second x the slope magnitude is
+    # ~5e-7 — the same order as its own 6-dp rounding quantum, so the
+    # rounded value is boundary-noise (caught at sfgen10: engines agree to
+    # ~12 significant digits but the fixed-dp round flipped).  Day-scaled x
+    # puts slope at ~0.05 with ~5 significant digits of headroom; r2 is
+    # dimensionless ~1e-6 here, so it rounds at 8 dp.
+    x = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400e6)
     y = F.col("value")
     return ev.groupBy("event_type").agg(
         F.round(F.regr_slope(y, x), 6).alias("slope"),
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_r2(y, x), 8).alias("r2"),
         F.regr_count(y, x).alias("n"),
         F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
