@@ -68,14 +68,19 @@ def _timed(fn) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def force(df) -> None:
+def force(df) -> bool:
     """Evaluate a query to FULL completion: every output column of every
     row.  ``count()`` is not enough — Catalyst prunes row-preserving
     operators (windows, projected expressions) from a count-only plan, so
     a timed count can measure a plan that skips the operator under test.
     One xxhash64 over the output struct per row is a negligible, pure-JVM
     materialization cost; output types xxhash64 can't digest (maps) fall
-    back to count()."""
+    back to count().
+
+    Returns True when the count() fallback was taken — callers record the
+    set of fallback queries in the artifact, so a pruned-count timing can
+    never masquerade as a full-output one (`evaluated` stays honest
+    per-query, not just per-run)."""
     from pyspark.sql import functions as F
 
     try:
@@ -87,8 +92,10 @@ def force(df) -> None:
         # execution (Spark Connect) unsupported-type errors only surface
         # here, and they must hit the same count() fallback.
         probe.agg(F.bit_xor("_h")).collect()
+        return False
     except Exception:
         df.count()
+        return True
 
 
 def main() -> None:
@@ -105,9 +112,11 @@ def main() -> None:
     # measurement (round-2 lesson: leaked persists degraded every query
     # timed after pagerank by 40-100%).
     first_run: dict[str, float] = {}
+    fallback: set[str] = set()
     for name, spec in headline.items():
         t0 = time.perf_counter()
-        force(spec.fn(spark, sf_dir))
+        if force(spec.fn(spark, sf_dir)):
+            fallback.add(name)
         first_run[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
 
@@ -121,13 +130,15 @@ def main() -> None:
     for _pass in range(2):
         for name, spec in headline.items():
             t0 = time.perf_counter()
-            force(spec.fn(spark, sf_dir))
+            if force(spec.fn(spark, sf_dir)):
+                fallback.add(name)
             samples[name].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
     for name, spec in headline.items():
         if max(samples[name]) > 1.0:
             t0 = time.perf_counter()
-            force(spec.fn(spark, sf_dir))
+            if force(spec.fn(spark, sf_dir)):
+                fallback.add(name)
             samples[name].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
     times = {n: min(s) for n, s in samples.items()}
@@ -153,6 +164,11 @@ def main() -> None:
         # column of every row is evaluated.  Cross-round per-query
         # comparisons must not read the contract change as a regression.
         "evaluated": "full_output",
+        # Queries whose xxhash64 full-output probe failed at least once and
+        # were timed under the (Catalyst-pruned) count() contract instead.
+        # Empty in a healthy run; non-empty means those timings are NOT
+        # full-output and must not be compared as such.
+        "count_fallback": sorted(fallback),
     }
     # Per-query cold-JVM detail goes to a sibling file, NOT stdout — it is
     # the least-load-bearing map and the first candidate to push the detail

@@ -14,10 +14,15 @@ Engine extensions beyond reference parity: semi/anti joins (free in Spark).
 
 from __future__ import annotations
 
+import threading as _threading
 from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Serializes aqe_skew_scope against itself (see its docstring): SQL conf is
+# session-global, so overlapping scopes would interleave set/restore.
+_AQE_SCOPE_LOCK = _threading.RLock()
 
 _MODE_MAP = {
     "inner": "inner",
@@ -267,11 +272,6 @@ def salted_join(
     return l.join(r.hint("shuffle_hash"), [*on, "_salt"], how).drop("_salt")
 
 
-import threading as _threading
-
-_AQE_SCOPE_LOCK = _threading.RLock()
-
-
 def aqe_skew_scope(
     spark,
     *,
@@ -303,10 +303,19 @@ def aqe_skew_scope(
       threshold, 64 MB advisory) — callers narrow them only on
       small-data demonstrations.
 
-    Spark SQL conf is session-global, so the caller MUST materialize the
-    join INSIDE the scope (write/collect/localCheckpoint); the scope
-    serializes against itself and restores every key (unsetting keys
-    that were unset) on exit.
+    SESSION-GLOBAL CONTRACT: Spark SQL conf belongs to the SparkSession,
+    not the plan — so (a) the caller MUST materialize the join INSIDE the
+    scope (write/collect/localCheckpoint); (b) concurrent callers in the
+    same session SERIALIZE on a process lock (two scoped queries never
+    overlap — the second waits); (c) while a scope is open, the flipped
+    confs are visible to ANY bystander job the same session runs in that
+    window (they run with skew-split knobs and broadcast disabled).  For
+    multi-tenant use, give each tenant `spark.newSession()` — conf is
+    per-session, the lock here guards only this module's scopes.  On
+    exit every key is restored: explicitly-set keys to their prior value,
+    never-set keys back to unset (probed with `conf.get(k, None)`, which
+    bypasses the ConfigEntry default — a bare `conf.get(k)` returns the
+    built-in default for most SQL confs and would pin them on exit).
     """
     from contextlib import contextmanager
 
@@ -331,10 +340,11 @@ def aqe_skew_scope(
         with _AQE_SCOPE_LOCK:
             prev: dict[str, str | None] = {}
             for k in pairs:
-                try:
-                    prev[k] = spark.conf.get(k)
-                except Exception:  # noqa: BLE001 — unset key
-                    prev[k] = None
+                # get(k, None) returns None unless the key was EXPLICITLY
+                # set: getConfString(key, default) short-circuits past the
+                # ConfigEntry default, so never-set keys restore to unset
+                # instead of being pinned to their built-in default.
+                prev[k] = spark.conf.get(k, None)
             for k, v in pairs.items():
                 spark.conf.set(k, v)
             try:

@@ -112,8 +112,9 @@ def stream_tumbling_replay(spark, sf_dir):
     that)."""
     src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=4)
     return _replay(
-        spark, src, schema, W.tumbling_window_counts, "q_stream_tumble",
-        output_mode="complete",
+        spark, src, schema,
+        lambda s: W.tumbling_window_counts(s, watermark=_WM),
+        "q_stream_tumble", output_mode="complete",
     )
 
 
@@ -140,8 +141,9 @@ def stream_sliding_replay(spark, sf_dir):
     window-state merge contract as the tumbling replay."""
     src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=4)
     return _replay(
-        spark, src, schema, W.sliding_window_counts, "q_stream_slide",
-        output_mode="complete",
+        spark, src, schema,
+        lambda s: W.sliding_window_counts(s, watermark=_WM),
+        "q_stream_slide", output_mode="complete",
     )
 
 
@@ -178,8 +180,9 @@ def stream_session_replay(spark, sf_dir):
     agg over the materialized per-session rows."""
     src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=1)
     sessions = _replay(
-        spark, src, schema, W.session_window_stats, "q_stream_sess",
-        output_mode="complete", one_batch=True,
+        spark, src, schema,
+        lambda s: W.session_window_stats(s, watermark=_WM),
+        "q_stream_sess", output_mode="complete", one_batch=True,
     )
     return sessions.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),

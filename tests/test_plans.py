@@ -406,7 +406,11 @@ def test_no_oracled_query_returns_complex_top_level_columns(spark, sf_dir):
     cannot hash a Python list (round-8 red row `embedding_random_projection`:
     ``TypeError: unhashable type: 'list'``).  Every ORACLED query must
     therefore serialize array/map outputs (array_join / sig_csv
-    convention) before returning.  Schema-level check: no execution."""
+    convention) before returning.  The CHECK itself is schema-level, but
+    CONSTRUCTING some queries is eager by design (streaming replays run
+    processAllAvailable; the skew/SRP/decontaminate queries run sizing
+    jobs or scratch writes to build their plan) — so this test costs
+    real minutes and doubles as a does-every-query-construct smoke."""
     from pyspark.sql import types as T
 
     offenders = {}
@@ -489,3 +493,45 @@ def test_aqe_skew_scope_splits_hot_partition_and_restores_conf(spark):
         pass
     assert after_force == before_force
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before_bcast
+    # Never-set keys must restore to UNSET, not to their built-in default
+    # pinned explicitly (conf.get(k, None) probe — a bare get() returns the
+    # ConfigEntry default and masks the difference).
+    assert (
+        spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin", None) is None
+        or before_force is not None
+    )
+
+
+def test_aqe_skew_scope_serializes_concurrent_callers(spark):
+    """Two threads entering the scope on one session must serialize (conf
+    is session-global — overlap would interleave set/restore), and the
+    conf must be back to its pre-scope value after both exit."""
+    import threading
+
+    from compss_python_spark.operators.joins import aqe_skew_scope
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    inside = []
+    overlap = []
+    gate = threading.Barrier(2, timeout=30)
+
+    def worker(tag):
+        gate.wait()  # maximize the overlap window
+        with aqe_skew_scope(spark, partition_threshold="1kb"):
+            if inside:
+                overlap.append((inside[-1], tag))
+            inside.append(tag)
+            assert spark.conf.get(key) == "-1"
+            import time as _t
+
+            _t.sleep(0.05)
+            inside.pop()
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not overlap, f"scopes overlapped: {overlap}"
+    assert spark.conf.get(key) == before

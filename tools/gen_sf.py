@@ -81,8 +81,16 @@ def pick(lst, salt: int, *cols):
 def ts_between(lo: str, hi: str, salt: int, *cols):
     import datetime as dt
 
-    lo_s = int(dt.datetime.fromisoformat(lo).timestamp())
-    hi_s = int(dt.datetime.fromisoformat(hi).timestamp())
+    # Bounds pinned to UTC: a naive fromisoformat().timestamp() resolves
+    # in the HOST timezone, so "same seed → byte-identical data" would
+    # only hold across hosts sharing TZ/DST rules.
+    def _utc(s: str) -> int:
+        return int(
+            dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc).timestamp()
+        )
+
+    lo_s = _utc(lo)
+    hi_s = _utc(hi)
     return F.timestamp_seconds(
         F.lit(lo_s) + (u(salt, *cols) * (hi_s - lo_s)).cast("long")
     ).cast("timestamp_ntz")  # driver testdata stores TIMESTAMP_NTZ
