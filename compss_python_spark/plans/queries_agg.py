@@ -14,13 +14,21 @@ from compss_python_spark.plans.registry import query, table
     "tpch_q1_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+             AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0
+             AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+               * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) / 1000000.0
+             AS sum_charge,
+           SUM(CAST(l_quantity AS BIGINT)) / COUNT(*) AS avg_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / COUNT(*)
+             AS avg_price,
+           SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 100.0 / COUNT(*)
+             AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2000-09-02'
@@ -29,18 +37,48 @@ from compss_python_spark.plans.registry import query, table
     headline=True,
 )
 def tpch_q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: scan-filter → 8-agg hash aggregate (partial/final)."""
+    """TPC-H Q1 shape: scan-filter → 8-agg hash aggregate (partial/final).
+
+    Money sums are EXACT, not rounded: every monetary input is a true 2-dp
+    value (verified: |x*100 − round(x*100)| < 1e-9 across all fixtures), so
+    price/discount/tax convert losslessly to integer cents and the three
+    sums accumulate as integers in 1e-2/1e-4/1e-6 units — summation-order
+    invariant at ANY scale factor.  The round-9 alternative (round the
+    double sum at 2 dp) was magnitude-fragile: a 4×10¹² sum leaves the
+    2-dp digit inside double-summation ulp, and ROUND itself is
+    engine-divergent on inexact doubles.  Here the only float ops are the
+    final divisions — each a single IEEE op on identical exact integers in
+    both engines, hence bit-identical unrounded.  Averages derive from the
+    same exact sums (sum/scale/count, same op order in both engines).
+    The per-row cents conversion can never hit a .5 rounding boundary
+    (the value is within 1e-9 of an integer), so Spark HALF_UP vs DuckDB
+    half-even cannot diverge.  Sums accumulate as DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB SUM(BIGINT)): no int64 overflow even at
+    10¹¹-row scale where the charge numerator passes 2⁶³."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100, 0).cast("long")
+    dec = "decimal(38,0)"
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("_qty"),
+        F.sum(price_c.cast(dec)).alias("_base_c"),
+        F.sum((price_c * (100 - disc_c)).cast(dec)).alias("_disc_n"),
+        F.sum((price_c * (100 - disc_c) * (100 + tax_c)).cast(dec)).alias("_charge_n"),
+        F.sum(disc_c.cast(dec)).alias("_disc_c"),
         F.count("*").alias("count_order"),
+    )
+    n = F.col("count_order")
+    return g.select(
+        "l_returnflag", "l_linestatus",
+        F.col("_qty").alias("sum_qty"),
+        (F.col("_base_c").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("_disc_n").cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.col("_charge_n").cast("double") / 1000000.0).alias("sum_charge"),
+        (F.col("_qty") / n).alias("avg_qty"),
+        (F.col("_base_c").cast("double") / 100.0 / n).alias("avg_price"),
+        (F.col("_disc_c").cast("double") / 100.0 / n).alias("avg_disc"),
+        "count_order",
     )
 
 

@@ -245,6 +245,7 @@ def dedup_simhash_md5(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
+    oracle_cost="superlinear",  # token-blocked all-pairs: 26 min at sfgen10
     sql=r"""
     WITH tok AS (
       SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
@@ -2067,6 +2068,7 @@ def pipeline_span_dedup_curation(spark, sf_dir):
 
 @query(
     "dedup_set_similarity_join",
+    oracle_cost="superlinear",  # brute-force all-pairs: spilled >70 GB at sfgen10
     sql=r"""
     WITH tok AS (
       SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -29,17 +29,33 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # None → rows-only check (non-SQL-expressible op)
     headline: bool = False  # included in bench.py
+    # Declared asymptotic cost of the ORACLE (not the Spark side): the
+    # exactness twins for set-similarity / edit-distance / recursive-
+    # closure operators are deliberately brute-force (all-pairs, recursive
+    # CTE) — correct and affordable at the driver's sf0.01 gate, but
+    # super-linear, so the DENSE-fixture gate (tools/check_correctness.py
+    # --skip-superlinear) skips them instead of letting DuckDB spill tens
+    # of GB (round-9 finding: the PPJoin all-pairs twin spilled >70 GB at
+    # 50 k docs).  The SPARK side of these queries is always linear-ish;
+    # only the oracle is declared expensive.
+    oracle_cost: str = "linear"  # "linear" | "superlinear"
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, sql: str | None = None, headline: bool = False):
+def query(
+    name: str,
+    sql: str | None = None,
+    headline: bool = False,
+    oracle_cost: str = "linear",
+):
     """Decorator registering a (spark_fn, oracle_sql) pair."""
 
     def deco(fn):
         assert name not in REGISTRY, f"duplicate query {name}"
-        REGISTRY[name] = QuerySpec(fn, sql, headline)
+        assert oracle_cost in ("linear", "superlinear"), oracle_cost
+        REGISTRY[name] = QuerySpec(fn, sql, headline, oracle_cost)
         return fn
 
     return deco
