@@ -94,6 +94,50 @@ def _replay(spark, src, schema, builder, name, *, output_mode, one_batch=False):
     )
 
 
+def _ensure_stream_src_sentinel(spark, sf_dir, *, n_files: int):
+    """Events (user_id, ts, event_id) in ``n_files`` data files PLUS one
+    sentinel file holding a single user_id=-1 row whose event time is
+    max(ts) + watermark-delay + 2 days.  File mtimes are staged so the
+    file source (which orders new files by modification time) consumes the
+    sentinel in the LAST micro-batch: its arrival advances the watermark
+    past every real session's end, finalizing them all in the trailing
+    no-data batch — the append-mode session topology a production stream
+    reaches continuously, reproduced exactly once on a bounded fixture.
+    The sentinel's own session never finalizes (the watermark stays a full
+    delay behind it), so append output contains ONLY real sessions."""
+    import datetime
+    import glob
+    import shutil
+    import time as _time
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    path = os.path.join(
+        _scratch_root(), f"stream_src_sent_{n_files}_{_data_tag(sf_dir)}"
+    )
+    marker = os.path.join(path, "_SENTINEL_DONE")
+    if not os.path.exists(marker):
+        ev.repartition(n_files).write.mode("overwrite").parquet(path)
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        # _WM is "36500 days"; +2 days of slack puts the post-sentinel
+        # watermark at max_ts + 2 days > every session end (+30 min gap).
+        sent_ts = max_ts + datetime.timedelta(days=36500 + 2)
+        sent_dir = path + "_sentinel"
+        spark.createDataFrame([(-1, sent_ts, -1)], schema=ev.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(sent_dir)
+        sent_part = glob.glob(os.path.join(sent_dir, "part-*.parquet"))[0]
+        dst = os.path.join(path, "zz-sentinel.parquet")
+        shutil.copyfile(sent_part, dst)
+        shutil.rmtree(sent_dir, ignore_errors=True)
+        now = _time.time()
+        for i, f in enumerate(sorted(glob.glob(os.path.join(path, "part-*.parquet")))):
+            os.utime(f, (now - 3600 + i, now - 3600 + i))
+        os.utime(dst, (now, now))
+        with open(marker, "w", encoding="utf-8"):
+            pass
+    return path, ev.schema
+
+
 @query(
     "stream_tumbling_replay",
     sql="""
@@ -173,11 +217,15 @@ def stream_session_replay(spark, sf_dir):
     watermark silently dropped ~half the rows (Spark's session-state
     finalization is watermark-driven; complete mode + no watermark is an
     unsupported corner it does not reject), and a watermark wider than the
-    data span never finalizes any session in append mode.  Cross-batch
-    state is driver-proven by the tumbling/dedup/running-totals replays,
-    whose merge semantics are watermark-independent.  Streaming allows one
-    stateful aggregation per query, so the per-user rollup runs as a batch
-    agg over the materialized per-session rows."""
+    data span never finalizes any session in append mode.  (Historical
+    note: this was the one unproven streaming shape through round 9 —
+    `stream_session_multibatch` now drives the real multi-batch topology,
+    append mode + watermark + a sentinel batch that finalizes every
+    session.)  Cross-batch state is otherwise driver-proven by the
+    tumbling/dedup/running-totals replays, whose merge semantics are
+    watermark-independent.  Streaming allows one stateful aggregation per
+    query, so the per-user rollup runs as a batch agg over the
+    materialized per-session rows."""
     src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=1)
     sessions = _replay(
         spark, src, schema,
@@ -314,3 +362,98 @@ def stream_ewma_sequential(spark, sf_dir):
         "q_stream_ewma", output_mode="update", one_batch=True,
     )
     return out.select("user_id", "n_obs", "ewma")
+
+
+@query(
+    "stream_session_multibatch",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events),
+    sess AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked)
+    SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def stream_session_multibatch(spark, sf_dir):
+    """CROSS-BATCH session-window merge, driver-proven in the topology a
+    real session pipeline runs: APPEND mode + a real watermark, 4
+    micro-batches of randomly-assigned events (so one user's session
+    fragments merge in the state store across batches), then a sentinel
+    fifth batch (user_id=-1, event time past max(ts) + delay) that
+    advances the watermark beyond every real session's end — Spark
+    finalizes and emits ALL sessions in the trailing no-data micro-batch,
+    exactly how an unbounded stream continuously retires sessions as the
+    watermark passes them.  The sentinel's own session never finalizes
+    (the watermark trails it by the full delay), so it cannot leak into
+    the append output; the result-side user_id >= 0 filter is belt and
+    braces.  This closes the shape `stream_session_replay` deliberately
+    avoided (complete mode + no watermark silently LOSES rows on
+    multi-batch session merge — a measured Spark corner, see that query's
+    docstring); gap semantics unchanged: windows that exactly touch merge
+    (oracle uses strict >).  Streaming allows one stateful aggregation
+    per query, so the per-user rollup runs as a batch agg over the
+    finalized per-session rows."""
+    src, schema = _ensure_stream_src_sentinel(spark, sf_dir, n_files=4)
+    sessions = _replay(
+        spark, src, schema,
+        lambda s: W.session_window_stats(s, watermark=_WM),
+        "q_stream_sess_mb", output_mode="append",
+    )
+    return (
+        sessions.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "stream_static_enrich_replay",
+    sql="""
+    SELECT c_mktsegment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def stream_static_enrich_replay(spark, sf_dir):
+    """Stream–static broadcast enrichment through a REAL stream: every
+    micro-batch (4 of them) joins against the static customer dimension
+    via `stream_static_enrich` — the standard attach-metadata-to-events
+    topology.  The join is stateless (no watermark, no state store): the
+    static side broadcasts, so the stream never shuffles; at 100 TB/day
+    this is the shape that keeps enrichment off the shuffle service
+    entirely.  Inner-join here (every fixture user_id has a customer row;
+    the operator's default left-join is equivalent on this data but inner
+    keeps the oracle a plain JOIN).  Complete-mode rollup by segment ×
+    event_type makes the result batching-independent; the value sum
+    accumulates as exact integer cents (events.value is 2-dp by
+    construction), so the hash is summation-order-proof at any SF."""
+    src, schema = _ensure_stream_src(spark, sf_dir, kind="full", n_files=4)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def builder(stream):
+        enriched = W.stream_static_enrich(stream, dim, "user_id").filter(
+            F.col("c_mktsegment").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        return enriched.groupBy("c_mktsegment", "event_type").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("total_cents")
+        )
+
+    return _replay(
+        spark, src, schema, builder, "q_stream_enrich", output_mode="complete"
+    )
