@@ -104,6 +104,82 @@ def logistic_regression_gd(
     return out
 
 
+def linear_svc_gd(
+    train: DataFrame,
+    test: DataFrame,
+    iters: int = 3,
+    lr: float = 0.5,
+    lam: float = 0.01,
+    dim: int = 64,
+    features_col: str = "embedding",
+    label_col: str = "y",
+    prediction_col: str = "prediction",
+):
+    """Full-batch subgradient-descent linear SVM — the REFERENCE's actual
+    SVM algorithm [ref: ml/classification.py SVM: hand-rolled hinge-loss
+    gradient descent], re-expressed as DataFrame aggregates; the
+    deterministic oracled sibling of `linear_svc` (spark.ml LinearSVC,
+    whose OWLQN internals are rows-only-checkable).
+
+    Deterministic contract (same as `logistic_regression_gd`): w₀ = 0,
+    fixed iteration count, full-batch subgradient, identical floating-op
+    ORDER to the SQL oracle — per-dim update wⱼ − lr·(λ·wⱼ − avg(vⱼ·a)),
+    where a = y·1[y(w·v+b) < 1] with STRICT < in both engines.  The
+    output is thresholded predictions, so summation-order ulp in the
+    gradient means cannot flip the hash unless a test point's margin (or
+    a train point's hinge boundary) sits within ulp of the decision
+    surface — vanishing on real-valued embeddings.
+
+    Physically one crossJoin + dim unrolled avg-aggregates per iteration
+    (map-side combine: k×dim doubles move per map partition); the weight
+    vector stays a broadcast 1-row DataFrame, never a driver round-trip.
+    """
+    spark = train.sparkSession
+    pts = train.select(
+        F.col(features_col).cast("array<double>").alias("_v"),
+        F.col(label_col).cast("double").alias("_y"),  # ±1
+    )
+    w = spark.createDataFrame([([0.0] * dim, 0.0)], "_w array<double>, _b double")
+    dot = F.aggregate(
+        F.zip_with("_v", "_w", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    for _ in range(iters):
+        scored = (
+            pts.crossJoin(F.broadcast(w))
+            .withColumn(
+                "_a",
+                F.when((F.col("_y") * (dot + F.col("_b"))) < 1.0, F.col("_y")).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+        )
+        grad = scored.agg(
+            F.array(
+                *[F.avg(F.element_at("_v", j + 1) * F.col("_a")) for j in range(dim)]
+            ).alias("_gw"),
+            F.avg("_a").alias("_ab"),
+        )
+        w = grad.crossJoin(F.broadcast(w)).select(
+            F.zip_with(
+                "_w", "_gw", lambda wj, gj: wj - F.lit(lr) * (F.lit(lam) * wj - gj)
+            ).alias("_w"),
+            (F.col("_b") + F.lit(lr) * F.col("_ab")).alias("_b"),
+        )
+    return (
+        test.select(
+            "vec_id",
+            F.col(features_col).cast("array<double>").alias("_v"),
+            F.col(label_col).cast("double").alias("_yd"),
+        )
+        .crossJoin(F.broadcast(w))
+        .select(
+            "vec_id",
+            (F.col("_yd") > 0).cast("int").alias("y"),
+            ((dot + F.col("_b")) >= 0).cast("int").alias(prediction_col),
+        )
+    )
+
+
 def gaussian_nb_exact(
     train: DataFrame,
     test: DataFrame,

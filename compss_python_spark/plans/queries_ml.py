@@ -144,6 +144,80 @@ def _logreg_gd_sql(iters: int = 3, lr: float = 0.5, dim: int = 64) -> str:
     return "".join(parts)
 
 
+def _linear_svc_gd_sql(
+    iters: int = 3, lr: float = 0.5, lam: float = 0.01, dim: int = 64
+) -> str:
+    """Unrolled full-batch hinge-subgradient iterations (generated oracle,
+    same pattern as the logreg twin): a = y·1[y(v.w + b) < 1], per-dim
+    subgradient means via generate_series, update
+    wⱼ ← wⱼ − lr·(λ·wⱼ − avg(vⱼ·a)) with the SAME float-op order as the
+    Spark side."""
+    parts = [f"""
+    WITH
+    pts AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             CASE WHEN embedding[1] + embedding[2] >= 0 THEN 1.0 ELSE -1.0 END AS y
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    w0 AS (SELECT list_transform(range(1, {dim + 1}), x -> 0.0) AS w, 0.0 AS b)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    a{t} AS MATERIALIZED (
+      SELECT p.vec_id, p.v,
+             CASE WHEN p.y * (list_dot_product(p.v, w.w) + w.b) < 1.0
+                  THEN p.y ELSE 0.0 END AS a
+      FROM pts p CROSS JOIN w{t - 1} w
+    ),
+    g{t} AS MATERIALIZED (
+      SELECT (SELECT list(m ORDER BY j) FROM (
+                SELECT g.j, AVG(list_extract(v, g.j) * a) AS m
+                FROM a{t} CROSS JOIN generate_series(1, {dim}) AS g(j)
+                GROUP BY g.j)) AS gw,
+             (SELECT AVG(a) FROM a{t}) AS ab
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT list_transform(range(1, {dim + 1}),
+                            j -> list_extract(w.w, j)
+                                 - {lr} * ({lam} * list_extract(w.w, j)
+                                           - list_extract(g.gw, j))) AS w,
+             w.b + {lr} * g.ab AS b
+      FROM w{t - 1} w CROSS JOIN g{t} g
+    )""")
+    parts.append(f"""
+    SELECT t.vec_id,
+           CAST(CASE WHEN t.embedding[1] + t.embedding[2] >= 0 THEN 1 ELSE 0 END AS INT) AS y,
+           CAST(CASE WHEN list_dot_product(t.embedding::DOUBLE[], w.w) + w.b >= 0
+                THEN 1 ELSE 0 END AS INT) AS prediction
+    FROM embeddings t CROSS JOIN w{iters} w
+    WHERE t.vec_id % 2 = 1""")
+    return "".join(parts)
+
+
+@query("ml_linear_svc_gd", sql=_linear_svc_gd_sql())
+def ml_linear_svc_gd(spark, sf_dir):
+    """Full-batch hinge-subgradient linear SVM (train even ids / test odd,
+    3 iterations, lr=0.5, λ=0.01) — the reference's SVM algorithm,
+    deterministic end-to-end and oracle-matched per prediction.  Closes
+    the last §2 estimator without a cross-engine value check:
+    `ml_linear_svc_confusion` (spark.ml LinearSVC) stays rows-only because
+    OWLQN's internals aren't reproducible in SQL; this sibling proves the
+    same decision-boundary math exactly.  The binary target is
+    sign(e₁+e₂) — a linearly-separable derived label (the fixture's
+    `label` column is independent of the embeddings, which made a
+    label>=5 target converge to the degenerate all-negative predictor:
+    hash-green but vacuous; this target makes the parity check exercise a
+    real decision boundary with mixed predictions)."""
+    from compss_python_spark.ml.classification import linear_svc_gd
+
+    e12 = F.element_at("embedding", 1) + F.element_at("embedding", 2)
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "y", F.when(e12 >= 0, 1.0).otherwise(-1.0)
+    )
+    return linear_svc_gd(
+        emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    )
+
+
 @query("ml_logreg_gd", sql=_logreg_gd_sql())
 def ml_logreg_gd(spark, sf_dir):
     """Full-batch gradient-descent logistic regression (binary: label>=5,
