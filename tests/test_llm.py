@@ -1613,3 +1613,77 @@ def test_semantic_dedup_srp_guard_and_lazy_hint(spark):
         df, min_cosine=0.999, rows_per_cell=4, dim=8, n_rows=32
     ).toPandas()
     assert len(out) == 32 and not out.is_semantic_dup.any()
+
+
+def test_semantic_dedup_warn_band_proceeds_with_warning(spark):
+    """Round-10 two-tier guard: cells in the (warn, max] band WARN and
+    proceed (round 7 accepted them; round 8's hard raise was over-strict);
+    above max the driver raises with the exact size; warn=None restores
+    the fully-lazy in-plan raise."""
+    import warnings as _warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0] * 8]  # one cell: all 20 rows land together
+
+    with pytest.warns(UserWarning, match="warn_cluster_rows=5"):
+        out = dedup.semantic_dedup(
+            df, centroids=cents, min_cosine=0.999,
+            warn_cluster_rows=5, max_cluster_rows=100,
+        ).toPandas()
+    assert len(out) == 20  # proceeded despite the warning
+
+    with pytest.raises(ValueError, match="20 rows > max_cluster_rows=10"):
+        dedup.semantic_dedup(
+            df, centroids=cents, warn_cluster_rows=5, max_cluster_rows=10
+        )
+
+    # lazy tier: no eager job at construction, in-plan raise on materialize
+    lazy = dedup.semantic_dedup(
+        df, centroids=cents, warn_cluster_rows=None, max_cluster_rows=10
+    )
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        lazy.collect()
+    # below both thresholds: silent
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        dedup.semantic_dedup(
+            df, centroids=cents, min_cosine=0.999,
+            warn_cluster_rows=50, max_cluster_rows=100,
+        ).toPandas()
+
+
+def test_decontaminate_hint_skips_eager_sizing_job(spark):
+    """benchmark_grams_hint keeps plan construction fully lazy (no Spark
+    job runs); without the hint the sizing job fires.  Both paths produce
+    identical flags (the hint only routes the broadcast decision)."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated text with no overlap at all whatsoever")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "lazy_probe_hint")
+    try:
+        lazy = dedup.decontaminate(corpus, bench, n=8, benchmark_grams_hint=100)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert sc.statusTracker().getJobIdsForGroup("lazy_probe_hint") == [], (
+        "hinted construction must not run any Spark job"
+    )
+    sc.setLocalProperty("spark.jobGroup.id", "eager_probe_nohint")
+    try:
+        eager = dedup.decontaminate(corpus, bench, n=8)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup("eager_probe_nohint")) >= 1
+    a = {r["doc_id"]: r["contaminated"] for r in lazy.collect()}
+    b = {r["doc_id"]: r["contaminated"] for r in eager.collect()}
+    assert a == b == {1: True, 2: False}
