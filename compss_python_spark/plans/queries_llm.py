@@ -2424,7 +2424,7 @@ def llm_chunk_documents(spark, sf_dir):
     m AS (SELECT grp, dim_idx, AVG(v) AS mv FROM ex GROUP BY grp, dim_idx),
     nrm AS (SELECT grp, SQRT(SUM(mv * mv)) AS nn FROM m GROUP BY grp)
     SELECT m.grp, CAST(dim_idx AS INT) AS dim_idx,
-           ROUND(CASE WHEN nn = 0 THEN mv ELSE mv / nn END, 5) AS v
+           ROUND(CASE WHEN nn = 0 THEN mv ELSE mv / nn END, 5) + 0.0 AS v
     FROM m JOIN nrm USING (grp)
     """,
 )
@@ -2433,7 +2433,11 @@ def embedding_mean_pool(spark, sf_dir):
     (posexplode + ONE map-combined groupBy keyed on (group, dim) — no
     UDF, no per-group collect) followed by L2 normalization of the pooled
     vector.  Long-form output (group, dim_idx, value) keeps the oracle
-    comparison array-free."""
+    comparison array-free.  Both sides add +0.0 AFTER the round: a
+    near-zero pooled mean whose summation-order sign differs between
+    engines rounds to ±0.0, and the canon stringifies the signed zeros
+    apart (caught at sfgen10 density, 1/3200 rows); IEEE −0.0 + 0.0 = +0.0
+    normalizes the sign without touching any other value."""
     from compss_python_spark.llm.similarity import l2_normalize, mean_pool
 
     emb = table(spark, sf_dir, "embeddings").withColumn(
@@ -2443,7 +2447,7 @@ def embedding_mean_pool(spark, sf_dir):
     normed = pooled.select("grp", l2_normalize(F.col("pooled")).alias("nv"))
     return normed.select(
         "grp", F.posexplode("nv").alias("dim_idx", "_v")
-    ).select("grp", "dim_idx", F.round("_v", 5).alias("v"))
+    ).select("grp", "dim_idx", (F.round("_v", 5) + F.lit(0.0)).alias("v"))
 
 
 @query(
