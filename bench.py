@@ -189,9 +189,14 @@ def main() -> None:
     # artifact was again unparseable) — so the <300 B summary line MUST
     # be the final thing printed.
     detail = {**common, "queries": times, "spread": spread}
+    # SPARK_GRAFT_DETAIL_OUT names the detail artifact, so gen-SF runs
+    # (SPARK_GRAFT_SF_DIR=.scratch/sfgen10 SPARK_GRAFT_DETAIL_OUT=
+    # BENCH_GEN10.json) commit a diffable per-SF file instead of
+    # clobbering the driver-SF BENCH_DETAIL.json.
+    detail_name = os.environ.get("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name),
             "w",
             encoding="utf-8",
         ) as fh:
