@@ -245,7 +245,16 @@ PROVEN_R6: frozenset[str] = frozenset({
 # of a shared helper re-proves its dependents in the driver window even
 # though their own bodies did not change.
 CHANGED_MODULES: frozenset[str] = frozenset({
-    # round 9 edits:
+    # round 10 edits:
+    "llm.dedup",              # two-tier semantic cluster guard (warn band);
+                              # decontaminate honors benchmark_grams_hint
+    "ml.classification",      # new: linear_svc_gd (hinge-subgradient twin)
+    "operators.joins",        # AQE scope lock hoisted; truly-unset conf restore
+})
+
+# Round-9 CHANGED_MODULES (kept for the record; all re-slots consumed in
+# the r9 window — every row green):
+_CHANGED_MODULES_R9: frozenset[str] = frozenset({
     "llm.dedup",              # semantic verdict-tail refactor + SRP variant;
                               # decontaminate benchmark_grams_hint
     "operators.joins",        # salted_join SHUFFLE_HASH pin
@@ -315,13 +324,25 @@ _CHANGED_MODULES_R7: frozenset[str] = frozenset({
 # needed now; kept for queries whose behavior depends on state the static
 # map cannot see, e.g. fixture layout changes).
 #
-# Round 9: lead the window with the four rows that MUST land — the
-# round-8 red row under its new sig_csv encoding and the three new
-# queries (scale-honest semantic family + skew-stress join); then the
-# queries whose executed shared code changed (semantic tail refactor,
-# salted-join hint, ewma knob plumb-through); the dep-map re-slots fill
-# the rest.
+# Round 10: the three NEW queries land in tier 1 automatically
+# (stream_session_multibatch, stream_static_enrich_replay,
+# ml_linear_svc_gd); hand-pin the proven queries whose OWN bodies changed
+# (query-fn edits are invisible to the module-level dep map): the exact
+# integer-cents q1 rewrite, the signed-zero fix the sfgen10 sweep caught,
+# and the three replay builders that now pass watermark=_WM explicitly.
+# The dep-map re-slots (llm.dedup guard tier, ml.classification,
+# operators.joins) fill the rest of the window.
 SLOT_PRIORITY: tuple[str, ...] = (
+    "tpch_q1_pricing_summary",       # EXACT money sums (integer-cents/DECIMAL, unrounded)
+    "embedding_mean_pool",           # +0.0 after round: signed-zero canon split (gen10 catch)
+    "stream_tumbling_replay",        # watermark=_WM now explicit (was default 10m)
+    "stream_sliding_replay",         # watermark=_WM now explicit
+    "stream_session_replay",         # watermark=_WM now explicit
+)
+
+# Round-9 SLOT_PRIORITY (kept for the record; all rows landed green in
+# CORRECTNESS_r09):
+_SLOT_PRIORITY_R9: tuple[str, ...] = (
     "embedding_random_projection",   # r8 RED row: proj now sig_csv-serialized
     "dedup_semantic_scaled",         # NEW: k∝n SRP quantizer headline
     "embedding_near_dup_scaled",     # NEW: oracled k∝n near-dup blocking
