@@ -335,6 +335,7 @@ _CHANGED_MODULES_R7: frozenset[str] = frozenset({
 SLOT_PRIORITY: tuple[str, ...] = (
     "tpch_q1_pricing_summary",       # EXACT money sums (integer-cents/DECIMAL, unrounded)
     "embedding_mean_pool",           # +0.0 after round: signed-zero canon split (gen10 catch)
+    "ml_poly_expansion",             # +0.0 after round: same signed-zero class (gen10 catch, p4 cross-term)
     "stream_tumbling_replay",        # watermark=_WM now explicit (was default 10m)
     "stream_sliding_replay",         # watermark=_WM now explicit
     "stream_session_replay",         # watermark=_WM now explicit

@@ -270,14 +270,18 @@ def ml_standard_scaler(spark, sf_dir):
       SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
       FROM embeddings
     )
-    SELECT vec_id, ROUND(x, 6) AS p1, ROUND(x*x, 6) AS p2, ROUND(y, 6) AS p3,
-           ROUND(x*y, 6) AS p4, ROUND(y*y, 6) AS p5
+    SELECT vec_id, ROUND(x, 6) + 0.0 AS p1, ROUND(x*x, 6) + 0.0 AS p2,
+           ROUND(y, 6) + 0.0 AS p3,
+           ROUND(x*y, 6) + 0.0 AS p4, ROUND(y*y, 6) + 0.0 AS p5
     FROM v
     """,
 )
 def ml_poly_expansion(spark, sf_dir):
     """PolynomialExpansion (#55, degree 2) on the first two embedding dims:
-    expansion order for (x, y) is [x, x², y, xy, y²]."""
+    expansion order for (x, y) is [x, x², y, xy, y²].  Both sides add +0.0
+    AFTER the round: a cross-term x*y with a tiny negative factor rounds to
+    −0.0 in one engine and +0.0 in the other (caught at sfgen10 density,
+    1/20000 rows on p4); IEEE −0.0 + 0.0 = +0.0 normalizes the sign."""
     from compss_python_spark.ml.feature import polynomial_expansion
 
     base = table(spark, sf_dir, "embeddings").select(
@@ -287,7 +291,10 @@ def ml_poly_expansion(spark, sf_dir):
     p = F.col("poly")
     return out.select(
         "vec_id",
-        *[F.round(F.element_at(p, i + 1), 6).alias(f"p{i + 1}") for i in range(5)],
+        *[
+            (F.round(F.element_at(p, i + 1), 6) + F.lit(0.0)).alias(f"p{i + 1}")
+            for i in range(5)
+        ],
     )
 
 
@@ -478,6 +485,7 @@ _DBSCAN_BASE_SQL = f"""
 
 @query(
     "ml_dbscan_core_sizes",
+    oracle_cost="superlinear",  # all-pairs eps-neighborhood oracle: capped at 600s at sfgen10
     sql=_DBSCAN_BASE_SQL
     + """,
     ce AS (

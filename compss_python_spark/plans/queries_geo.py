@@ -79,6 +79,7 @@ _STDB_BASE_SQL = """
 
 @query(
     "stdbscan_core_sizes",
+    oracle_cost="superlinear",  # all-pairs eps-neighborhood counts: capped at 600s at sfgen10
     sql=_STDB_BASE_SQL
     + """,
     ce AS (

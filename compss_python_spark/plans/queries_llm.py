@@ -3637,6 +3637,7 @@ def text_bm25_topk(spark, sf_dir):
 
 @query(
     "er_supplier_entities",
+    oracle_cost="superlinear",  # recursive-CTE transitive closure over ER pairs: capped at 600s at sfgen10
     sql="""
     WITH RECURSIVE names AS (SELECT DISTINCT s_name FROM supplier),
     base AS (

@@ -529,6 +529,7 @@ def graph_pagerank(spark, sf_dir):
 
 @query(
     "graph_connected_components",
+    oracle_cost="superlinear",  # recursive-CTE closure materializes O(nodes×diameter) rows; OOMs DuckDB at sfgen10
     sql="""
     WITH RECURSIVE base AS (
       SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
@@ -562,6 +563,7 @@ def graph_connected_components(spark, sf_dir):
 
 @query(
     "graph_connected_components_star",
+    oracle_cost="superlinear",  # same recursive-CTE closure oracle as graph_connected_components
     sql="""
     WITH RECURSIVE base AS (
       SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
@@ -723,6 +725,7 @@ def ml_multinomial_nb(spark, sf_dir):
 
 @query(
     "graph_k_core",
+    oracle_cost="superlinear",  # 5 unrolled peel rounds of self-joined edges OOM DuckDB at sfgen10 edge density
     sql="""
     WITH base AS (
       SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
