@@ -18,7 +18,9 @@ from compss_python_spark.plans.registry import query, table
     "flagship_revenue_by_nation",
     sql="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0
+             AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -37,6 +39,12 @@ def flagship_revenue_by_nation(spark, sf_dir):
     Scale shape: lineitem/orders shuffle once on orderkey (the only big⋈big
     join); customer/nation/region are broadcast — no shuffle of the fact side
     for them.  Filters reach the parquet scan (PushedFilters).
+
+    Revenue follows the q1 EXACT money-sum convention (integer 1e-4-dollar
+    units summed as BIGINT, ONE final IEEE division) instead of rounding
+    the double sum: the sfgen100 oracle sample caught the 4-dp round
+    flipping on a 3.7×10¹⁰ sum (summation-order ulp reaches the 4th
+    decimal at that magnitude — the same class as the round-9 q1 fix).
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").filter(
@@ -52,7 +60,13 @@ def flagship_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
