@@ -337,6 +337,7 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "embedding_mean_pool",           # +0.0 after round: signed-zero canon split (gen10 catch)
     "ml_poly_expansion",             # +0.0 after round: same signed-zero class (gen10 catch, p4 cross-term)
     "flagship_revenue_by_nation",    # EXACT integer-cents revenue (gen100 sample catch: 4-dp round ulp-flips at 3.7e10)
+    "join_bloom_runtime_filter",     # EXACT integer-cents revenue (gen100 money audit: 3 coarse groups at ~1e11, 3/3 rows flipped)
     "stream_tumbling_replay",        # watermark=_WM now explicit (was default 10m)
     "stream_sliding_replay",         # watermark=_WM now explicit
     "stream_session_replay",         # watermark=_WM now explicit

@@ -1722,7 +1722,9 @@ def dedup_bloom_membership(spark, sf_dir):
     sql="""
     SELECT l_returnflag,
            COUNT(*) AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0
+             AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT'
@@ -1735,7 +1737,11 @@ def join_bloom_runtime_filter(spark, sf_dir):
     oracle is the PLAIN join — pruning is invisible in the result (no false
     negatives; false positives die in the join), which is exactly the
     point: a 100 TB fact table sheds its non-matching majority for the cost
-    of one broadcast bitmap instead of shuffling it all into the join."""
+    of one broadcast bitmap instead of shuffling it all into the join.
+    Revenue follows the EXACT integer-cents convention (q1/flagship): 3
+    returnflag groups over ~20% of lineitem put the sum at ~10¹¹ by
+    sfgen100, where a 4-dp round sits inside summation-order ulp (the
+    gen100 money audit measured 3/3 rows flipping)."""
     li = table(spark, sf_dir, "lineitem").withColumn(
         "_jk", F.col("l_orderkey").cast("string")
     )
@@ -1747,9 +1753,13 @@ def join_bloom_runtime_filter(spark, sf_dir):
     j = bloom.bloom_prejoin(li, od, "_jk")  # m auto-sized from the key count
     return j.groupBy("l_returnflag").agg(
         F.count("*").alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "revenue"
-        ),
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+            )
+            / F.lit(10000.0)
+        ).alias("revenue"),
     )
 
 
