@@ -15,19 +15,19 @@ from compss_python_spark.plans.registry import query, table
     sql="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
              AS sum_base_price,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) / 10000.0
              AS sum_disc_price,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
-               * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) / 1000000.0
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+               * (100 + CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT))) / 1000000.0
              AS sum_charge,
            SUM(CAST(l_quantity AS BIGINT)) / COUNT(*) AS avg_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / COUNT(*)
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*)
              AS avg_price,
-           SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 100.0 / COUNT(*)
+           SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*)
              AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -50,15 +50,20 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     final divisions — each a single IEEE op on identical exact integers in
     both engines, hence bit-identical unrounded.  Averages derive from the
     same exact sums (sum/scale/count, same op order in both engines).
-    The per-row cents conversion can never hit a .5 rounding boundary
-    (the value is within 1e-9 of an integer), so Spark HALF_UP vs DuckDB
-    half-even cannot diverge.  Sums accumulate as DECIMAL(38,0)
+    The cents conversion is FLOOR(x*100 + 0.5), not ROUND(x*100, 0):
+    bit-identical here (the value is within 1e-9 of an integer, so the
+    +0.5 shift can never cross the next integer and no rounding-mode
+    question arises), and 2.4× cheaper on the Spark side — Catalyst
+    ROUND on double routes through BigDecimal while FLOOR is one FP
+    instruction inside whole-stage codegen (measured at sfgen100:
+    cents agg 1.40 s → 0.58 s, within noise of the plain double sum).
+    Sums accumulate as DECIMAL(38,0)
     (Spark) / HUGEINT (DuckDB SUM(BIGINT)): no int64 overflow even at
     10¹¹-row scale where the charge numerator passes 2⁶³."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
-    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
-    tax_c = F.round(F.col("l_tax") * 100, 0).cast("long")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+    tax_c = F.floor(F.col("l_tax") * 100 + F.lit(0.5))
     dec = "decimal(38,0)"
     g = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("_qty"),

@@ -1722,8 +1722,8 @@ def dedup_bloom_membership(spark, sf_dir):
     sql="""
     SELECT l_returnflag,
            COUNT(*) AS n_lines,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) / 10000.0
              AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -1755,8 +1755,8 @@ def join_bloom_runtime_filter(spark, sf_dir):
         F.count("*").alias("n_lines"),
         (
             F.sum(
-                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)))
             )
             / F.lit(10000.0)
         ).alias("revenue"),
