@@ -6,7 +6,22 @@ values (sorted rows, column-name-sorted).  Exit code 1 on any mismatch.
 
 Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
                 [--skip-superlinear] [--oracle-timeout SECS]
-                [--names-file FILE] [--mem-limit SIZE]
+                [--names-file FILE] [--mem-limit SIZE] [--digest]
+
+Digest mode (`--digest`): instead of collecting both result sets to
+pandas and comparing canonicalized cells, each ENGINE computes an
+order-insensitive fingerprint of its own output — per row, the sorted
+columns are serialized to a canonical string (doubles via
+CAST(... AS DECIMAL(38,6)), timestamps via epoch micros, dates via
+epoch days — all probed bit-identical cross-engine, including signed
+zero and the half-up 6-dp boundary), md5-hashed to 60 bits, and SUMmed
+exactly (DECIMAL(38,0) / HUGEINT).  Compared: (row count, hash sum,
+sorted column names).  Nothing is collected, so a 60 M-row
+row-preserving output verifies at sfgen100 where the pandas gate hits
+task-result limits.  Weaker than the full gate only in double
+resolution (6 dp quantization vs full repr) and in the astronomically
+unlikely event of 60-bit sum collisions; strictly stronger than no
+check at all for the row-preserving families.
 
 SF-aware (dense-fixture) mode: the exactness twins for the set-similarity
 operators are deliberately brute-force and super-linear — affordable at the
@@ -119,10 +134,169 @@ def run_oracle_capped(con, sql: str, timeout: float | None):
         timer.cancel()
 
 
+# Raw control characters (not backslash escapes: Spark SQL would decode
+# '' while DuckDB would keep it as six literal chars).  Absent from
+# the testdata's ASCII word corpus, so cells can't collide with them.
+_D_NULL = "\x1e"  # cell-level NULL sentinel (record separator)
+_D_SEP = "\x1f"  # column separator (unit separator)
+
+
+def _spark_digest_sql(df, view: str) -> str:
+    """Order-insensitive fingerprint SQL over a registered Spark temp view.
+
+    Canonical per-cell serialization (probed bit-identical vs DuckDB):
+    double/float -> DECIMAL(38,6) string (half-up at 6 dp, -0.0 -> 0.000000,
+    NaN/Inf guarded); decimal -> rescaled DECIMAL(38,6); timestamp -> epoch
+    micros; date -> epoch days; boolean -> 0/1; everything else -> CAST AS
+    STRING.  Row hash = first 60 bits of md5; aggregate = exact DECIMAL(38,0)
+    sum, returned as a string so HUGEINT/DECIMAL compare textually."""
+    cells = []
+    for f in sorted(df.schema.fields, key=lambda f: f.name):
+        c = f"`{f.name}`"
+        t = f.dataType.simpleString()
+        if t in ("double", "float"):
+            e = (
+                f"CASE WHEN isnan({c}) THEN 'NaN' "
+                f"WHEN {c} = double('inf') THEN 'Inf' "
+                f"WHEN {c} = double('-inf') THEN '-Inf' "
+                f"ELSE CAST(CAST({c} AS DECIMAL(38,6)) AS STRING) END"
+            )
+        elif t.startswith("decimal"):
+            # scale-0 decimals are integer sums — serialize like bigint ('42',
+            # not '42.000000') so they match an integer-typed twin
+            scale = int(t.rstrip(")").split(",")[1]) if "," in t else 0
+            e = (
+                f"CAST({c} AS STRING)"
+                if scale == 0
+                else f"CAST(CAST({c} AS DECIMAL(38,6)) AS STRING)"
+            )
+        elif t.startswith("timestamp"):  # timestamp + timestamp_ntz (UTC session)
+            e = f"CAST(unix_micros(CAST({c} AS TIMESTAMP)) AS STRING)"
+        elif t == "date":
+            e = f"CAST(datediff({c}, DATE'1970-01-01') AS STRING)"
+        elif t == "boolean":
+            e = f"CAST(CAST({c} AS INT) AS STRING)"
+        else:
+            e = f"CAST({c} AS STRING)"
+        cells.append(f"coalesce({e}, '{_D_NULL}')")
+    row = f"concat_ws('{_D_SEP}', {', '.join(cells)})"
+    return (
+        "SELECT COUNT(*) AS n, coalesce(CAST(SUM(CAST(conv(substring(md5(rs), 1, 15), 16, 10) "
+        "AS DECIMAL(38,0))) AS STRING), '0') AS hs "
+        f"FROM (SELECT {row} AS rs FROM {view})"
+    )
+
+
+def _duck_digest_sql(con, sql: str):
+    """DuckDB twin of `_spark_digest_sql` over the oracle subquery.
+
+    Returns (digest_sql, sorted_column_names); types come from DESCRIBE so
+    the serialization rule per column mirrors the Spark side's by TYPE CLASS
+    (a Spark DOUBLE vs a DuckDB DECIMAL sum both land on the 38,6 form)."""
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) AS q").fetchall()
+    cells, names = [], []
+    for row in sorted(desc, key=lambda r: r[0]):
+        name, t = row[0], row[1].upper()
+        names.append(name)
+        c = f'"{name}"'
+        if t in ("DOUBLE", "FLOAT", "REAL"):
+            e = (
+                f"CASE WHEN isnan({c}) THEN 'NaN' "
+                f"WHEN {c} = 'infinity'::DOUBLE THEN 'Inf' "
+                f"WHEN {c} = '-infinity'::DOUBLE THEN '-Inf' "
+                f"ELSE CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR) END"
+            )
+        elif t == "HUGEINT":
+            e = f"CAST({c} AS VARCHAR)"
+        elif t.startswith("DECIMAL"):
+            scale = int(t.rstrip(")").split(",")[1]) if "," in t else 0
+            e = (
+                f"CAST({c} AS VARCHAR)"
+                if scale == 0
+                else f"CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)"
+            )
+        elif t.startswith("TIMESTAMP"):
+            e = f"CAST(epoch_us({c}) AS VARCHAR)"
+        elif t == "DATE":
+            e = f"CAST({c} - DATE '1970-01-01' AS VARCHAR)"
+        elif t == "BOOLEAN":
+            e = f"CAST(CAST({c} AS INT) AS VARCHAR)"
+        else:
+            e = f"CAST({c} AS VARCHAR)"
+        cells.append(f"coalesce({e}, '{_D_NULL}')")
+    row_expr = f"concat_ws('{_D_SEP}', {', '.join(cells)})"
+    digest = (
+        "SELECT COUNT(*) AS n, coalesce(CAST(SUM(CAST('0x' || substr(md5(rs), 1, 15) AS BIGINT)"
+        "::HUGEINT) AS VARCHAR), '0') AS hs "
+        f"FROM (SELECT {row_expr} AS rs FROM ({sql}) AS q)"
+    )
+    return digest, names
+
+
+def _spark_complex_cols(df) -> list[str]:
+    """Schema-level complex-column check (digest mode never collects)."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString().startswith(("array", "map", "struct"))
+    ]
+
+
+def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0) -> str:
+    """Digest-mode check for one query.  Returns 'pass' | 'rows_only' |
+    'capped' | a failure-description string.  Prints its own status line."""
+    try:
+        sdf = spec.fn(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        print(f"✗ {name}: SPARK ERROR {str(e)[:2000]}")
+        return f"SPARK ERROR: {e}"
+    if spec.sql is None:
+        n = sdf.count()
+        print(f"• {name}: rows-only, {n} rows ({time.time()-t0:.1f}s)")
+        return "rows_only"
+    bad = _spark_complex_cols(sdf)
+    if bad:
+        print(f"✗ {name}: raw complex output columns {bad}")
+        return f"complex output columns {bad}"
+    view = "digest_gate_q"
+    sdf.createOrReplaceTempView(view)
+    try:
+        n_s, hs_s = spark.sql(_spark_digest_sql(sdf, view)).collect()[0]
+    except Exception as e:  # noqa: BLE001
+        print(f"✗ {name}: SPARK DIGEST ERROR {str(e)[:2000]}")
+        return f"SPARK DIGEST ERROR: {e}"
+    try:
+        dsql, duck_cols = _duck_digest_sql(con, spec.sql)
+        odf, cap_reason = run_oracle_capped(con, dsql, oracle_timeout)
+    except Exception as e:  # noqa: BLE001
+        print(f"✗ {name}: ORACLE ERROR {str(e)[:2000]}")
+        return f"ORACLE ERROR: {e}"
+    if cap_reason:
+        print(
+            f"– {name}: oracle CAPPED after {oracle_timeout:.0f}s "
+            f"(spark side OK, {n_s} rows in {time.time()-t0:.1f}s)"
+        )
+        return "capped"
+    n_d, hs_d = odf.iloc[0]["n"], odf.iloc[0]["hs"]
+    sc, dc = sorted(sdf.columns), sorted(duck_cols)
+    if sc != dc:
+        print(f"✗ {name}: columns {sc} != {dc}")
+        return f"columns {sc} != {dc}"
+    if int(n_s) != int(n_d):
+        print(f"✗ {name}: rows {n_s} != {n_d}")
+        return f"rows {n_s} != {n_d}"
+    if str(hs_s) != str(hs_d):
+        print(f"✗ {name}: digest {hs_s} != {hs_d} ({n_s} rows)")
+        return f"digest mismatch over {n_s} rows"
+    print(f"✓ {name} (digest, {n_s} rows, {time.time()-t0:.1f}s)")
+    return "pass"
+
+
 def main() -> int:
     args = sys.argv[1:]
     skip_superlinear = "--skip-superlinear" in args
-    args = [a for a in args if a != "--skip-superlinear"]
+    digest_mode = "--digest" in args
+    args = [a for a in args if a not in ("--skip-superlinear", "--digest")]
     oracle_timeout = None
     if "--oracle-timeout" in args:
         i = args.index("--oracle-timeout")
@@ -161,6 +335,17 @@ def main() -> int:
             print(f"– {name}: SKIPPED (declared super-linear oracle)")
             continue
         t0 = time.time()
+        if digest_mode:
+            status = _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0)
+            if status == "pass":
+                passed.append(name)
+            elif status == "rows_only":
+                rows_only.append(name)
+            elif status == "capped":
+                capped.append(name)
+            else:
+                failures.append((name, status))
+            continue
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
