@@ -7,6 +7,7 @@ values (sorted rows, column-name-sorted).  Exit code 1 on any mismatch.
 Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
                 [--skip-superlinear] [--oracle-timeout SECS]
                 [--names-file FILE] [--mem-limit SIZE] [--digest]
+                [--spark-timeout SECS]
 
 Digest mode (`--digest`): instead of collecting both result sets to
 pandas and comparing canonicalized cells, each ENGINE computes an
@@ -242,16 +243,46 @@ def _spark_complex_cols(df) -> list[str]:
     ]
 
 
-def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0) -> str:
+def _run_spark_capped(spark, fn, timeout: float | None):
+    """Run a thunk of Spark actions; cancel its job group after ``timeout``.
+
+    Spark has no statement timeout — the portable cap is to tag the work
+    with a job group from this thread and cancel the group from a timer.
+    Returns (result, None) or (None, 'timeout').  A query whose Spark side
+    is capped is reported like an oracle cap: a cost statement, not a
+    correctness statement (nothing completed to compare)."""
+    if not timeout:
+        return fn(), None
+    group = f"gate-cap-{time.time_ns()}"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "check_correctness spark cap", interruptOnCancel=True)
+    fired = threading.Event()
+    timer = threading.Timer(timeout, lambda: (fired.set(), sc.cancelJobGroup(group)))
+    timer.start()
+    try:
+        return fn(), None
+    except Exception:
+        if fired.is_set():
+            return None, "timeout"
+        raise
+    finally:
+        timer.cancel()
+        sc.setJobGroup(None, None)
+
+
+def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0, spark_timeout=None) -> str:
     """Digest-mode check for one query.  Returns 'pass' | 'rows_only' |
-    'capped' | a failure-description string.  Prints its own status line."""
+    'capped' | 'spark_capped' | a failure description.  Prints its own line."""
     try:
         sdf = spec.fn(spark, sf_dir)
     except Exception as e:  # noqa: BLE001
         print(f"✗ {name}: SPARK ERROR {str(e)[:2000]}")
         return f"SPARK ERROR: {e}"
     if spec.sql is None:
-        n = sdf.count()
+        n, cap = _run_spark_capped(spark, sdf.count, spark_timeout)
+        if cap:
+            print(f"– {name}: SPARK side capped after {spark_timeout:.0f}s (rows-only)")
+            return "spark_capped"
         print(f"• {name}: rows-only, {n} rows ({time.time()-t0:.1f}s)")
         return "rows_only"
     bad = _spark_complex_cols(sdf)
@@ -261,10 +292,16 @@ def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0) -> str:
     view = "digest_gate_q"
     sdf.createOrReplaceTempView(view)
     try:
-        n_s, hs_s = spark.sql(_spark_digest_sql(sdf, view)).collect()[0]
+        row, cap = _run_spark_capped(
+            spark, lambda: spark.sql(_spark_digest_sql(sdf, view)).collect()[0], spark_timeout
+        )
     except Exception as e:  # noqa: BLE001
         print(f"✗ {name}: SPARK DIGEST ERROR {str(e)[:2000]}")
         return f"SPARK DIGEST ERROR: {e}"
+    if cap:
+        print(f"– {name}: SPARK side capped after {spark_timeout:.0f}s")
+        return "spark_capped"
+    n_s, hs_s = row
     try:
         dsql, duck_cols = _duck_digest_sql(con, spec.sql)
         odf, cap_reason = run_oracle_capped(con, dsql, oracle_timeout)
@@ -302,6 +339,11 @@ def main() -> int:
         i = args.index("--oracle-timeout")
         oracle_timeout = float(args[i + 1])
         del args[i : i + 2]
+    spark_timeout = None
+    if "--spark-timeout" in args:
+        i = args.index("--spark-timeout")
+        spark_timeout = float(args[i + 1])
+        del args[i : i + 2]
     mem_limit = None
     if "--mem-limit" in args:
         i = args.index("--mem-limit")
@@ -336,12 +378,14 @@ def main() -> int:
             continue
         t0 = time.time()
         if digest_mode:
-            status = _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0)
+            status = _check_digest(
+                spark, con, name, spec, sf_dir, oracle_timeout, t0, spark_timeout
+            )
             if status == "pass":
                 passed.append(name)
             elif status == "rows_only":
                 rows_only.append(name)
-            elif status == "capped":
+            elif status in ("capped", "spark_capped"):
                 capped.append(name)
             else:
                 failures.append((name, status))
