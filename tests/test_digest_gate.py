@@ -6,12 +6,24 @@ so a 60 M-row row-preserving result verifies at sfgen100 without a
 collect.  These tests prove the two properties the mode rests on:
 
 1. PARITY — for every output type class the engines serialize a cell to
-   the same bytes (doubles via DECIMAL(38,6) incl. NaN/Inf/-0.0,
-   timestamps via epoch micros, dates via epoch days, booleans as 0/1,
-   NULLs via the \\x1e sentinel), so identical data → identical digest.
-2. SENSITIVITY — a single-cell change at the 6th decimal place, a
-   dropped row, or a swapped column value flips the digest, while a
-   row-order permutation does NOT (the sum is the multiset fingerprint).
+   the same bytes (doubles via the EXACT mantissa/exponent form of
+   `_exact_double_cell` — full 64-bit resolution at every magnitude,
+   incl. NaN/Inf/subnormals, with -0.0 normalized to '0'; timestamps
+   via epoch micros, dates via epoch days, booleans as 0/1, NULLs via
+   the \\x1e sentinel), so identical data → identical digest.
+2. SENSITIVITY — a single-ULP change in one double cell, a dropped row,
+   or a swapped column value flips the digest, while a row-order
+   permutation does NOT (the sum is the multiset fingerprint).
+
+The round-10 upgrade from DECIMAL(38,6) quantization to exact
+mantissa/exponent exists because the old form was magnitude-fragile:
+above ~1e10 one ulp exceeds 1e-6 and Spark (shortest-repr BigDecimal)
+vs DuckDB (exact binary expansion) round the sub-ulp 6th decimal
+differently — bit-identical 3.7e10 revenue sums digested differently.
+`test_digest_double_parity_bit_identical_inputs` pins that class with
+parquet-fed (bit-identical) inputs, which a literal-SQL fixture cannot
+do: DuckDB parses bare decimal literals via DECIMAL and can lose the
+last ulp vs Python/Java strtod.
 """
 
 import datetime as dt
@@ -82,6 +94,35 @@ def test_digest_order_insensitive(duck):
     a = duck_digest(duck, "SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t(k, v)")
     b = duck_digest(duck, "SELECT * FROM (VALUES (2, 'y'), (1, 'x')) t(k, v)")
     assert a == b
+
+
+def test_digest_double_parity_bit_identical_inputs(spark, duck, tmp_path):
+    """Bit-identical doubles at EVERY magnitude digest identically, and a
+    one-ulp perturbation flips the digest (the DECIMAL(38,6) form failed
+    the first property above ~1e10 and the second below ~1e-7)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [
+        36598259532.6491,  # the sfgen100 flagship class: ulp > 1e-6
+        1e15 + 0.5, 2.0**53 - 1, 0.1, 1 / 3, math.pi, 1e300, -1e300,
+        2.0**-1022, 5e-324, 1e-310,  # min normal + subnormals
+        math.nextafter(1.0, 2.0), 1.0, 4.0, -0.0, 0.0,
+        1.7976931348623157e308, 6.62607015e-34,
+    ]
+    p = str(tmp_path / "doubles.parquet")
+    pq.write_table(pa.table({"x": pa.array(vals, type=pa.float64())}), p)
+    sdf = spark.read.parquet(p)
+    base = duck_digest(duck, f"SELECT x FROM read_parquet('{p}')")
+    assert spark_digest(spark, sdf) == base
+    # one-ulp perturbation of the 3.7e10-class cell flips the digest
+    vals2 = list(vals)
+    vals2[0] = math.nextafter(vals2[0], math.inf)
+    p2 = str(tmp_path / "doubles2.parquet")
+    pq.write_table(pa.table({"x": pa.array(vals2, type=pa.float64())}), p2)
+    assert duck_digest(duck, f"SELECT x FROM read_parquet('{p2}')") != base
 
 
 @pytest.mark.parametrize(

@@ -7,22 +7,21 @@ values (sorted rows, column-name-sorted).  Exit code 1 on any mismatch.
 Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
                 [--skip-superlinear] [--oracle-timeout SECS]
                 [--names-file FILE] [--mem-limit SIZE] [--digest]
-                [--spark-timeout SECS]
+                [--spark-timeout SECS] [--exclude n1,n2] [--json-out FILE]
 
 Digest mode (`--digest`): instead of collecting both result sets to
 pandas and comparing canonicalized cells, each ENGINE computes an
 order-insensitive fingerprint of its own output — per row, the sorted
-columns are serialized to a canonical string (doubles via
-CAST(... AS DECIMAL(38,6)), timestamps via epoch micros, dates via
-epoch days — all probed bit-identical cross-engine, including signed
-zero and the half-up 6-dp boundary), md5-hashed to 60 bits, and SUMmed
-exactly (DECIMAL(38,0) / HUGEINT).  Compared: (row count, hash sum,
-sorted column names).  Nothing is collected, so a 60 M-row
-row-preserving output verifies at sfgen100 where the pandas gate hits
-task-result limits.  Weaker than the full gate only in double
-resolution (6 dp quantization vs full repr) and in the astronomically
-unlikely event of 60-bit sum collisions; strictly stronger than no
-check at all for the row-preserving families.
+columns are serialized to a canonical string (doubles via an EXACT
+mantissa/exponent decomposition, see `_exact_double_cell` — full
+64-bit resolution at every magnitude; timestamps via epoch micros,
+dates via epoch days; signed zero normalized per the registry's
+query-side contracts), md5-hashed to 60 bits, and SUMmed exactly
+(DECIMAL(38,0) / HUGEINT).  Compared: (row count, hash sum, sorted
+column names).  Nothing is collected, so a 60 M-row row-preserving
+output verifies at sfgen100 where the pandas gate hits task-result
+limits.  Weaker than the full gate only in the astronomically unlikely
+event of 60-bit sum collisions.
 
 SF-aware (dense-fixture) mode: the exactness twins for the set-similarity
 operators are deliberately brute-force and super-linear — affordable at the
@@ -142,25 +141,75 @@ _D_NULL = "\x1e"  # cell-level NULL sentinel (record separator)
 _D_SEP = "\x1f"  # column separator (unit separator)
 
 
+def _exact_double_cell(c: str, pos_inf: str, neg_inf: str) -> str:
+    """EXACT, engine-convention-free serialization of a DOUBLE cell.
+
+    Emits ``<signed-mantissa>p<exponent>`` where the mantissa is the
+    significand scaled to ±[2^52, 2^53) — an exactly-representable
+    integer — and the exponent is the binary exponent: a SQL ``frexp``
+    built from operations that are exact on ANY IEEE-754 engine
+    (multiplication/division by powers of two, ABS, FLOOR, integer
+    arithmetic).  LOG2 is only a ±1-accurate first guess; one
+    normalization step each way makes the result libm-independent.
+
+    Why not DECIMAL(38,6): that form is magnitude-fragile.  Above ~1e10
+    one double ulp exceeds 1e-6, and the engines' double→decimal
+    conventions differ at the now-sub-ulp 6th decimal (Spark rounds the
+    SHORTEST-REPR digits via BigDecimal.valueOf(double); DuckDB rounds
+    the EXACT binary expansion) — flagship_revenue_by_nation's
+    bit-identical 3.7e10 revenue sums digested differently on 5/10 rows
+    at sfgen100.  Mantissa/exponent form has no decimal rounding step at
+    all: identical 64 bits → identical string at EVERY magnitude, and
+    any single-ulp difference flips the digest (full double resolution,
+    the same strength as the collect gate's repr() canon, with one
+    documented normalization: -0.0 → '0', matching the registry's
+    query-side signed-zero contracts).
+
+    Special arms: NaN/±Inf literals; both zeros → '0'; subnormals scaled
+    by 2^537 twice (staged so the intermediate stays finite) → exact
+    integer ``s<k>`` form.
+    """
+    two = "CAST(2.0 AS DOUBLE)"
+    k52 = "CAST(4503599627370496 AS DOUBLE)"  # 2^52
+    e0 = f"LEAST(GREATEST(CAST(FLOOR(LOG2(ABS({c}))) AS BIGINT), -1021), 1023)"
+    m0 = f"({c} / POWER({two}, CAST({e0} AS DOUBLE)))"
+    m1 = f"(CASE WHEN ABS({m0}) >= 2.0 THEN {m0} / 2.0 ELSE {m0} END)"
+    e1 = f"(CASE WHEN ABS({m0}) >= 2.0 THEN {e0} + 1 ELSE {e0} END)"
+    m2 = f"(CASE WHEN ABS({m1}) < 1.0 THEN {m1} * 2.0 ELSE {m1} END)"
+    e2 = f"(CASE WHEN ABS({m1}) < 1.0 THEN {e1} - 1 ELSE {e1} END)"
+    sub = (
+        f"CONCAT('s', CAST(CAST({c} * POWER({two}, CAST(537 AS DOUBLE)) "
+        f"* POWER({two}, CAST(537 AS DOUBLE)) AS BIGINT) AS STRING))"
+    )
+    return (
+        f"CASE WHEN isnan({c}) THEN 'NaN' "
+        f"WHEN {c} = {pos_inf} THEN 'Inf' "
+        f"WHEN {c} = {neg_inf} THEN '-Inf' "
+        f"WHEN {c} = 0.0 THEN '0' "
+        f"WHEN ABS({c}) < POWER({two}, CAST(-1022 AS DOUBLE)) THEN {sub} "
+        f"ELSE CONCAT(CAST(CAST({m2} * {k52} AS BIGINT) AS STRING), 'p', "
+        f"CAST({e2} AS STRING)) END"
+    )
+
+
 def _spark_digest_sql(df, view: str) -> str:
     """Order-insensitive fingerprint SQL over a registered Spark temp view.
 
     Canonical per-cell serialization (probed bit-identical vs DuckDB):
-    double/float -> DECIMAL(38,6) string (half-up at 6 dp, -0.0 -> 0.000000,
-    NaN/Inf guarded); decimal -> rescaled DECIMAL(38,6); timestamp -> epoch
-    micros; date -> epoch days; boolean -> 0/1; everything else -> CAST AS
-    STRING.  Row hash = first 60 bits of md5; aggregate = exact DECIMAL(38,0)
-    sum, returned as a string so HUGEINT/DECIMAL compare textually."""
+    double/float -> exact mantissa/exponent string (`_exact_double_cell`,
+    full 64-bit resolution; -0.0 -> '0', NaN/Inf guarded); decimal ->
+    rescaled DECIMAL(38,6); timestamp -> epoch micros; date -> epoch days;
+    boolean -> 0/1; everything else -> CAST AS STRING.  Row hash = first
+    60 bits of md5; aggregate = exact DECIMAL(38,0) sum, returned as a
+    string so HUGEINT/DECIMAL compare textually."""
     cells = []
     for f in sorted(df.schema.fields, key=lambda f: f.name):
         c = f"`{f.name}`"
         t = f.dataType.simpleString()
         if t in ("double", "float"):
-            e = (
-                f"CASE WHEN isnan({c}) THEN 'NaN' "
-                f"WHEN {c} = double('inf') THEN 'Inf' "
-                f"WHEN {c} = double('-inf') THEN '-Inf' "
-                f"ELSE CAST(CAST({c} AS DECIMAL(38,6)) AS STRING) END"
+            # FLOAT widens to DOUBLE exactly, so one serializer covers both
+            e = _exact_double_cell(
+                f"CAST({c} AS DOUBLE)", "double('inf')", "double('-inf')"
             )
         elif t.startswith("decimal"):
             # scale-0 decimals are integer sums — serialize like bigint ('42',
@@ -201,11 +250,8 @@ def _duck_digest_sql(con, sql: str):
         names.append(name)
         c = f'"{name}"'
         if t in ("DOUBLE", "FLOAT", "REAL"):
-            e = (
-                f"CASE WHEN isnan({c}) THEN 'NaN' "
-                f"WHEN {c} = 'infinity'::DOUBLE THEN 'Inf' "
-                f"WHEN {c} = '-infinity'::DOUBLE THEN '-Inf' "
-                f"ELSE CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR) END"
+            e = _exact_double_cell(
+                f"CAST({c} AS DOUBLE)", "'infinity'::DOUBLE", "'-infinity'::DOUBLE"
             )
         elif t == "HUGEINT":
             e = f"CAST({c} AS VARCHAR)"
@@ -354,6 +400,16 @@ def main() -> int:
         i = args.index("--names-file")
         exact_names = set(open(args[i + 1]).read().split())
         del args[i : i + 2]
+    exclude_names: set[str] = set()
+    if "--exclude" in args:
+        i = args.index("--exclude")
+        exclude_names = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    json_out = None
+    if "--json-out" in args:
+        i = args.index("--json-out")
+        json_out = args[i + 1]
+        del args[i : i + 2]
 
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     name_filter = args[1:]
@@ -367,10 +423,15 @@ def main() -> int:
         con.execute(f"SET memory_limit='{mem_limit}'")
 
     failures, rows_only, passed, skipped, capped = [], [], [], [], []
+    excluded = []
     for name, spec in REGISTRY.items():
         if exact_names is not None and name not in exact_names:
             continue
         if name_filter and not any(f in name for f in name_filter):
+            continue
+        if name in exclude_names:
+            excluded.append(name)
+            print(f"– {name}: EXCLUDED by flag")
             continue
         if skip_superlinear and spec.oracle_cost == "superlinear":
             skipped.append(name)
@@ -458,6 +519,28 @@ def main() -> int:
         f"\n{len(passed)} matched, {len(rows_only)} rows-only, {len(failures)} failed"
         f"{extra} (of {len(REGISTRY)} registered)"
     )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "mode": "digest" if digest_mode else "collect",
+                    "oracle_timeout": oracle_timeout,
+                    "spark_timeout": spark_timeout,
+                    "registered": len(REGISTRY),
+                    "matched": sorted(passed),
+                    "rows_only": sorted(rows_only),
+                    "capped": sorted(capped),
+                    "skipped_superlinear": sorted(skipped),
+                    "excluded": sorted(excluded),
+                    "failures": {n: msg for n, msg in failures},
+                },
+                fh,
+                indent=1,
+            )
+        print(f"# wrote {json_out}")
     return 1 if failures else 0
 
 
