@@ -90,6 +90,128 @@ def quantiles_exact(df: DataFrame, col: str, probs: Sequence[float]) -> DataFram
     )
 
 
+def _kth_smallest(active: DataFrame, v, n_active: int, k: int, lo: float,
+                  hi: float, bins: int, max_candidates: int) -> float:
+    """k-th smallest (1-indexed) of ``v`` over ``active`` (``n_active`` rows,
+    values within [lo, hi]) — histogram-guided bracket refinement, exact at
+    any cardinality.
+
+    Each pass is ONE scan (filter + map-combined groupBy(bucket)) whose
+    output is ≤ ``bins`` rows; the bracket shrinks ~bins× per pass, so a
+    60 M-row column needs 2 passes before the final TakeOrdered.  Driver
+    memory is O(bins); nothing rank-sized is ever materialized — the
+    failure mode of Spark's exact ``percentile`` (per-group multiset
+    buffer, OOM at one 60 M-value group) cannot occur.
+
+    Boundary exactness: refinement filters on the SAME clamped bucket
+    expression the histogram grouped by (``active.filter(bexpr == b)``),
+    never on a numerically inverted [blo, bhi) — so a value that lands in
+    bucket b due to FP rounding of (v-lo)/width*bins is in bucket b for
+    BOTH the count walk and the next pass, and ranks can never shift at
+    bucket edges.  lo/hi only scale the next histogram; they need no ulp
+    guarantees.
+
+    Degenerate-width arm: when the bucket width underflows (heavy
+    duplicates — one value can hold millions of rows and no histogram can
+    split it), the bracket spans ≤ a few adjacent doubles, so a
+    groupBy(v).count() of that sliver (bounded distinct) resolves the
+    rank exactly.
+    """
+    while True:
+        if n_active <= max_candidates:
+            row = active.orderBy(v).limit(k).agg(F.max(v).alias("x")).first()
+            return float(row["x"])
+        width = hi - lo
+        if width <= 0 or lo + width / bins == lo:  # sub-ulp bucket width
+            dist = (
+                active.groupBy(v.alias("x"))
+                .agg(F.count("*").alias("n")).orderBy("x").collect()
+            )
+            c = 0
+            for r in dist:
+                c += r["n"]
+                if k <= c:
+                    return float(r["x"])
+            raise AssertionError("rank fell outside its bracket")
+        bexpr = F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0), F.floor((v - lo) / width * bins)),
+        ).cast("int")
+        hist = (
+            active.groupBy(bexpr.alias("b"))
+            .agg(F.count("*").alias("n")).orderBy("b").collect()
+        )
+        c = 0
+        for r in hist:
+            if k <= c + r["n"]:
+                k -= c
+                n_active = int(r["n"])
+                active = active.filter(bexpr == r["b"])
+                lo, hi = lo + r["b"] * width / bins, lo + (r["b"] + 1) * width / bins
+                break
+            c += r["n"]
+        else:
+            raise AssertionError("rank fell outside the histogram")
+
+
+def quantiles_exact_selection(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float],
+    bins: int = 4096,
+    max_candidates: int = 200_000,
+) -> DataFrame:
+    """EXACT type-7 quantiles at ANY cardinality — the scale path past
+    ``quantiles_exact``: Spark's ``percentile`` aggregate buffers the full
+    per-group multiset and OOMs a 32 g JVM at one 60 M-value group
+    (measured, sfgen100), while this computes the same numbers from
+    histogram-guided rank SELECTION: per order statistic, ~log_bins(n/
+    max_candidates)+1 one-scan passes with O(bins) driver memory, then a
+    bounded TakeOrdered.  Same output contract as ``quantiles_exact``
+    (one row, ``q<p*100>`` columns, 4 dp, linear interpolation between
+    the bracketing order statistics — DuckDB ``quantile_cont`` parity).
+
+    Eager by design (the selection IS a small number of jobs); the
+    returned 1-row DataFrame carries the already-computed scalars.
+    """
+    if not probs or any(p < 0 or p > 1 for p in probs):
+        raise ValueError("quantiles_exact_selection: probs must be in [0, 1]")
+    v = F.col(col).cast("double")
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(v.alias(col))
+    v = F.col(col)
+    stats = clean.agg(
+        F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).first()
+    n = int(stats["n"])
+    if n == 0:
+        raise ValueError(f"quantiles_exact_selection: no non-null rows in {col!r}")
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    # 0-indexed fractional positions, deduped bracketing ranks (1-indexed)
+    positions = [(p, (n - 1) * p) for p in probs]
+    ranks = sorted({r for _, h in positions for r in (int(math.floor(h)) + 1,
+                                                      int(math.ceil(h)) + 1)})
+    values = {k: _kth_smallest(clean, v, n, k, lo, hi, bins, max_candidates)
+              for k in ranks}
+    out = {}
+    for p, h in positions:
+        lo_k, frac = int(math.floor(h)) + 1, h - math.floor(h)
+        vlo = values[lo_k]
+        # Spark `percentile`'s exact form: (ceil-h)*lower + (h-floor)*higher
+        # — NOT lo + (hi-lo)*frac, which differs by an ulp on some inputs
+        # and flips the 4-dp rounding at the boundary (caught by the
+        # bit-parity unit test); matching the sibling keeps this query on
+        # quantiles_exact's proven DuckDB-parity record.
+        out[f"q{int(p * 100)}"] = (
+            (1.0 - frac) * vlo + frac * values[lo_k + 1] if frac else vlo
+        )
+    spark = df.sparkSession
+    # round through the ENGINE (F.round, half-up) — the sibling
+    # quantiles_exact's proven 4-dp parity contract vs DuckDB round();
+    # Python's banker's round() would diverge on exact .00005 boundaries
+    raw = spark.createDataFrame([tuple(out.values())], list(out.keys()))
+    return raw.select(*[F.round(F.col(c), 4).alias(c) for c in out])
+
+
 def histogram_fixed_width(df: DataFrame, col: str, width: float) -> DataFrame:
     """Fixed-width histogram: (bucket, n) with bucket = floor(col/width) —
     a single partial/final hash aggregate (map-side combine), the

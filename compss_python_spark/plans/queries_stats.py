@@ -196,6 +196,32 @@ def quantiles_exact(spark, sf_dir):
 
 
 @query(
+    "quantiles_exact_scaled",
+    sql="""
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS q90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS q99
+    FROM lineitem
+    """,
+)
+def quantiles_exact_scaled(spark, sf_dir):
+    """The SAME exact type-7 quantiles as `quantiles_exact` (identical
+    oracle), computed by histogram-guided rank SELECTION instead of
+    Spark's multiset-buffering `percentile` aggregate — closing the
+    measured gen100 boundary: `percentile` OOMs a 32 g JVM at one
+    60 M-value group, while selection needs ~log_bins(n)+1 one-scan
+    passes with O(bins) driver memory and a final bounded TakeOrdered
+    per bracketing order statistic (functions/statistics.py:
+    quantiles_exact_selection).  Eager by design: the selection loop IS
+    the query; the returned 1-row frame carries the computed scalars."""
+    from compss_python_spark.functions.statistics import quantiles_exact_selection
+
+    return quantiles_exact_selection(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice", [0.5, 0.9, 0.99]
+    )
+
+
+@query(
     "stratified_sample_hash",
     sql="""
     SELECT event_id, event_type FROM events

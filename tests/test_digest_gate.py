@@ -111,6 +111,7 @@ def test_digest_double_parity_bit_identical_inputs(spark, duck, tmp_path):
         2.0**-1022, 5e-324, 1e-310,  # min normal + subnormals
         math.nextafter(1.0, 2.0), 1.0, 4.0, -0.0, 0.0,
         1.7976931348623157e308, 6.62607015e-34,
+        None,  # NULL double: DuckDB CONCAT skips NULL args — must sentinel
     ]
     p = str(tmp_path / "doubles.parquet")
     pq.write_table(pa.table({"x": pa.array(vals, type=pa.float64())}), p)

@@ -736,6 +736,50 @@ def test_binary_files_sink_atomic_overwrite_and_id_sanitization(spark, tmp_path)
     assert not (tmp_path / "blobs" / "a.bin").exists()
 
 
+def test_quantiles_exact_selection_matches_percentile(spark):
+    """Selection-based exact quantiles reproduce Spark `percentile`
+    bit-for-bit under forced multi-pass refinement (tiny max_candidates
+    and bins), including a duplicate-heavy column that exercises the
+    sub-ulp degenerate arm, NaN/null exclusion, and p=0/p=1 endpoints."""
+    import numpy as np
+
+    from compss_python_spark.functions.statistics import (
+        quantiles_exact,
+        quantiles_exact_selection,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(3.0, 1.0, 5_000).tolist()
+    # heavy duplicates: one value holds 40% of the mass around the median
+    vals += [42.25] * 3_500
+    rows = [(v,) for v in vals] + [(None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "x double")
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    # NaN = NaN is TRUE in Spark, so "x = x" would keep NaN — isnan needed
+    ref = (
+        quantiles_exact(df.filter("x IS NOT NULL AND NOT isnan(x)"), "x", probs)
+        .first()
+        .asDict()
+    )
+    got = (
+        quantiles_exact_selection(df, "x", probs, bins=16, max_candidates=50)
+        .first()
+        .asDict()
+    )
+    assert got == ref, (got, ref)
+
+    # all-duplicate column: histogram can never split — degenerate arm only
+    const = spark.createDataFrame([(7.5,)] * 300, "x double")
+    cq = quantiles_exact_selection(const, "x", [0.5], bins=8, max_candidates=10)
+    assert cq.first()["q50"] == 7.5
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no non-null"):
+        quantiles_exact_selection(
+            spark.createDataFrame([(None,)], "x double"), "x", [0.5]
+        )
+
+
 def test_histogram_quantiles_error_bound_and_edges(spark):
     """Histogram quantiles land within one bin width of the exact
     type-7 quantile; constant columns and bad probs handled."""

@@ -181,8 +181,15 @@ def _exact_double_cell(c: str, pos_inf: str, neg_inf: str) -> str:
         f"CONCAT('s', CAST(CAST({c} * POWER({two}, CAST(537 AS DOUBLE)) "
         f"* POWER({two}, CAST(537 AS DOUBLE)) AS BIGINT) AS STRING))"
     )
+    # The explicit NULL arm is load-bearing: DuckDB's CONCAT *skips* NULL
+    # arguments (a NULL mantissa would serialize as 'p', not NULL), while
+    # Spark's CONCAT propagates NULL — without this arm a nullable double
+    # column (e.g. an as-of left join's carried value) digests differently
+    # despite identical data.  NULL here flows to the outer coalesce() and
+    # becomes the cell sentinel on both engines.
     return (
-        f"CASE WHEN isnan({c}) THEN 'NaN' "
+        f"CASE WHEN {c} IS NULL THEN NULL "
+        f"WHEN isnan({c}) THEN 'NaN' "
         f"WHEN {c} = {pos_inf} THEN 'Inf' "
         f"WHEN {c} = {neg_inf} THEN '-Inf' "
         f"WHEN {c} = 0.0 THEN '0' "
