@@ -250,6 +250,8 @@ CHANGED_MODULES: frozenset[str] = frozenset({
                               # decontaminate honors benchmark_grams_hint
     "ml.classification",      # new: linear_svc_gd (hinge-subgradient twin)
     "operators.joins",        # AQE scope lock hoisted; truly-unset conf restore
+    "functions.statistics",   # new: quantiles_exact_selection (rank-selection
+                              # exact quantiles — additive, but re-prove deps)
 })
 
 # Round-9 CHANGED_MODULES (kept for the record; all re-slots consumed in
