@@ -104,6 +104,19 @@ def main() -> None:
     spark = get_spark("bench")
 
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
+    # Targeted gen-SF runs: SPARK_GRAFT_BENCH_NAMES (comma list) restricts
+    # the headline set, SPARK_GRAFT_STEADY_PASSES (default 2) bounds the
+    # steady passes — at sfgen1000 a full 38-query × 4-pass run is hours;
+    # the artifact's n_queries and per-query maps stay honest about what
+    # actually ran.  Driver runs (no env) are unaffected.
+    names_env = os.environ.get("SPARK_GRAFT_BENCH_NAMES")
+    if names_env:
+        wanted = {n.strip() for n in names_env.split(",") if n.strip()}
+        unknown = wanted - set(headline)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_NAMES not headline: {sorted(unknown)}")
+        headline = {n: s for n, s in headline.items() if n in wanted}
+    steady_passes = int(os.environ.get("SPARK_GRAFT_STEADY_PASSES", "2"))
 
     # First pass (timed as first_run): JVM JIT + codegen + parquet footer /
     # page caches all cold.  clearCache between queries: operators that
@@ -127,7 +140,7 @@ def main() -> None:
     # get the extra sample.  Per-query SPREAD (max−min across steady
     # passes) is reported so a judge can mark |delta| < spread as noise.
     samples: dict[str, list[float]] = {n: [] for n in headline}
-    for _pass in range(2):
+    for _pass in range(steady_passes):
         for name, spec in headline.items():
             t0 = time.perf_counter()
             if force(spec.fn(spark, sf_dir)):
