@@ -45,8 +45,8 @@ def spark_digest(spark, df):
     return int(n), str(hs)
 
 
-def duck_digest(duck, sql):
-    dsql, cols = _duck_digest_sql(duck, sql)
+def duck_digest(duck, sql, spark_floating=frozenset()):
+    dsql, cols, _ = _duck_digest_sql(duck, sql, spark_floating)
     row = duck.execute(dsql).df().iloc[0]
     return int(row["n"]), str(row["hs"])
 
@@ -124,6 +124,22 @@ def test_digest_double_parity_bit_identical_inputs(spark, duck, tmp_path):
     p2 = str(tmp_path / "doubles2.parquet")
     pq.write_table(pa.table({"x": pa.array(vals2, type=pa.float64())}), p2)
     assert duck_digest(duck, f"SELECT x FROM read_parquet('{p2}')") != base
+
+
+def test_digest_floating_decimal_bridge(spark, duck):
+    """A Spark DOUBLE column whose oracle twin is a bare literal (DECIMAL
+    in DuckDB) or an integer expression must digest identically: the gate
+    bridges any column EITHER side types as floating to the exact-double
+    form on BOTH sides (pre-bridge, `0.25` digested as '0.250000' against
+    Spark's mantissa/exponent string — quantiles_histogram at sfgen100)."""
+    sdf = spark.sql(
+        "SELECT CAST(0.25 AS DOUBLE) AS p, CAST(1 AS DOUBLE) AS r, "
+        "CAST(0.99 AS DOUBLE) AS t"
+    )
+    oracle = "SELECT 0.25 AS p, 1 AS r, 0.99 AS t"  # DECIMAL/INTEGER/DECIMAL
+    assert spark_digest(spark, sdf) == duck_digest(
+        duck, oracle, spark_floating={"p", "r", "t"}
+    )
 
 
 @pytest.mark.parametrize(

@@ -199,7 +199,7 @@ def _exact_double_cell(c: str, pos_inf: str, neg_inf: str) -> str:
     )
 
 
-def _spark_digest_sql(df, view: str) -> str:
+def _spark_digest_sql(df, view: str, force_double: set[str] | frozenset[str] = frozenset()) -> str:
     """Order-insensitive fingerprint SQL over a registered Spark temp view.
 
     Canonical per-cell serialization (probed bit-identical vs DuckDB):
@@ -208,12 +208,17 @@ def _spark_digest_sql(df, view: str) -> str:
     rescaled DECIMAL(38,6); timestamp -> epoch micros; date -> epoch days;
     boolean -> 0/1; everything else -> CAST AS STRING.  Row hash = first
     60 bits of md5; aggregate = exact DECIMAL(38,0) sum, returned as a
-    string so HUGEINT/DECIMAL compare textually."""
+    string so HUGEINT/DECIMAL compare textually.
+
+    ``force_double``: columns the ORACLE types as floating while Spark
+    types them decimal/integer — serialized via the exact-double form on
+    BOTH sides so the type-CLASS pairing stays aligned (the mirror of
+    the oracle-side bridge below)."""
     cells = []
     for f in sorted(df.schema.fields, key=lambda f: f.name):
         c = f"`{f.name}`"
         t = f.dataType.simpleString()
-        if t in ("double", "float"):
+        if t in ("double", "float") or f.name in force_double:
             # FLOAT widens to DOUBLE exactly, so one serializer covers both
             e = _exact_double_cell(
                 f"CAST({c} AS DOUBLE)", "double('inf')", "double('-inf')"
@@ -244,19 +249,30 @@ def _spark_digest_sql(df, view: str) -> str:
     )
 
 
-def _duck_digest_sql(con, sql: str):
+def _duck_digest_sql(con, sql: str, spark_floating: set[str] | frozenset[str] = frozenset()):
     """DuckDB twin of `_spark_digest_sql` over the oracle subquery.
 
-    Returns (digest_sql, sorted_column_names); types come from DESCRIBE so
-    the serialization rule per column mirrors the Spark side's by TYPE CLASS
-    (a Spark DOUBLE vs a DuckDB DECIMAL sum both land on the 38,6 form)."""
+    Returns (digest_sql, sorted_column_names, duck_floating_names); types
+    come from DESCRIBE so the serialization rule per column mirrors the
+    Spark side's by TYPE CLASS.  ``spark_floating`` carries the columns
+    Spark types as double/float: when the oracle types one of those as
+    DECIMAL or INTEGER (a bare `0.25` literal or an integer ratio parses
+    as DECIMAL/BIGINT in DuckDB), the cell is bridged with
+    CAST(... AS DOUBLE) + the exact-double form, so both engines
+    serialize the same CLASS — the old DECIMAL(38,6) form aligned these
+    pairs by construction, and dropping the bridge made `0.25` digest as
+    '0.250000' against Spark's mantissa/exponent form (quantiles_histogram
+    at sfgen100).  The returned duck_floating_names lets the caller apply
+    the mirror bridge (oracle floating, Spark decimal) on the Spark side."""
     desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) AS q").fetchall()
-    cells, names = [], []
+    cells, names, duck_floating = [], [], []
     for row in sorted(desc, key=lambda r: r[0]):
         name, t = row[0], row[1].upper()
         names.append(name)
         c = f'"{name}"'
         if t in ("DOUBLE", "FLOAT", "REAL"):
+            duck_floating.append(name)
+        if t in ("DOUBLE", "FLOAT", "REAL") or name in spark_floating:
             e = _exact_double_cell(
                 f"CAST({c} AS DOUBLE)", "'infinity'::DOUBLE", "'-infinity'::DOUBLE"
             )
@@ -284,7 +300,7 @@ def _duck_digest_sql(con, sql: str):
         "::HUGEINT) AS VARCHAR), '0') AS hs "
         f"FROM (SELECT {row_expr} AS rs FROM ({sql}) AS q)"
     )
-    return digest, names
+    return digest, names, duck_floating
 
 
 def _spark_complex_cols(df) -> list[str]:
@@ -344,9 +360,29 @@ def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0, spark_time
         return f"complex output columns {bad}"
     view = "digest_gate_q"
     sdf.createOrReplaceTempView(view)
+    # Build the oracle digest FIRST (a cheap DESCRIBE, no execution): its
+    # column types decide the cross-class bridge — any column either
+    # engine types as floating serializes via the exact-double form on
+    # BOTH sides (Spark DOUBLE vs a DuckDB DECIMAL `0.25` literal must
+    # land in the same serialization class).
+    spark_floating = {
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() in ("double", "float")
+    }
+    try:
+        dsql, duck_cols, duck_floating = _duck_digest_sql(
+            con, spec.sql, spark_floating
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"✗ {name}: ORACLE ERROR {str(e)[:2000]}")
+        return f"ORACLE ERROR: {e}"
+    force_double = set(duck_floating) - spark_floating
     try:
         row, cap = _run_spark_capped(
-            spark, lambda: spark.sql(_spark_digest_sql(sdf, view)).collect()[0], spark_timeout
+            spark,
+            lambda: spark.sql(_spark_digest_sql(sdf, view, force_double)).collect()[0],
+            spark_timeout,
         )
     except Exception as e:  # noqa: BLE001
         print(f"✗ {name}: SPARK DIGEST ERROR {str(e)[:2000]}")
@@ -356,7 +392,6 @@ def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0, spark_time
         return "spark_capped"
     n_s, hs_s = row
     try:
-        dsql, duck_cols = _duck_digest_sql(con, spec.sql)
         odf, cap_reason = run_oracle_capped(con, dsql, oracle_timeout)
     except Exception as e:  # noqa: BLE001
         print(f"✗ {name}: ORACLE ERROR {str(e)[:2000]}")
