@@ -335,6 +335,9 @@ _CHANGED_MODULES_R7: frozenset[str] = frozenset({
 # The dep-map re-slots (llm.dedup guard tier, ml.classification,
 # operators.joins) fill the rest of the window.
 SLOT_PRIORITY: tuple[str, ...] = (
+    "null_semantics",                # EXACT integer-cents sum_coalesced (gen100 digest
+                                     # sweep catch: one-group SUM over 2/3 of orders,
+                                     # 2.5e12 — 2-dp round inside summation ulp)
     "tpch_q1_pricing_summary",       # EXACT money sums (integer-cents/DECIMAL, unrounded)
     "embedding_mean_pool",           # +0.0 after round: signed-zero canon split (gen10 catch)
     "ml_poly_expansion",             # +0.0 after round: same signed-zero class (gen10 catch, p4 cross-term)

@@ -1702,7 +1702,8 @@ def regexp_functions(spark, sf_dir):
     SELECT COUNT(*) AS n_rows,
            COUNT(v) AS n_nonnull,
            CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           ROUND(SUM(COALESCE(v, 0)), 2) AS sum_coalesced,
+           SUM(CAST(FLOOR(COALESCE(v, 0) * 100 + 0.5) AS BIGINT)) / 100.0
+             AS sum_coalesced,
            CAST(SUM(CASE WHEN p IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_p_null_safe,
            CAST(COUNT(NULLIF(p, '1-URGENT')) AS BIGINT) AS n_not_urgent
@@ -1713,7 +1714,15 @@ def null_semantics(spark, sf_dir):
     """NULL semantics end-to-end: aggregate null-skipping (COUNT(col) vs
     COUNT(*)), COALESCE, null-safe equality (<=> / IS NOT DISTINCT FROM),
     NULLIF — the exact behaviors that silently diverge between engines if
-    not pinned down."""
+    not pinned down.
+
+    sum_coalesced follows the q1 EXACT money-sum convention (integer
+    cents via FLOOR(x*100+0.5), ONE final IEEE division): it sums
+    o_totalprice over ~2/3 of ALL orders into ONE group — at sfgen100
+    that is 2.5×10¹² where 2-dp rounding sits inside double-summation
+    ulp (the gen100 digest sweep caught Spark/DuckDB 0.01 apart).  This
+    site escaped the round-10 ROUND(money-sum) grep because the sum goes
+    through the derived COALESCE column, not o_totalprice directly."""
     o = table(spark, sf_dir, "orders")
     t = o.select(
         "o_orderkey",
@@ -1728,7 +1737,10 @@ def null_semantics(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.count("v").alias("n_nonnull"),
         F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
-        F.round(F.sum(F.coalesce(F.col("v"), F.lit(0))), 2).alias("sum_coalesced"),
+        (
+            F.sum(F.floor(F.coalesce(F.col("v"), F.lit(0.0)) * 100 + F.lit(0.5)))
+            / F.lit(100.0)
+        ).alias("sum_coalesced"),
         F.sum(F.col("p").eqNullSafe(F.lit(None)).cast("long")).alias("n_p_null_safe"),
         F.count(F.nullif(F.col("p"), F.lit("1-URGENT"))).alias("n_not_urgent"),
     )
