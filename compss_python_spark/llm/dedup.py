@@ -609,10 +609,22 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into `bands` chunks
     (pigeonhole: hamming ≤ bands−1 guarantees an exact-match band), candidate
-    pairs share a chunk, verified with bit_count(xor) ≤ max_hamming."""
+    pairs share a chunk, verified with bit_count(xor) ≤ max_hamming.
+
+    ``max_bucket`` (the same honest-cap contract as `minhash_lsh_pairs`):
+    SimHash bits are token-frequency signs, so topically-correlated corpora
+    concentrate into FEW band keys — one degenerate (band, key) bucket of
+    k docs costs k²/2 candidate pairs (measured: the sfgen100 synthetic
+    corpus, 500 k docs over a 32-word Zipf vocab, drove the uncapped
+    self-join past 600 s; at 100 TB a boilerplate storm does the same).
+    With a cap, buckets above it are DROPPED before pair expansion —
+    bounded recall loss on exactly the buckets whose pairs are
+    overwhelmingly false candidates; None (default) keeps the exact
+    uncapped join."""
     chunk = 64 // bands
     # pinned: the banded table self-joins (a × b) — without the barrier
     # the per-doc simhash aggregation re-runs for each join side
@@ -634,6 +646,29 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("_id", "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        # one groupBy(band, key) bounds every bucket BEFORE pair expansion;
+        # the double-explode is then ≤ max_bucket² per bucket by construction
+        buckets = (
+            banded.groupBy("band", "key")
+            .agg(F.collect_list(F.struct("_id", "_sh")).alias("ms"))
+            .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+        )
+        pairs = (
+            buckets.select(F.col("ms"), F.explode("ms").alias("a"))
+            .select("a", F.explode("ms").alias("b"))
+            .filter(F.col("a._id") < F.col("b._id"))
+        )
+        ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+        return (
+            pairs.select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
     return (

@@ -158,7 +158,16 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @query("dedup_simhash", sql=None)
 def dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=8)
+    """Production SimHash near-dup pairs (xxhash64 → rows-only; the
+    md5-portable signature twin `dedup_simhash_md5` is the oracled
+    sibling).  max_bucket=1000 is the production cap: the sfgen100 corpus
+    (topically-correlated Zipf texts) concentrates SimHash band keys into
+    degenerate buckets whose uncapped k²/2 pair expansion ran past the
+    600 s gate cap; capped, the same fixture completes in seconds with
+    the drop contract documented at llm/dedup.py:simhash_pairs."""
+    return dedup.simhash_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=8, max_bucket=1000
+    )
 
 
 @query(

@@ -82,6 +82,31 @@ def test_simhash_hamming_small_for_near_dup(spark):
     assert len(pairs) == 1 and pairs[0]["hamming"] <= 16
 
 
+def test_simhash_pairs_bucket_cap(spark):
+    """Capped == uncapped when no bucket exceeds the cap; a corpus of
+    identical texts (every doc in the same band buckets) drops entirely
+    past the cap — the documented boilerplate-storm guard."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    near = base.replace("gamma", "gamma2")
+    small = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [base, near]})
+    )
+    uncapped = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(small, max_hamming=16).collect()
+    )
+    capped = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(small, max_hamming=16, max_bucket=50).collect()
+    )
+    assert capped == uncapped and len(capped) == 1
+
+    storm = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(20)), "text": [base] * 20})
+    )
+    assert dedup.simhash_pairs(storm, max_hamming=16, max_bucket=10).count() == 0
+
+
 def test_ngram_jaccard_blocked(spark, docs):
     out = dedup.ngram_jaccard_pairs(docs, threshold=0.3, block_col="lang")
     rows = out.collect()
