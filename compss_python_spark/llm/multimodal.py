@@ -1192,32 +1192,52 @@ def ahash_pair_stats(
     bands: int = 8,
 ) -> DataFrame:
     """Near-duplicate image pair histogram by aHash hamming distance:
-    band the 64-bit hash into ``bands`` chunks (pigeonhole: hamming ≤
-    bands−1 guarantees an exact-match band, so ``max_hamming`` must stay
-    below ``bands``), candidate pairs share a chunk, verified with
-    bit_count(xor), then reduced to (hamming, n_pairs).  Same banded
-    shape as llm.dedup.simhash_pairs — ONE bucket shuffle, never the
-    image-pair product."""
+    collapse identical hashes FIRST (exact-collapse, the same move
+    `minhash_lsh_pairs` makes), then band the DISTINCT 64-bit values into
+    ``bands`` chunks (pigeonhole: hamming ≤ bands−1 guarantees an
+    exact-match band, so ``max_hamming`` must stay below ``bands``),
+    verify candidates with bit_count(xor), and weight each surviving
+    (value-a, value-b) pair by n_a·n_b — identical output to id-level
+    pair counting, proven by the brute-force oracle at the driver SF.
+
+    Why collapse first: hamming ≤ 6 forces ≥ 7 bands, so a 64-bit hash
+    yields 8-bit band keys — 256 buckets TOTAL.  Banding raw ids is
+    therefore quadratic at N/256 per bucket BY CONSTRUCTION (measured:
+    500 k images at sfgen100 ran the id-level self-join past the 600 s
+    gate cap).  Distinct aHash VALUES are bounded by image variety, not
+    corpus size — exact duplicates (the dominant storm at crawl scale)
+    collapse to one row and their hamming-0 pairs come from the count
+    algebra n·(n−1)/2.  A corpus whose DISTINCT perceptual hashes exceed
+    ~10⁵ saturates 8-bit banding regardless; that needs a longer
+    perceptual hash (pHash-256), out of codec scope here."""
     if max_hamming >= bands:
         raise ValueError(
             f"ahash_pair_stats: pigeonhole needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
     chunk = 64 // bands
-    # Pin the hash table before the self-join: without this, BOTH join
-    # sides re-execute the upstream image decode (the expensive pass) —
-    # the checkpoint costs one id+long row per image and halves decode
-    # work (verified in the physical plan: one MapInPandas, not two).
-    hashes = hashes.select(id_col, hash_col).localCheckpoint(eager=True)
-    banded = hashes.select(
-        F.col(id_col).alias("_id"),
-        F.col(hash_col).alias("_ah"),
+    # Pin the collapsed table before the self-join: without this, BOTH
+    # join sides re-execute the upstream image decode (the expensive
+    # pass) — the checkpoint costs one (hash, n) row per DISTINCT hash.
+    counts = (
+        hashes.select(F.col(hash_col).alias("_ah"))
+        .groupBy("_ah")
+        .agg(F.count("*").alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    zero = counts.select(
+        F.lit(0).alias("hamming"),
+        F.sum(F.col("_n") * (F.col("_n") - 1) / 2).cast("long").alias("n_pairs"),
+    ).filter(F.col("n_pairs") > 0)
+    banded = counts.select(
+        "_ah",
+        "_n",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col(hash_col), b * chunk)
+                        F.shiftrightunsigned(F.col("_ah"), b * chunk)
                         .bitwiseAND(F.lit((1 << chunk) - 1))
                         .alias("key"),
                     )
@@ -1225,27 +1245,30 @@ def ahash_pair_stats(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "_ah", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("_ah", "_n", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a._ah").bitwiseXOR(F.col("b._ah")))
-    pairs = (
+    cross = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key")),
         )
-        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(F.col("a._ah") < F.col("b._ah"))
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
+            F.col("a._ah").alias("ha"),
+            F.col("b._ah").alias("hb"),
+            F.col("a._n").alias("na"),
+            F.col("b._n").alias("nb"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .distinct()  # a value pair can share several bands — count once
+        .groupBy("hamming")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("n_pairs"))
     )
     return (
-        pairs.groupBy("hamming")
-        .agg(F.count("*").alias("n_pairs"))
+        zero.unionByName(cross)
         .select(F.col("hamming").cast("int"), "n_pairs")
     )
 
