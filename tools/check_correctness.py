@@ -463,6 +463,12 @@ def main() -> int:
     con = duck_connection(sf_dir)
     if mem_limit:
         con.execute(f"SET memory_limit='{mem_limit}'")
+        # bound the spill too: an unexpectedly super-linear oracle under a
+        # memory limit degrades to DISK spill — at gen SFs one 8-iteration
+        # graph CTE filled the remaining ~50 GB of the volume and took an
+        # unrelated worker down with ENOSPC.  A bounded temp dir turns that
+        # into a per-query resource error the loop records and survives.
+        con.execute("SET max_temp_directory_size='20GB'")
 
     failures, rows_only, passed, skipped, capped = [], [], [], [], []
     excluded = []
