@@ -343,7 +343,16 @@ def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0, spark_time
     """Digest-mode check for one query.  Returns 'pass' | 'rows_only' |
     'capped' | 'spark_capped' | a failure description.  Prints its own line."""
     try:
-        sdf = spec.fn(spark, sf_dir)
+        # Construction runs INSIDE the cap: eager queries (FPGrowth fit,
+        # k-means, rank selection, sizing passes) launch their jobs at
+        # fn() time, and an uncapped construction hangs the whole sweep
+        # on one degenerate fixture (observed: MLlib FPGrowth at sfgen100).
+        sdf, cap = _run_spark_capped(
+            spark, lambda: spec.fn(spark, sf_dir), spark_timeout
+        )
+        if cap:
+            print(f"– {name}: SPARK construction capped after {spark_timeout:.0f}s")
+            return "spark_capped"
     except Exception as e:  # noqa: BLE001
         print(f"✗ {name}: SPARK ERROR {str(e)[:2000]}")
         return f"SPARK ERROR: {e}"
