@@ -478,6 +478,15 @@ def main() -> int:
         # unrelated worker down with ENOSPC.  A bounded temp dir turns that
         # into a per-query resource error the loop records and survives.
         con.execute("SET max_temp_directory_size='20GB'")
+        # …and a PER-PROCESS temp dir: DuckDB's default is cwd/.tmp with
+        # fixed file names (duckdb_temp_storage-N.tmp), so two gate
+        # processes sharing a cwd overwrite each other's spill — one
+        # parallel gen-SF worker died on a temp file another had truncated.
+        import tempfile
+
+        con.execute(
+            f"SET temp_directory='{tempfile.mkdtemp(prefix='duckgate_')}'"
+        )
 
     failures, rows_only, passed, skipped, capped = [], [], [], [], []
     excluded = []
