@@ -30,7 +30,8 @@ def _scratch(sf_dir: str, name: str) -> str:
     "io_csv_roundtrip",
     sql="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+             AS total,
            STRFTIME(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_date
     FROM orders GROUP BY o_orderstatus
     """,
@@ -38,7 +39,14 @@ def _scratch(sf_dir: str, name: str) -> str:
 def io_csv_roundtrip(spark, sf_dir):
     """orders → save.csv → read.csv (explicit schema) → aggregate.  Doubles
     survive the text round-trip exactly (Spark writes round-trippable
-    17-significant-digit representations)."""
+    17-significant-digit representations).
+
+    total follows the q1 EXACT money-sum convention (FLOOR(x*100+0.5)
+    integer cents, ONE final IEEE division): only 3 status groups span
+    15 M orders at sfgen100, so the per-group sum reaches 1.9×10¹² where
+    the 2-dp round sits inside double-summation ulp — the round-10 money
+    audit called this site group-bounded, and the gen100 digest sweep
+    proved that wrong (the 'O' group flipped …519.91 vs …519.92)."""
     from compss_python_spark.sources.io import read_csv, write_csv
 
     path = _scratch(sf_dir, "csv_orders")
@@ -58,7 +66,9 @@ def io_csv_roundtrip(spark, sf_dir):
     )
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))) / F.lit(100.0)
+        ).alias("total"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
     )
 
