@@ -338,6 +338,9 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "null_semantics",                # EXACT integer-cents sum_coalesced (gen100 digest
                                      # sweep catch: one-group SUM over 2/3 of orders,
                                      # 2.5e12 — 2-dp round inside summation ulp)
+    "io_csv_roundtrip",              # EXACT integer-cents total (same sweep catch:
+                                     # 3 status groups at 1.9e12; audit had called
+                                     # this site group-bounded — it is not)
     "tpch_q1_pricing_summary",       # EXACT money sums (integer-cents/DECIMAL, unrounded)
     "embedding_mean_pool",           # +0.0 after round: signed-zero canon split (gen10 catch)
     "ml_poly_expansion",             # +0.0 after round: same signed-zero class (gen10 catch, p4 cross-term)
