@@ -477,7 +477,10 @@ def main() -> int:
         # graph CTE filled the remaining ~50 GB of the volume and took an
         # unrelated worker down with ENOSPC.  A bounded temp dir turns that
         # into a per-query resource error the loop records and survives.
-        con.execute("SET max_temp_directory_size='20GB'")
+        con.execute(
+            "SET max_temp_directory_size="
+            f"'{os.environ.get('GATE_TEMP_CAP', '20GB')}'"
+        )
         # …and a PER-PROCESS temp dir: DuckDB's default is cwd/.tmp with
         # fixed file names (duckdb_temp_storage-N.tmp), so two gate
         # processes sharing a cwd overwrite each other's spill — one
