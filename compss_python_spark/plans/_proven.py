@@ -341,6 +341,10 @@ SLOT_PRIORITY: tuple[str, ...] = (
     "io_csv_roundtrip",              # EXACT integer-cents total (same sweep catch:
                                      # 3 status groups at 1.9e12; audit had called
                                      # this site group-bounded — it is not)
+    "graph_label_propagation",       # even/odd node-id spaces (gen100 sweep catch:
+                                     # +1e6 supplier offset collided with custkeys
+                                     # past 1e6 — self-loop asymmetry vs oracle)
+    "graph_bfs_layers",              # same edge-base change (consistent re-proof)
     "tpch_q1_pricing_summary",       # EXACT money sums (integer-cents/DECIMAL, unrounded)
     "embedding_mean_pool",           # +0.0 after round: signed-zero canon split (gen10 catch)
     "ml_poly_expansion",             # +0.0 after round: same signed-zero class (gen10 catch, p4 cross-term)

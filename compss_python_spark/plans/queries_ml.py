@@ -772,8 +772,15 @@ def graph_k_core(spark, sf_dir):
     return k_core(edges, k=3)
 
 
+# Customer/supplier node ids map to DISJOINT spaces via even/odd
+# (2·custkey vs 2·suppkey+1), not an additive offset: the round-10 gen100
+# digest sweep caught the old `l_suppkey + 1000000` colliding with real
+# custkeys once the customer table passed 10⁶ rows (1.5 M at sfgen100) —
+# the collisions created self-loops that the Spark side's s != d filter
+# removed while the SQL oracle kept them, flipping near-tie LPA argmaxes.
+# Even/odd is collision-free at ANY scale factor.
 _GRAPH_EDGE_BASE_SQL = """base AS (
-      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_quantity >= 45
     ),
@@ -832,11 +839,13 @@ def _bfs_oracle() -> str:
 
 
 def _copurchase_edges(spark, sf_dir):
+    # even/odd id spaces — see _GRAPH_EDGE_BASE_SQL for why an additive
+    # offset is NOT scale-safe (gen100 custkeys collided with it)
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
     orders = table(spark, sf_dir, "orders")
     return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + 1000000).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
 
 
