@@ -311,20 +311,28 @@ def knn(train: DataFrame, test: DataFrame, k: int = 5,
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Xt, yt = bX.value, by.value
+        # The distance matrix is (chunk × n_train) doubles PER TASK — an
+        # uncapped Arrow batch (default 10 k rows) against a 100 k-row
+        # train set is 8 GB, and 32 concurrent tasks OOM-killed a 48 g
+        # host at sfgen100.  Chunk the query rows so each task's matrix
+        # stays ≤ ~50 M elements (~400 MB) regardless of batch size.
+        chunk = max(1, 50_000_000 // max(1, Xt.shape[0]))
         for pdf in batches:
-            Q = np.vstack(pdf[features_col].to_numpy())
-            # ||q - x||² = ||q||² + ||x||² − 2 q·x  (BLAS matmul)
-            d2 = (Q * Q).sum(1)[:, None] + (Xt * Xt).sum(1)[None, :] - 2.0 * (Q @ Xt.T)
-            idx = np.argpartition(d2, min(k, d2.shape[1] - 1), axis=1)[:, :k]
-            votes = yt[idx]
-            preds = [np.bincount(v.astype(int)).argmax() for v in votes]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    label_col: pdf[label_col],
-                    prediction_col: np.asarray(preds, dtype=int),
-                }
-            )
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                Q = np.vstack(part[features_col].to_numpy())
+                # ||q - x||² = ||q||² + ||x||² − 2 q·x  (BLAS matmul)
+                d2 = (Q * Q).sum(1)[:, None] + (Xt * Xt).sum(1)[None, :] - 2.0 * (Q @ Xt.T)
+                idx = np.argpartition(d2, min(k, d2.shape[1] - 1), axis=1)[:, :k]
+                votes = yt[idx]
+                preds = [np.bincount(v.astype(int)).argmax() for v in votes]
+                yield pd.DataFrame(
+                    {
+                        id_col: part[id_col],
+                        label_col: part[label_col],
+                        prediction_col: np.asarray(preds, dtype=int),
+                    }
+                )
 
     return test.select(id_col, label_col, features_col).mapInPandas(score, out_schema)
 

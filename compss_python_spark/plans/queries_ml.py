@@ -72,6 +72,10 @@ def ml_kmeans_sizes(spark, sf_dir):
 
 @query(
     "ml_knn_predict",
+    oracle_cost="superlinear",  # the exactness twin IS a test×train cross
+    # join — quadratic by definition; it OOMs DuckDB at gen100 (100k×100k).
+    # The ENGINE side is linear-in-test (chunked BLAS against the broadcast
+    # train matrix) and completes at gen100 post the chunking fix.
     sql="""
     WITH train AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 2 = 0),
     test AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 2 = 1),
