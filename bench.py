@@ -117,6 +117,10 @@ def main() -> None:
             raise SystemExit(f"SPARK_GRAFT_BENCH_NAMES not headline: {sorted(unknown)}")
         headline = {n: s for n, s in headline.items() if n in wanted}
     steady_passes = int(os.environ.get("SPARK_GRAFT_STEADY_PASSES", "2"))
+    if steady_passes < 1:
+        # 0/negative would leave samples[name] empty and crash min()/max()
+        # AFTER the full first-run pass — fail fast like the names check
+        raise SystemExit(f"SPARK_GRAFT_STEADY_PASSES must be >= 1 (got {steady_passes})")
 
     # First pass (timed as first_run): JVM JIT + codegen + parquet footer /
     # page caches all cold.  clearCache between queries: operators that

@@ -179,19 +179,43 @@ def quantiles_exact_selection(
     v = F.col(col).cast("double")
     clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(v.alias(col))
     v = F.col(col)
+    # ±Infinity occupies the extreme ranks but poisons the histogram
+    # bracket (width=inf → the bucket-0 refinement sets lo to NaN and the
+    # bracket never shrinks — an unbounded driver loop).  Count the
+    # infinities in the SAME pass as the finite min/max and run the
+    # selection on the finite remainder only; ranks inside the -inf
+    # prefix / +inf suffix resolve without a scan.
+    is_pinf = v == float("inf")
+    is_ninf = v == float("-inf")
     stats = clean.agg(
-        F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
+        F.count(col).alias("n"),
+        F.sum(is_ninf.cast("long")).alias("n_ninf"),
+        F.sum(is_pinf.cast("long")).alias("n_pinf"),
+        F.min(F.when(~is_pinf & ~is_ninf, v)).alias("lo"),
+        F.max(F.when(~is_pinf & ~is_ninf, v)).alias("hi"),
     ).first()
     n = int(stats["n"])
     if n == 0:
         raise ValueError(f"quantiles_exact_selection: no non-null rows in {col!r}")
-    lo, hi = float(stats["lo"]), float(stats["hi"])
+    n_ninf, n_pinf = int(stats["n_ninf"]), int(stats["n_pinf"])
+    n_finite = n - n_ninf - n_pinf
+    finite = clean.filter(~is_pinf & ~is_ninf) if (n_ninf or n_pinf) else clean
+    lo = float(stats["lo"]) if n_finite else 0.0
+    hi = float(stats["hi"]) if n_finite else 0.0
     # 0-indexed fractional positions, deduped bracketing ranks (1-indexed)
     positions = [(p, (n - 1) * p) for p in probs]
     ranks = sorted({r for _, h in positions for r in (int(math.floor(h)) + 1,
                                                       int(math.ceil(h)) + 1)})
-    values = {k: _kth_smallest(clean, v, n, k, lo, hi, bins, max_candidates)
-              for k in ranks}
+
+    def _rank_value(k: int) -> float:
+        if k <= n_ninf:
+            return float("-inf")
+        if k > n - n_pinf:
+            return float("inf")
+        return _kth_smallest(finite, v, n_finite, k - n_ninf, lo, hi,
+                             bins, max_candidates)
+
+    values = {k: _rank_value(k) for k in ranks}
     out = {}
     for p, h in positions:
         lo_k, frac = int(math.floor(h)) + 1, h - math.floor(h)

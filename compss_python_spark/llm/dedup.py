@@ -647,21 +647,32 @@ def simhash_pairs(
         ).alias("bk"),
     ).select("_id", "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket is not None:
-        # one groupBy(band, key) bounds every bucket BEFORE pair expansion;
-        # the double-explode is then ≤ max_bucket² per bucket by construction
-        buckets = (
+        # Size buckets with a COUNT aggregate first (constant per-group
+        # state under partial aggregation — a degenerate (band, key)
+        # bucket never materializes anywhere), then semi-join banded to
+        # the surviving keys; the self-join below is then ≤ max_bucket²
+        # per bucket by construction.  The earlier collect_list form
+        # bounded pair-expansion time but still built the full bucket
+        # array in one aggregation buffer — at crawl scale (10⁸ docs in
+        # one boilerplate bucket) that OOMs the executor before the size
+        # filter ever runs.
+        survivors = (
             banded.groupBy("band", "key")
-            .agg(F.collect_list(F.struct("_id", "_sh")).alias("ms"))
-            .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+            .agg(F.count("*").alias("_bn"))
+            .filter((F.col("_bn") > 1) & (F.col("_bn") <= max_bucket))
+            .select("band", "key")
         )
-        pairs = (
-            buckets.select(F.col("ms"), F.explode("ms").alias("a"))
-            .select("a", F.explode("ms").alias("b"))
-            .filter(F.col("a._id") < F.col("b._id"))
-        )
+        kept = banded.join(survivors, ["band", "key"], "semi")
+        a, b = kept.alias("a"), kept.alias("b")
         ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
         return (
-            pairs.select(
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key")),
+            )
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(
                 F.col("a._id").alias("id_a"),
                 F.col("b._id").alias("id_b"),
                 ham.alias("hamming"),

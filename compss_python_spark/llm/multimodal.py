@@ -1225,9 +1225,12 @@ def ahash_pair_stats(
         .agg(F.count("*").alias("_n"))
         .localCheckpoint(eager=True)
     )
+    # integer DIV keeps the pair count exact past 2^53 (double division
+    # silently loses precision once one hash holds ≳1.3e8 duplicates —
+    # exactly the dup-storm regime this histogram exists to measure)
     zero = counts.select(
         F.lit(0).alias("hamming"),
-        F.sum(F.col("_n") * (F.col("_n") - 1) / 2).cast("long").alias("n_pairs"),
+        F.sum(F.expr("_n * (_n - 1) DIV 2")).cast("long").alias("n_pairs"),
     ).filter(F.col("n_pairs") > 0)
     banded = counts.select(
         "_ah",

@@ -245,7 +245,17 @@ PROVEN_R6: frozenset[str] = frozenset({
 # of a shared helper re-proves its dependents in the driver window even
 # though their own bodies did not change.
 CHANGED_MODULES: frozenset[str] = frozenset({
-    # round 10 edits:
+    # round 11 edits:
+    "llm.dedup",              # simhash_pairs max_bucket arm: count-first +
+                              # semi-join (no per-bucket collect_list buffer)
+    "llm.multimodal",         # ahash hamming-0 count in integer DIV (exact
+                              # past 2^53)
+    "functions.statistics",   # quantiles_exact_selection ±inf rank handling
+})
+
+# Round-10 CHANGED_MODULES (kept for the record; all re-slots consumed in
+# the r10 window — every row green):
+_CHANGED_MODULES_R10: frozenset[str] = frozenset({
     "llm.dedup",              # two-tier semantic cluster guard (warn band);
                               # decontaminate honors benchmark_grams_hint
     "ml.classification",      # new: linear_svc_gd (hinge-subgradient twin)
@@ -326,15 +336,24 @@ _CHANGED_MODULES_R7: frozenset[str] = frozenset({
 # needed now; kept for queries whose behavior depends on state the static
 # map cannot see, e.g. fixture layout changes).
 #
-# Round 10: the three NEW queries land in tier 1 automatically
-# (stream_session_multibatch, stream_static_enrich_replay,
-# ml_linear_svc_gd); hand-pin the proven queries whose OWN bodies changed
-# (query-fn edits are invisible to the module-level dep map): the exact
-# integer-cents q1 rewrite, the signed-zero fix the sfgen10 sweep caught,
-# and the three replay builders that now pass watermark=_WM explicitly.
-# The dep-map re-slots (llm.dedup guard tier, ml.classification,
-# operators.joins) fill the rest of the window.
+# Round 11: the two NEW append-mode replays land in tier 1 automatically
+# (stream_tumbling_append, stream_sliding_append); hand-pin the three
+# ADVICE-fix targets whose operator bodies changed, so each lands in the
+# ~50-row driver window ahead of the broader dep-map fan-out
+# (functions.statistics re-slots 10+ stats queries; the ones that matter
+# most are the quantile selection rows themselves and the simhash/ahash
+# pair queries whose plans were rewritten).
 SLOT_PRIORITY: tuple[str, ...] = (
+    "dedup_simhash",                 # max_bucket arm: count-first + semi-join
+    "dedup_simhash_md5",             # same operator, md5 hash-family twin
+    "multimodal_ahash_pair_stats",   # hamming-0 pair count in integer DIV
+    "quantiles_exact_scaled",        # ±inf rank handling in the selection path
+    "quantiles_exact",               # sibling contract (same module)
+)
+
+# Round-10 SLOT_PRIORITY (kept for the record; all rows landed green in
+# CORRECTNESS_r10):
+_SLOT_PRIORITY_R10: tuple[str, ...] = (
     "null_semantics",                # EXACT integer-cents sum_coalesced (gen100 digest
                                      # sweep catch: one-group SUM over 2/3 of orders,
                                      # 2.5e12 — 2-dp round inside summation ulp)

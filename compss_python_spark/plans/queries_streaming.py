@@ -94,35 +94,36 @@ def _replay(spark, src, schema, builder, name, *, output_mode, one_batch=False):
     )
 
 
-def _ensure_stream_src_sentinel(spark, sf_dir, *, n_files: int):
-    """Events (user_id, ts, event_id) in ``n_files`` data files PLUS one
-    sentinel file holding a single user_id=-1 row whose event time is
-    max(ts) + watermark-delay + 2 days.  File mtimes are staged so the
-    file source (which orders new files by modification time) consumes the
-    sentinel in the LAST micro-batch: its arrival advances the watermark
-    past every real session's end, finalizing them all in the trailing
-    no-data batch — the append-mode session topology a production stream
-    reaches continuously, reproduced exactly once on a bounded fixture.
-    The sentinel's own session never finalizes (the watermark stays a full
-    delay behind it), so append output contains ONLY real sessions."""
+def _ensure_sentinel_src(spark, sf_dir, *, n_files: int, cols: tuple[str, ...],
+                         sentinel_vals: dict, prefix: str):
+    """Events (projected to ``cols``) in ``n_files`` data files PLUS one
+    sentinel file holding a single row whose event time is
+    max(ts) + watermark-delay + 2 days (other columns from
+    ``sentinel_vals``).  File mtimes are staged so the file source (which
+    orders new files by modification time) consumes the sentinel in the
+    LAST micro-batch: its arrival advances the watermark past every real
+    window/session's end, finalizing them all in the trailing no-data
+    batch — the append-mode topology a production stream reaches
+    continuously, reproduced exactly once on a bounded fixture.  The
+    sentinel's own window never finalizes (the watermark stays a full
+    delay behind it), so append output contains ONLY real groups."""
     import datetime
     import glob
     import shutil
     import time as _time
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    path = os.path.join(
-        _scratch_root(), f"stream_src_sent_{n_files}_{_data_tag(sf_dir)}"
-    )
+    ev = table(spark, sf_dir, "events").select(*cols)
+    path = os.path.join(_scratch_root(), f"{prefix}_{n_files}_{_data_tag(sf_dir)}")
     marker = os.path.join(path, "_SENTINEL_DONE")
     if not os.path.exists(marker):
         ev.repartition(n_files).write.mode("overwrite").parquet(path)
         max_ts = ev.agg(F.max("ts")).collect()[0][0]
         # _WM is "36500 days"; +2 days of slack puts the post-sentinel
-        # watermark at max_ts + 2 days > every session end (+30 min gap).
+        # watermark at max_ts + 2 days > every window/session end.
         sent_ts = max_ts + datetime.timedelta(days=36500 + 2)
+        row = tuple(sent_ts if c == "ts" else sentinel_vals[c] for c in cols)
         sent_dir = path + "_sentinel"
-        spark.createDataFrame([(-1, sent_ts, -1)], schema=ev.schema).coalesce(
+        spark.createDataFrame([row], schema=ev.schema).coalesce(
             1
         ).write.mode("overwrite").parquet(sent_dir)
         sent_part = glob.glob(os.path.join(sent_dir, "part-*.parquet"))[0]
@@ -136,6 +137,15 @@ def _ensure_stream_src_sentinel(spark, sf_dir, *, n_files: int):
         with open(marker, "w", encoding="utf-8"):
             pass
     return path, ev.schema
+
+
+def _ensure_stream_src_sentinel(spark, sf_dir, *, n_files: int):
+    """Sentinel source for the session replays: (user_id, ts, event_id)
+    with a user_id=-1 finalizer row (see ``_ensure_sentinel_src``)."""
+    return _ensure_sentinel_src(
+        spark, sf_dir, n_files=n_files, cols=("user_id", "ts", "event_id"),
+        sentinel_vals={"user_id": -1, "event_id": -1}, prefix="stream_src_sent",
+    )
 
 
 @query(
@@ -415,6 +425,81 @@ def stream_session_multibatch(spark, sf_dir):
             F.sum("n_events").alias("n_events"),
         )
     )
+
+
+@query(
+    "stream_tumbling_append",
+    sql="""
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP) AS w_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_append(spark, sf_dir):
+    """Tumbling windows in APPEND mode — the production output mode for
+    time windows (complete mode re-emits the whole result every batch;
+    append emits each window exactly once, when the watermark passes its
+    end).  Same sentinel-finalizer machinery as
+    `stream_session_multibatch`: 4 micro-batches of real events merge
+    per-window partials in the state store, then a sentinel batch
+    (event_type 'zz_sentinel', ts past max(ts) + delay) advances the
+    watermark beyond every real window's end, so Spark finalizes and
+    appends ALL real windows in the trailing no-data batch.  The
+    sentinel's own window never finalizes (the watermark trails it by the
+    full delay) and cannot leak into the output; the event_type filter is
+    belt and braces.  The oracle is the SAME batch SQL as the
+    complete-mode twin `stream_tumbling_replay` — append emits every
+    finalized window once, so the materialized results are identical; the
+    hash equality between the two replays IS the proof that append-mode
+    finalization loses nothing."""
+    src, schema = _ensure_sentinel_src(
+        spark, sf_dir, n_files=4, cols=("ts", "event_type", "value"),
+        sentinel_vals={"event_type": "zz_sentinel", "value": 0.0},
+        prefix="stream_src_sentw",
+    )
+    out = _replay(
+        spark, src, schema,
+        lambda s: W.tumbling_window_counts(s, watermark=_WM),
+        "q_stream_tumble_app", output_mode="append",
+    )
+    return out.filter(F.col("event_type") != "zz_sentinel")
+
+
+@query(
+    "stream_sliding_append",
+    sql="""
+    WITH x AS (
+      SELECT event_type, FLOOR(EPOCH(ts) / 300) * 300 AS b FROM events),
+    w AS (
+      SELECT event_type, b AS ws FROM x
+      UNION ALL
+      SELECT event_type, b - 300 AS ws FROM x)
+    SELECT CAST(TO_TIMESTAMP(ws) AS TIMESTAMP) AS w_start, event_type,
+           COUNT(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_append(spark, sf_dir):
+    """Sliding windows (10-min length, 5-min slide) in APPEND mode, via
+    the same sentinel finalizer as `stream_tumbling_append`: every event
+    lands in two overlapping windows whose state merges across 4
+    micro-batches; the sentinel batch advances the watermark past every
+    real window's end and the trailing no-data batch appends them all
+    exactly once.  Oracle identical to the complete-mode twin
+    `stream_sliding_replay` (UNION ALL of the two bucketings)."""
+    src, schema = _ensure_sentinel_src(
+        spark, sf_dir, n_files=4, cols=("ts", "event_type", "value"),
+        sentinel_vals={"event_type": "zz_sentinel", "value": 0.0},
+        prefix="stream_src_sentw",
+    )
+    out = _replay(
+        spark, src, schema,
+        lambda s: W.sliding_window_counts(s, watermark=_WM),
+        "q_stream_slide_app", output_mode="append",
+    )
+    return out.filter(F.col("event_type") != "zz_sentinel")
 
 
 @query(

@@ -779,6 +779,37 @@ def test_quantiles_exact_selection_matches_percentile(spark):
             spark.createDataFrame([(None,)], "x double"), "x", [0.5]
         )
 
+    # ±Infinity: occupies the extreme ranks, must not poison the finite
+    # histogram bracket (pre-fix: width=inf -> NaN bracket -> driver spin)
+    ninf, pinf = float("-inf"), float("inf")
+    ivals = [ninf] * 3 + sorted(rng.normal(0.0, 5.0, 200).tolist()) + [pinf] * 5
+    idf = spark.createDataFrame([(v,) for v in ivals], "x double")
+    iprobs = [0.0, 0.005, 0.5, 0.97, 0.99, 1.0]
+    svals = sorted(ivals)
+
+    def _type7(p):
+        # engine's exact form ((1-frac)*lower + frac*higher); numpy's lerp
+        # (lower + frac*(higher-lower)) NaNs on equal-infinite brackets
+        h = (len(svals) - 1) * p
+        flo, frac = int(np.floor(h)), h - np.floor(h)
+        return svals[flo] if frac == 0 else (1 - frac) * svals[flo] + frac * svals[flo + 1]
+
+    igot = quantiles_exact_selection(
+        idf, "x", iprobs, bins=16, max_candidates=20
+    ).first().asDict()
+    for p in iprobs:
+        g, expect = igot[f"q{int(p * 100)}"], _type7(p)
+        if np.isinf(expect):
+            assert g == expect, (p, g, expect)
+        else:
+            assert g == _pt.approx(round(float(expect), 4), abs=1e-9), (p, g, expect)
+
+    # all-infinite column: no finite remainder, pure rank arithmetic
+    alli = spark.createDataFrame([(ninf,), (pinf,), (pinf,)], "x double")
+    assert quantiles_exact_selection(alli, "x", [0.0, 1.0]).first().asDict() == {
+        "q0": ninf, "q100": pinf,
+    }
+
 
 def test_histogram_quantiles_error_bound_and_edges(spark):
     """Histogram quantiles land within one bin width of the exact
