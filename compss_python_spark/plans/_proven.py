@@ -344,6 +344,8 @@ _CHANGED_MODULES_R7: frozenset[str] = frozenset({
 # most are the quantile selection rows themselves and the simhash/ahash
 # pair queries whose plans were rewritten).
 SLOT_PRIORITY: tuple[str, ...] = (
+    "graph_pagerank_symmetric",      # oracle unrolled (recursive CTE spilled
+                                     # >45 GB at gen100) — re-pin the new SQL
     "dedup_simhash",                 # max_bucket arm: count-first + semi-join
     "dedup_simhash_md5",             # same operator, md5 hash-family twin
     "multimodal_ahash_pair_stats",   # hamming-0 pair count in integer DIV

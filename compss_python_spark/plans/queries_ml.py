@@ -636,29 +636,52 @@ def graph_triangle_count(spark, sf_dir):
 @query(
     "graph_pagerank_symmetric",
     sql="""
-    WITH RECURSIVE
-    base AS (
+    WITH base AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
-    deg AS (SELECT src AS node, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
-    n_nodes AS (SELECT COUNT(DISTINCT node)::DOUBLE AS n FROM deg),
-    pr(iter, node, rank) AS (
-      SELECT 0, node, 1.0/(SELECT n FROM n_nodes) FROM deg
-      UNION ALL
-      SELECT p.iter + 1, e.dst,
-             0.15/(SELECT n FROM n_nodes) + 0.85 * SUM(p.rank / d.deg)
-      FROM pr p JOIN deg d ON d.node = p.node JOIN edges e ON e.src = p.node
-      WHERE p.iter < 8
-      GROUP BY p.iter, e.dst
-    )
-    SELECT node, ROUND(rank, 8) AS rank FROM pr WHERE iter = 8
+    edges AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM deg),
+    r0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM deg),
+    r1 AS MATERIALIZED (
+      SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg) AS rank
+      FROM r0 p JOIN deg d ON d.node = p.node JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    r2 AS MATERIALIZED (
+      SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg) AS rank
+      FROM r1 p JOIN deg d ON d.node = p.node JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    r3 AS MATERIALIZED (
+      SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg) AS rank
+      FROM r2 p JOIN deg d ON d.node = p.node JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    r4 AS MATERIALIZED (
+      SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg) AS rank
+      FROM r3 p JOIN deg d ON d.node = p.node JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    r5 AS MATERIALIZED (
+      SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg) AS rank
+      FROM r4 p JOIN deg d ON d.node = p.node JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    r6 AS MATERIALIZED (
+      SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg) AS rank
+      FROM r5 p JOIN deg d ON d.node = p.node JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    r7 AS MATERIALIZED (
+      SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg) AS rank
+      FROM r6 p JOIN deg d ON d.node = p.node JOIN edges e ON e.src = p.node GROUP BY e.dst),
+    r8 AS MATERIALIZED (
+      SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg) AS rank
+      FROM r7 p JOIN deg d ON d.node = p.node JOIN edges e ON e.src = p.node GROUP BY e.dst)
+    SELECT node, ROUND(rank, 8) AS rank FROM r8
     """,
 )
 def graph_pagerank_symmetric(spark, sf_dir):
     """PageRank on the symmetrized graph (no dangling nodes) — exact-value
-    parity with an 8-iteration recursive-CTE oracle in DuckDB."""
+    parity with an 8-iteration DuckDB oracle, UNROLLED as materialized
+    CTEs rather than a recursive CTE: the recursive form's working-table
+    executor spilled >45 GB at sfgen100 (the one resource-bounded row in
+    GATE_GEN100), while the unrolled form pins each iteration to ONE
+    (ranks ⋈ deg ⋈ edges → group-by dst) pass over materialized inputs —
+    measured 290 s / <20 GB spill at sfgen100 under a 40 GB DuckDB
+    memory limit.  Same init (1/n), damping, and per-iteration grouping;
+    identical values at every SF (re-pinned at sf0.01 in the r11
+    window)."""
     from compss_python_spark.graph.pagerank import pagerank
 
     base = _cust_supp_edges(spark, sf_dir)
