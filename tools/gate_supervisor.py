@@ -1,0 +1,181 @@
+"""Crash-surviving wrapper around tools/check_correctness.py for gen-SF
+digest sweeps.
+
+Problem this solves (measured, sfgen1000 round 11): one query that OOMs
+the Spark JVM (`java.lang.OutOfMemoryError: Java heap space` →
+SparkContext shutdown) poisons EVERY later query in that gate process —
+they all record `✗ ... Connection refused`, which reads as 90 failures
+when the truth is one resource boundary.  The round-10 sweep handled this
+by hand (re-running tails in fresh processes); this supervisor automates
+exactly that recipe:
+
+1. run the gate over the remaining names (fresh process, fresh JVM);
+2. parse the ORDERED per-query log lines (✓ / • / – / ✗);
+3. if a JVM death is detected (poison signatures below), the FIRST
+   poisoned query is the culprit: retry it ONCE alone with halved task
+   parallelism (fewer concurrent tasks → smaller peak task memory, same
+   heap) before recording it `spark_resource`; every LATER poisoned /
+   unclassified name is requeued untouched;
+4. repeat until every name is classified; merge into one JSON whose
+   classification matches check_correctness's --json-out schema plus a
+   `spark_resource` dict (resource statements, not correctness ones).
+
+Genuine digest mismatches (✗ without a poison signature) are recorded as
+failures and do NOT stop the sweep — the gate process itself survives
+those; only JVM death needs the restart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+GATE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_correctness.py")
+
+# A ✗ whose message matches one of these is a DEAD-JVM symptom, not a
+# per-query verdict: the first one in log order is the culprit, the rest
+# are poison.
+_POISON = re.compile(
+    r"Connection refused|SparkContext was shut down|Java heap space|"
+    r"Py4JNetworkError|Answer from Java side is empty|shutdown"
+)
+
+_LINE = re.compile(r"^(✓|•|–|✗) ([A-Za-z0-9_]+)[ :]")
+
+
+def _parse_log(path: str) -> list[tuple[str, str, str]]:
+    """(marker, name, full line) in log order."""
+    out = []
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        for raw in fh:
+            # Spark progress bars ride on \r on the same physical line
+            for line in raw.split("\r"):
+                m = _LINE.match(line.strip())
+                if m:
+                    out.append((m.group(1), m.group(2), line.strip()))
+    return out
+
+
+def _run_gate(names: list[str], sf_dir: str, gate_args: list[str], env: dict,
+              tag: str, workdir: str) -> list[tuple[str, str, str]]:
+    names_file = os.path.join(workdir, f"names_{tag}.txt")
+    log_file = os.path.join(workdir, f"gate_{tag}.log")
+    with open(names_file, "w") as fh:
+        fh.write("\n".join(names))
+    with open(log_file, "w") as fh:
+        subprocess.run(
+            [sys.executable, GATE, sf_dir, *gate_args, "--names-file", names_file],
+            stdout=fh, stderr=subprocess.STDOUT, env=env, check=False,
+        )
+    return _parse_log(log_file)
+
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--names-file", required=True)
+    ap.add_argument("--json-out", required=True)
+    ap.add_argument("--workdir", default="/tmp/gate_supervisor")
+    ap.add_argument("--retry-cpus", default="6",
+                    help="task parallelism for the lone-culprit retry")
+    ap.add_argument("--max-restarts", type=int, default=40)
+    # everything argparse does not recognize passes through to the gate
+    # (argparse REMAINDER is unreliable when mixed with required options)
+    a, gate_args = ap.parse_known_args()
+    os.makedirs(a.workdir, exist_ok=True)
+    gate_args = [g for g in gate_args if g != "--"]
+
+    remaining = [n for n in open(a.names_file).read().split() if n]
+    status: dict[str, tuple[str, str]] = {}  # name -> (class, line)
+    restarts = 0
+    env = dict(os.environ)
+
+    while remaining and restarts <= a.max_restarts:
+        tag = f"r{restarts}"
+        rows = _run_gate(remaining, a.sf_dir, gate_args, env, tag, a.workdir)
+        classified = {n for _, n, _ in rows}
+        poisoned = [(n, line) for mk, n, line in rows
+                    if mk == "✗" and _POISON.search(line)]
+        for mk, n, line in rows:
+            if mk == "✓":
+                status[n] = ("matched", line)
+            elif mk == "•":
+                status[n] = ("rows_only", line)
+            elif mk == "–":
+                if "CAPPED" in line or "capped" in line:
+                    status[n] = ("capped", line)
+                elif "SKIPPED" in line:
+                    status[n] = ("skipped_superlinear", line)
+                else:
+                    status[n] = ("excluded", line)
+            elif not _POISON.search(line):
+                status[n] = ("failure", line)  # real verdict, keep sweeping
+        if poisoned:
+            culprit, culprit_line = poisoned[0]
+            print(f"# JVM death at {culprit}; lone retry with "
+                  f"SPARK_GRAFT_CPUS={a.retry_cpus}", flush=True)
+            retry_env = dict(env, SPARK_GRAFT_CPUS=a.retry_cpus)
+            retry = _run_gate([culprit], a.sf_dir, gate_args, retry_env,
+                              f"{tag}_culprit", a.workdir)
+            verdict = next((r for r in retry if r[1] == culprit), None)
+            if verdict and verdict[0] == "✓":
+                status[culprit] = ("matched", verdict[2] + " [lone retry]")
+            elif verdict and verdict[0] == "•":
+                status[culprit] = ("rows_only", verdict[2] + " [lone retry]")
+            elif verdict and verdict[0] == "–":
+                status[culprit] = ("capped", verdict[2] + " [lone retry]")
+            elif verdict and not _POISON.search(verdict[2]):
+                status[culprit] = ("failure", verdict[2])
+            else:
+                status[culprit] = (
+                    "spark_resource",
+                    f"JVM death (heap) in shared worker and in lone retry "
+                    f"at cpus={a.retry_cpus}: {culprit_line[:300]}",
+                )
+            # everything poisoned AFTER the culprit + never-classified → requeue
+            done_or_adjudicated = {n for n in status}
+            remaining = [n for n in remaining if n not in done_or_adjudicated]
+            restarts += 1
+            continue
+        # normal completion: anything unclassified means the process died
+        # without a poison line (e.g. OS kill) — treat the first as culprit
+        left = [n for n in remaining if n not in classified and n not in status]
+        if not left:
+            break
+        first = left[0]
+        status[first] = ("spark_resource",
+                         "gate process died with no classified line")
+        remaining = left[1:]
+        restarts += 1
+
+    out = {
+        "sf_dir": a.sf_dir,
+        "mode": "digest" if "--digest" in gate_args else "collect",
+        "gate_args": gate_args,
+        "restarts": restarts,
+        "matched": sorted(n for n, (c, _) in status.items() if c == "matched"),
+        "rows_only": sorted(n for n, (c, _) in status.items() if c == "rows_only"),
+        "capped": sorted(n for n, (c, _) in status.items() if c == "capped"),
+        "skipped_superlinear": sorted(
+            n for n, (c, _) in status.items() if c == "skipped_superlinear"),
+        "excluded": sorted(n for n, (c, _) in status.items() if c == "excluded"),
+        "failures": {n: line for n, (c, line) in status.items() if c == "failure"},
+        "spark_resource": {n: line for n, (c, line) in status.items()
+                           if c == "spark_resource"},
+    }
+    with open(a.json_out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"# wrote {a.json_out}: {len(out['matched'])} matched, "
+          f"{len(out['rows_only'])} rows-only, {len(out['capped'])} capped, "
+          f"{len(out['failures'])} failed, {len(out['spark_resource'])} "
+          f"spark-resource", flush=True)
+    return 1 if out["failures"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
