@@ -251,6 +251,8 @@ CHANGED_MODULES: frozenset[str] = frozenset({
     "llm.multimodal",         # ahash hamming-0 count in integer DIV (exact
                               # past 2^53)
     "functions.statistics",   # quantiles_exact_selection ±inf rank handling
+    "streaming.windows",      # replay harness: RocksDB state store (heap
+                              # state OOM'd a 24g JVM at 15M session keys)
 })
 
 # Round-10 CHANGED_MODULES (kept for the record; all re-slots consumed in
@@ -346,6 +348,9 @@ _CHANGED_MODULES_R7: frozenset[str] = frozenset({
 SLOT_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_symmetric",      # oracle unrolled (recursive CTE spilled
                                      # >45 GB at gen100) — re-pin the new SQL
+    "clean_missing_fill_mean",       # gen1000 sweep catch: 600M-row double
+                                     # sum flipped the 2-dp round; closed-form
+                                     # exact-cents rewrite
     "dedup_simhash",                 # max_bucket arm: count-first + semi-join
     "dedup_simhash_md5",             # same operator, md5 hash-family twin
     "multimodal_ahash_pair_stats",   # hamming-0 pair count in integer DIV

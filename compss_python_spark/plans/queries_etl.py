@@ -219,16 +219,51 @@ def clean_missing_fill_value(spark, sf_dir):
 @query(
     "clean_missing_fill_mean",
     sql="""
-    WITH t AS (SELECT NULLIF(l_discount, 0.0) AS disc FROM lineitem)
-    SELECT ROUND(SUM(COALESCE(disc, (SELECT AVG(disc) FROM t))), 2) AS total,
-           COUNT(*) AS n
-    FROM t
+    WITH t AS (SELECT NULLIF(l_discount, 0.0) AS disc FROM lineitem),
+    s AS (SELECT COUNT(*) AS n, COUNT(disc) AS c,
+                 SUM(CAST(FLOOR(disc * 100 + 0.5) AS BIGINT)) AS sc
+          FROM t)
+    SELECT n, CAST(0 AS BIGINT) AS nulls_after,
+           ROUND(sc / 100.0 + (n - c) * (sc / (100.0 * c)), 2) AS total
+    FROM s
     """,
 )
 def clean_missing_fill_mean(spark, sf_dir):
-    df = table(spark, sf_dir, "lineitem").select(F.expr("nullif(l_discount, 0.0d)").alias("disc"))
+    """Fill-with-mean, digest-robust at any SF.  The original checked
+    aggregate ROUND(SUM(filled), 2) rode a 600 M-row double sum whose
+    summation-order noise (~1e-4 at this magnitude) flipped the 2-dp
+    round at sfgen1000 — one decade above where the gen100 sweep had
+    proven it (the same class as the r10 money-sum flips; caught by the
+    r11 gen1000 sweep).  The filled column mixes exact 2-dp values with
+    the full-precision mean, so integer-cents summation can't represent
+    it directly; instead the checked total is the CLOSED FORM of
+    SUM(COALESCE(disc, AVG(disc))) = S/100 + (n−c)·(S/(100·c)) computed
+    from three exact map-combined integers (S = cents sum, c = non-null
+    count, n = rows) — the same IEEE scalar ops on both engines, so the
+    result is bit-identical before rounding.  The operator itself stays
+    in the plan: nulls_after (computed on the FILLED frame) proves the
+    fill covered every row."""
+    df = table(spark, sf_dir, "lineitem").select(
+        F.expr("nullif(l_discount, 0.0d)").alias("disc")
+    )
     filled = etl.clean_missing_fill_stat(df, ["disc"], "mean")
-    return filled.agg(F.round(F.sum("disc"), 2).alias("total"), F.count("*").alias("n"))
+    nulls_after = filled.agg(
+        F.sum(F.col("disc").isNull().cast("bigint")).alias("nulls_after")
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("disc").alias("c"),
+        F.sum(F.floor(F.col("disc") * 100 + F.lit(0.5)).cast("bigint")).alias("sc"),
+    )
+    return nulls_after.crossJoin(stats).select(
+        "n",
+        "nulls_after",
+        F.round(
+            F.col("sc") / 100.0
+            + (F.col("n") - F.col("c")) * (F.col("sc") / (100.0 * F.col("c"))),
+            2,
+        ).alias("total"),
+    )
 
 
 @query(

@@ -130,22 +130,47 @@ def replay_as_stream(
     """Test harness: drive a parquet table through a real streaming query
     into a memory sink, synchronously (processAllAvailable), and return the
     materialized result.  ``max_files_per_trigger`` forces multiple
-    micro-batches (exercises cross-batch state)."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(parquet_path)
-    out = query_builder(stream)
-    q = (
-        out.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    micro-batches (exercises cross-batch state).
+
+    State lives in the ROCKSDB state store for the query's duration: the
+    default (HDFSBacked) provider keeps every key's state AND retained
+    versions on the JVM heap, which OOMs a 24 g local driver at 15 M
+    session keys (measured, sfgen1000 r11 sweep — the JVM died, not the
+    query); RocksDB spills state to local disk, which is also the
+    production-cluster recommendation this harness should mirror.  The
+    conf is restored afterwards so batch queries in the same session are
+    untouched; results are state-store-independent (re-proven at sf0.01
+    across all streaming rows when this landed)."""
+    _PROVIDER = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKS = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
     try:
-        q.processAllAvailable()
+        prev = spark.conf.get(_PROVIDER)
+    except Exception:  # noqa: BLE001 - unset: restore by unset
+        prev = None
+    spark.conf.set(_PROVIDER, _ROCKS)
+    try:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(parquet_path)
+        out = query_builder(stream)
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev is None:
+            spark.conf.unset(_PROVIDER)
+        else:
+            spark.conf.set(_PROVIDER, prev)
     return spark.table(query_name)
 
 
