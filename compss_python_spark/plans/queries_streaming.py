@@ -86,11 +86,23 @@ def _ensure_stream_src(spark, sf_dir, *, kind: str, n_files: int) -> tuple[str, 
     return path, ev.schema
 
 
-def _replay(spark, src, schema, builder, name, *, output_mode, one_batch=False):
+def _replay(spark, src, schema, builder, name, *, output_mode, one_batch=False,
+            sink="memory", sf_dir=None):
+    """sink="parquet" (row-preserving append replays — dedup, interval
+    join, finalized sessions): the stream lands in scratch parquet and is
+    read back, because a memory sink is a driver collect and a 300 M-row
+    deduped stream blew spark.driver.maxResultSize at sfgen1000.  Window
+    aggregates (small outputs) keep the memory sink."""
+    sink_dir = None
+    if sink == "parquet":
+        sink_dir = os.path.join(
+            _scratch_root(), f"stream_sink_{name}_{_data_tag(sf_dir)}"
+        )
     return W.replay_as_stream(
         spark, src, schema, builder, query_name=name,
         output_mode=output_mode,
         max_files_per_trigger=None if one_batch else 1,
+        sink=sink, sink_dir=sink_dir,
     )
 
 
@@ -268,7 +280,7 @@ def stream_dedup_replay(spark, sf_dir):
     deduped = _replay(
         spark, src, schema,
         lambda s: W.streaming_dedup(s, keys=("event_id",), watermark=_WM),
-        "q_stream_dedup", output_mode="append",
+        "q_stream_dedup", output_mode="append", sink="parquet", sf_dir=sf_dir,
     )
     return deduped.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("event_id").alias("id_sum")
@@ -312,7 +324,8 @@ def stream_interval_join_replay(spark, sf_dir):
         )
 
     return _replay(
-        spark, src, schema, builder, "q_stream_ivjoin", output_mode="append"
+        spark, src, schema, builder, "q_stream_ivjoin", output_mode="append",
+        sink="parquet", sf_dir=sf_dir,
     )
 
 
@@ -415,7 +428,7 @@ def stream_session_multibatch(spark, sf_dir):
     sessions = _replay(
         spark, src, schema,
         lambda s: W.session_window_stats(s, watermark=_WM),
-        "q_stream_sess_mb", output_mode="append",
+        "q_stream_sess_mb", output_mode="append", sink="parquet", sf_dir=sf_dir,
     )
     return (
         sessions.filter(F.col("user_id") >= 0)

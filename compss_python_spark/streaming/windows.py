@@ -126,6 +126,8 @@ def replay_as_stream(
     query_name: str = "stream_out",
     output_mode: str = "complete",
     max_files_per_trigger: int | None = None,
+    sink: str = "memory",
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Test harness: drive a parquet table through a real streaming query
     into a memory sink, synchronously (processAllAvailable), and return the
@@ -140,7 +142,16 @@ def replay_as_stream(
     production-cluster recommendation this harness should mirror.  The
     conf is restored afterwards so batch queries in the same session are
     untouched; results are state-store-independent (re-proven at sf0.01
-    across all streaming rows when this landed)."""
+    across all streaming rows when this landed).
+
+    ``sink="parquet"`` (append-mode only — the file sink's contract)
+    writes the stream to ``sink_dir`` and returns a READ of that path
+    instead of a memory-sink table: the memory sink is a driver collect,
+    which at sfgen1000 blew spark.driver.maxResultSize on a 300 M-row
+    deduped stream (measured, r11 sweep).  Row-preserving replays (dedup,
+    interval join, per-session appends) use the file sink — exactly what
+    an unbounded production topology does; small window aggregates keep
+    the memory sink."""
     _PROVIDER = "spark.sql.streaming.stateStore.providerClass"
     _ROCKS = (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -156,12 +167,22 @@ def replay_as_stream(
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(parquet_path)
         out = query_builder(stream)
-        q = (
-            out.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .start()
-        )
+        writer = out.writeStream.outputMode(output_mode)
+        if sink == "parquet":
+            if output_mode != "append":
+                raise ValueError("parquet sink: append mode only")
+            if not sink_dir:
+                raise ValueError("parquet sink needs sink_dir")
+            import shutil
+
+            shutil.rmtree(sink_dir, ignore_errors=True)
+            shutil.rmtree(sink_dir + "_ckpt", ignore_errors=True)
+            writer = writer.format("parquet").option("path", sink_dir).option(
+                "checkpointLocation", sink_dir + "_ckpt"
+            )
+        else:
+            writer = writer.format("memory").queryName(query_name)
+        q = writer.start()
         try:
             q.processAllAvailable()
         finally:
@@ -171,6 +192,8 @@ def replay_as_stream(
             spark.conf.unset(_PROVIDER)
         else:
             spark.conf.set(_PROVIDER, prev)
+    if sink == "parquet":
+        return spark.read.schema(out.schema).parquet(sink_dir)
     return spark.table(query_name)
 
 
