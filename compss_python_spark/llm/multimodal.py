@@ -1225,12 +1225,20 @@ def ahash_pair_stats(
         .agg(F.count("*").alias("_n"))
         .localCheckpoint(eager=True)
     )
-    # integer DIV keeps the pair count exact past 2^53 (double division
-    # silently loses precision once one hash holds ≳1.3e8 duplicates —
-    # exactly the dup-storm regime this histogram exists to measure)
+    # DECIMAL(38,0) keeps the pair count exact past 2^53 (double division
+    # loses precision once one hash holds ≳1.3e8 duplicates, and a bare
+    # LongType product n·(n−1) wraps silently past ~3e9 under non-ANSI
+    # arithmetic — both inside the dup-storm regime this histogram exists
+    # to measure).  The /2 is exact (n·(n−1) is always even) and the
+    # final long cast only narrows the TOTAL, which a 64-bit pair count
+    # must fit by contract.
     zero = counts.select(
         F.lit(0).alias("hamming"),
-        F.sum(F.expr("_n * (_n - 1) DIV 2")).cast("long").alias("n_pairs"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(_n AS DECIMAL(38,0)) * (_n - 1) / 2 AS DECIMAL(38,0))"
+            )
+        ).cast("long").alias("n_pairs"),
     ).filter(F.col("n_pairs") > 0)
     banded = counts.select(
         "_ah",

@@ -245,7 +245,15 @@ PROVEN_R6: frozenset[str] = frozenset({
 # of a shared helper re-proves its dependents in the driver window even
 # though their own bodies did not change.
 CHANGED_MODULES: frozenset[str] = frozenset({
-    # round 11 edits:
+    # round 12 edits:
+    "llm.multimodal",         # ahash hamming-0 pair count in DECIMAL(38,0)
+                              # (LongType product wrapped silently past ~3e9
+                              # duplicates of one hash — r11 ADVICE)
+})
+
+# Round-11 CHANGED_MODULES (kept for the record; all re-slots consumed in
+# the r11 window — every row green):
+_CHANGED_MODULES_R11: frozenset[str] = frozenset({
     "llm.dedup",              # simhash_pairs max_bucket arm: count-first +
                               # semi-join (no per-bucket collect_list buffer)
     "llm.multimodal",         # ahash hamming-0 count in integer DIV (exact
@@ -338,14 +346,35 @@ _CHANGED_MODULES_R7: frozenset[str] = frozenset({
 # needed now; kept for queries whose behavior depends on state the static
 # map cannot see, e.g. fixture layout changes).
 #
-# Round 11: the two NEW append-mode replays land in tier 1 automatically
-# (stream_tumbling_append, stream_sliding_append); hand-pin the three
-# ADVICE-fix targets whose operator bodies changed, so each lands in the
-# ~50-row driver window ahead of the broader dep-map fan-out
-# (functions.statistics re-slots 10+ stats queries; the ones that matter
-# most are the quantile selection rows themselves and the simhash/ahash
-# pair queries whose plans were rewritten).
+# Round 12: the graph fixture family moves to collision-free even/odd
+# node ids (the r11 VERDICT caught the pagerank fixtures still on the
+# +1e6 additive offset r10 retired for LPA/BFS — above 10⁶ customers the
+# benchmark graph silently merged customer k+10⁶ with supplier k), plus
+# the two r11-ADVICE query-body fixes (operator-derived fill-mean check,
+# DECIMAL pair count).  All are plan-body changes the dep map cannot see
+# from module diffs, so every one is hand-pinned into the driver window.
 SLOT_PRIORITY: tuple[str, ...] = (
+    "graph_pagerank",                # even/odd node ids (_cust_supp_edges)
+    "graph_pagerank_symmetric",      # even/odd node ids + oracle base
+    "graph_pagerank_personalized",   # even/odd node ids; seed set now
+                                     # node < 100 AND even ≡ custkey < 50
+    "graph_sssp_weighted",           # even/odd node ids; seeds 2·custkey
+    "graph_connected_components",    # even/odd node ids (superlinear oracle
+                                     # — rows-only at the driver, value parity
+                                     # in tests at sf0.001)
+    "graph_connected_components_star",  # same fixture, star strategy
+    "graph_k_core",                  # even/odd node ids (superlinear oracle)
+    "clean_missing_fill_mean",       # operator-derived check: MIN/MAX of the
+                                     # filled column over originally-null rows
+                                     # must equal the closed-form mean (r11
+                                     # ADVICE: the closed form alone no longer
+                                     # verified the fill VALUE)
+    "multimodal_ahash_pair_stats",   # hamming-0 pair count in DECIMAL(38,0)
+)
+
+# Round-11 SLOT_PRIORITY (kept for the record; all rows landed green in
+# CORRECTNESS_r11):
+_SLOT_PRIORITY_R11: tuple[str, ...] = (
     "graph_pagerank_symmetric",      # oracle unrolled (recursive CTE spilled
                                      # >45 GB at gen100) — re-pin the new SQL
     "clean_missing_fill_mean",       # gen1000 sweep catch: 600M-row double

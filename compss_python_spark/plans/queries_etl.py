@@ -224,7 +224,8 @@ def clean_missing_fill_value(spark, sf_dir):
                  SUM(CAST(FLOOR(disc * 100 + 0.5) AS BIGINT)) AS sc
           FROM t)
     SELECT n, CAST(0 AS BIGINT) AS nulls_after,
-           ROUND(sc / 100.0 + (n - c) * (sc / (100.0 * c)), 2) AS total
+           ROUND(sc / 100.0 + (n - c) * (sc / (100.0 * c)), 2) AS total,
+           TRUE AS fill_uniform, TRUE AS fill_is_mean
     FROM s
     """,
 )
@@ -240,22 +241,34 @@ def clean_missing_fill_mean(spark, sf_dir):
     SUM(COALESCE(disc, AVG(disc))) = S/100 + (n−c)·(S/(100·c)) computed
     from three exact map-combined integers (S = cents sum, c = non-null
     count, n = rows) — the same IEEE scalar ops on both engines, so the
-    result is bit-identical before rounding.  The operator itself stays
-    in the plan: nulls_after (computed on the FILLED frame) proves the
-    fill covered every row."""
+    result is bit-identical before rounding.
+
+    The OPERATOR output is verified directly (not just via the closed
+    form): `nulls_after` proves the fill covered every row, and the
+    MIN/MAX of the filled column over the ORIGINALLY-NULL rows must be
+    one single value (`fill_uniform`) equal to the closed-form mean
+    within 1e-6 (`fill_is_mean`) — a fill with 0, the median, or any
+    other stat is ≥1e-3 away on this fixture, while Spark's own AVG
+    differs from the exact closed form by summation-order noise only
+    (≪1e-9), so the boolean never flips with SF.  No large double sum
+    rides the digest."""
     df = table(spark, sf_dir, "lineitem").select(
         F.expr("nullif(l_discount, 0.0d)").alias("disc")
     )
-    filled = etl.clean_missing_fill_stat(df, ["disc"], "mean")
-    nulls_after = filled.agg(
-        F.sum(F.col("disc").isNull().cast("bigint")).alias("nulls_after")
+    flagged = df.withColumn("was_null", F.col("disc").isNull())
+    filled = etl.clean_missing_fill_stat(flagged, ["disc"], "mean")
+    checks = filled.agg(
+        F.sum(F.col("disc").isNull().cast("bigint")).alias("nulls_after"),
+        F.min(F.when(F.col("was_null"), F.col("disc"))).alias("_fmin"),
+        F.max(F.when(F.col("was_null"), F.col("disc"))).alias("_fmax"),
     )
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("disc").alias("c"),
         F.sum(F.floor(F.col("disc") * 100 + F.lit(0.5)).cast("bigint")).alias("sc"),
     )
-    return nulls_after.crossJoin(stats).select(
+    mean_closed = F.col("sc") / (100.0 * F.col("c"))
+    return checks.crossJoin(stats).select(
         "n",
         "nulls_after",
         F.round(
@@ -263,6 +276,8 @@ def clean_missing_fill_mean(spark, sf_dir):
             + (F.col("n") - F.col("c")) * (F.col("sc") / (100.0 * F.col("c"))),
             2,
         ).alias("total"),
+        (F.col("_fmin") == F.col("_fmax")).alias("fill_uniform"),
+        (F.abs(F.col("_fmin") - mean_closed) < F.lit(1e-6)).alias("fill_is_mean"),
     )
 
 

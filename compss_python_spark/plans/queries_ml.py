@@ -405,16 +405,19 @@ def ml_tfidf_norm_exact(spark, sf_dir):
 
 
 def _cust_supp_edges(spark, sf_dir):
-    """customer→supplier edge table from orders ⋈ lineitem; supplier node
-    ids offset by 1e6 so the two key spaces can't collide."""
+    """customer→supplier edge table from orders ⋈ lineitem; customer and
+    supplier node ids map to DISJOINT even/odd spaces (2·custkey vs
+    2·suppkey+1) — collision-free at ANY scale factor, unlike the old
+    additive +1e6 offset the round-10 gen100 sweep caught colliding with
+    real custkeys past 10⁶ rows (see `_GRAPH_EDGE_BASE_SQL`)."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     # No .distinct() here: pagerank dedups internally (driver-side on the
     # bounded local path — skipping the exchange entirely; .distinct() in
     # the loop path), so a pre-distinct would only add a shuffle.
     return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + 1000000).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
 
 
@@ -436,7 +439,7 @@ def _dangling_pagerank_sql(iters: int = 8, damping: float = 0.85) -> str:
         """
     WITH
     base AS MATERIALIZED (
-      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     nodes AS MATERIALIZED (SELECT src AS node FROM base UNION SELECT dst FROM base),
@@ -473,14 +476,17 @@ def _ppr_sql(iters: int = 8, damping: float = 0.85) -> str:
         """
     WITH
     base AS MATERIALIZED (
-      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     nodes AS MATERIALIZED (SELECT src AS node FROM base UNION SELECT dst FROM base),
     deg AS MATERIALIZED (SELECT src AS node, COUNT(*)::DOUBLE AS deg FROM base GROUP BY src),
-    ns AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS s FROM nodes WHERE node < 50),
+    ns AS MATERIALIZED (
+      SELECT COUNT(*)::DOUBLE AS s FROM nodes WHERE node < 100 AND node % 2 = 0),
     rv AS MATERIALIZED (
-      SELECT node, CASE WHEN node < 50 THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END AS r
+      SELECT node,
+             CASE WHEN node < 100 AND node % 2 = 0
+                  THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END AS r
       FROM nodes),
     it0 AS (SELECT node, r AS rank FROM rv)"""
     ]
@@ -513,7 +519,8 @@ def graph_pagerank_personalized(spark, sf_dir):
     from compss_python_spark.graph.pagerank import personalized_pagerank
 
     edges = _cust_supp_edges(spark, sf_dir)
-    seeds = edges.select(F.col("src").alias("node")).filter("node < 50")
+    # customer nodes are the even ids (2·custkey), so custkey < 50 ≡ node < 100
+    seeds = edges.select(F.col("src").alias("node")).filter("node < 100")
     ranks = personalized_pagerank(edges, seeds, max_iters=8)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
@@ -536,7 +543,7 @@ def graph_pagerank(spark, sf_dir):
     oracle_cost="superlinear",  # recursive-CTE closure materializes O(nodes×diameter) rows; OOMs DuckDB at sfgen10
     sql="""
     WITH RECURSIVE base AS (
-      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_quantity = 50
     ),
@@ -559,8 +566,8 @@ def graph_connected_components(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 50)
     orders = table(spark, sf_dir, "orders")
     edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + 1000000).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )  # no pre-distinct: union-find/label-propagation dedup internally
     return connected_components(edges)
 
@@ -570,7 +577,7 @@ def graph_connected_components(spark, sf_dir):
     oracle_cost="superlinear",  # same recursive-CTE closure oracle as graph_connected_components
     sql="""
     WITH RECURSIVE base AS (
-      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_quantity = 50
     ),
@@ -594,8 +601,8 @@ def graph_connected_components_star(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 50)
     orders = table(spark, sf_dir, "orders")
     edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + 1000000).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     return connected_components(edges, local_threshold=0, algorithm="star")
 
@@ -637,7 +644,7 @@ def graph_triangle_count(spark, sf_dir):
     "graph_pagerank_symmetric",
     sql="""
     WITH base AS MATERIALIZED (
-      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     edges AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
@@ -755,7 +762,7 @@ def ml_multinomial_nb(spark, sf_dir):
     oracle_cost="superlinear",  # 5 unrolled peel rounds of self-joined edges OOM DuckDB at sfgen10 edge density
     sql="""
     WITH base AS (
-      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_quantity >= 45
     ),
@@ -793,8 +800,8 @@ def graph_k_core(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
     orders = table(spark, sf_dir, "orders")
     edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + 1000000).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     return k_core(edges, k=3)
 
@@ -981,13 +988,13 @@ def ml_roc_auc(spark, sf_dir):
     "graph_sssp_weighted",
     sql="""
     WITH b0 AS (
-      SELECT o_custkey AS s, l_suppkey + 1000000 AS d,
+      SELECT 2 * o_custkey AS s, 2 * l_suppkey + 1 AS d,
              CAST(l_quantity AS DOUBLE) AS w
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_quantity >= 45),
     sym AS (SELECT s, d, w FROM b0 UNION ALL SELECT d, s, w FROM b0),
     e AS (SELECT s, d, MIN(w) AS w FROM sym GROUP BY 1, 2),
-    d0 AS (SELECT CAST(c_custkey AS BIGINT) AS node, 0.0 AS dist
+    d0 AS (SELECT CAST(2 * c_custkey AS BIGINT) AS node, 0.0 AS dist
            FROM customer WHERE c_custkey <= 3),
     d1 AS (SELECT node, MIN(dist) AS dist FROM (
              SELECT node, dist FROM d0
@@ -1023,12 +1030,12 @@ def graph_sssp_weighted(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
     orders = table(spark, sf_dir, "orders")
     edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + 1000000).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
         F.col("l_quantity").alias("weight"),
     )
     seeds = table(spark, sf_dir, "customer").filter(
         F.col("c_custkey") <= 3
-    ).select(F.col("c_custkey").cast("long").alias("node"))
+    ).select((F.col("c_custkey") * 2).cast("long").alias("node"))
     d = sssp_weighted(edges, seeds, num_rounds=4)
     return d.select("node", F.round("dist", 6).alias("dist"))

@@ -401,6 +401,10 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     )
 
 
+from conftest import retry_under_load
+
+
+@retry_under_load()
 def test_no_oracled_query_returns_complex_top_level_columns(spark, sf_dir):
     """The driver's correctness canon sorts raw cells and hashes them — it
     cannot hash a Python list (round-8 red row `embedding_random_projection`:

@@ -6,6 +6,7 @@ fixture-based tests miss."""
 from __future__ import annotations
 
 import pandas as pd
+from conftest import retry_under_load
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -527,6 +528,7 @@ def test_mixture_allocation_properties(spark, avail, weights, budget):
     scores=st.lists(st.integers(min_value=-5, max_value=5), min_size=30, max_size=30),
 )
 @SETTINGS
+@retry_under_load()
 def test_roc_auc_matches_pair_counting(spark, labels, scores):
     """AUC == (concordant + 0.5*tied) / (n_pos*n_neg), brute-forced."""
     from compss_python_spark.ml.evaluation import roc_auc

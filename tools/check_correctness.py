@@ -303,6 +303,19 @@ def _duck_digest_sql(con, sql: str, spark_floating: set[str] | frozenset[str] = 
     return digest, names, duck_floating
 
 
+def _err(e: BaseException) -> str:
+    """Flatten an exception message to ONE line (first 2000 chars).
+
+    Py4J error strings carry the Java stack trace on FOLLOWING lines, so a
+    per-line log parser (tools/gate_supervisor.py) only ever saw
+    "An error occurred while calling oNN.collectToPython." and could not
+    tell a heap death from a digest defect.  Whitespace-collapsing puts the
+    root cause (OutOfMemoryError / No space left on device / Connection
+    refused) on the SAME ✗ line the supervisor classifies from.
+    """
+    return " ".join(str(e).split())[:2000]
+
+
 def _spark_complex_cols(df) -> list[str]:
     """Schema-level complex-column check (digest mode never collects)."""
     return [
@@ -354,7 +367,7 @@ def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0, spark_time
             print(f"– {name}: SPARK construction capped after {spark_timeout:.0f}s")
             return "spark_capped"
     except Exception as e:  # noqa: BLE001
-        print(f"✗ {name}: SPARK ERROR {str(e)[:2000]}")
+        print(f"✗ {name}: SPARK ERROR {_err(e)}")
         return f"SPARK ERROR: {e}"
     if spec.sql is None:
         n, cap = _run_spark_capped(spark, sdf.count, spark_timeout)
@@ -384,7 +397,7 @@ def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0, spark_time
             con, spec.sql, spark_floating
         )
     except Exception as e:  # noqa: BLE001
-        print(f"✗ {name}: ORACLE ERROR {str(e)[:2000]}")
+        print(f"✗ {name}: ORACLE ERROR {_err(e)}")
         return f"ORACLE ERROR: {e}"
     force_double = set(duck_floating) - spark_floating
     try:
@@ -394,7 +407,7 @@ def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0, spark_time
             spark_timeout,
         )
     except Exception as e:  # noqa: BLE001
-        print(f"✗ {name}: SPARK DIGEST ERROR {str(e)[:2000]}")
+        print(f"✗ {name}: SPARK DIGEST ERROR {_err(e)}")
         return f"SPARK DIGEST ERROR: {e}"
     if cap:
         print(f"– {name}: SPARK side capped after {spark_timeout:.0f}s")
@@ -403,7 +416,7 @@ def _check_digest(spark, con, name, spec, sf_dir, oracle_timeout, t0, spark_time
     try:
         odf, cap_reason = run_oracle_capped(con, dsql, oracle_timeout)
     except Exception as e:  # noqa: BLE001
-        print(f"✗ {name}: ORACLE ERROR {str(e)[:2000]}")
+        print(f"✗ {name}: ORACLE ERROR {_err(e)}")
         return f"ORACLE ERROR: {e}"
     if cap_reason:
         print(
@@ -524,7 +537,7 @@ def main() -> int:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
-            print(f"✗ {name}: SPARK ERROR {str(e)[:2000]}")
+            print(f"✗ {name}: SPARK ERROR {_err(e)}")
             continue
         if spec.sql is None:
             rows_only.append(name)
@@ -534,7 +547,7 @@ def main() -> int:
             odf, cap_reason = run_oracle_capped(con, spec.sql, oracle_timeout)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
-            print(f"✗ {name}: ORACLE ERROR {str(e)[:2000]}")
+            print(f"✗ {name}: ORACLE ERROR {_err(e)}")
             continue
         if cap_reason:
             capped.append(name)

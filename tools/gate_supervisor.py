@@ -35,12 +35,20 @@ import sys
 
 GATE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_correctness.py")
 
-# A ✗ whose message matches one of these is a DEAD-JVM symptom, not a
-# per-query verdict: the first one in log order is the culprit, the rest
-# are poison.
+# A ✗ whose message matches one of these is a RESOURCE symptom (dead JVM,
+# exhausted heap, exhausted disk), not a per-query verdict: the first one
+# in log order is the culprit, the rest are poison.  The signature must
+# ride on an ERROR-prefixed line — a digest mismatch whose payload happens
+# to contain a word like "refused" must stay a failure, never be retried
+# into a false-green spark_resource row.  No bare `shutdown` token for the
+# same reason (only the full Py4J sentence counts).  check_correctness
+# flattens exception text to one line (`_err`), so the root cause is
+# guaranteed to be ON the ✗ line this regex sees.
 _POISON = re.compile(
+    r"(?:SPARK (?:DIGEST )?ERROR|ORACLE ERROR).*?("
     r"Connection refused|SparkContext was shut down|Java heap space|"
-    r"Py4JNetworkError|Answer from Java side is empty|shutdown"
+    r"Py4JNetworkError|Answer from Java side is empty|"
+    r"OutOfMemoryError|SPILL_OUT_OF_MEMORY|No space left on device)"
 )
 
 _LINE = re.compile(r"^(✓|•|–|✗) ([A-Za-z0-9_]+)[ :]")

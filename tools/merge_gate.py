@@ -15,7 +15,10 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _RANK = {
     "matched": 0,
@@ -32,6 +35,7 @@ def main() -> int:
     out_path, note_path, *inputs = sys.argv[1:]
     note = open(note_path).read().strip() if note_path != "-" else ""
     best: dict[str, tuple[int, str, str]] = {}  # name -> (rank, class, detail)
+    seen: dict[str, set[str]] = {}  # name -> every class it appeared under
     meta = {}
     for path in inputs:
         d = json.load(open(path))
@@ -41,14 +45,27 @@ def main() -> int:
                     "excluded"):
             for n in d.get(cls, []):
                 r = _RANK[cls]
+                seen.setdefault(n, set()).add(cls)
                 if n not in best or r <= best[n][0]:
                     best[n] = (r, cls, "")
         for n, msg in d.get("failures", {}).items():
+            seen.setdefault(n, set()).add("failure")
             if n not in best or _RANK["failure"] <= best[n][0]:
                 best[n] = (_RANK["failure"], "failure", msg)
         for n, msg in d.get("spark_resource", {}).items():
+            seen.setdefault(n, set()).add("spark_resource")
             if n not in best or _RANK["spark_resource"] <= best[n][0]:
                 best[n] = (_RANK["spark_resource"], "spark_resource", msg)
+
+    # A query that both MATCHED and genuinely FAILED across inputs is a
+    # provenance conflict (inputs spanning different code states), not a
+    # mop-up upgrade — precedence would silently mask the failure, so the
+    # merged artifact must carry the conflict for adjudication.
+    conflicts = sorted(n for n, cls in seen.items()
+                       if "matched" in cls and "failure" in cls)
+    for n in conflicts:
+        print(f"# CONFLICT {n}: appeared as both matched and failure across "
+              f"inputs — verify the rows share one code state", file=sys.stderr)
 
     from compss_python_spark.plans import REGISTRY
 
@@ -67,6 +84,7 @@ def main() -> int:
         "resource_bounded": {n: v[2] for n, v in best.items()
                              if v[1] == "spark_resource"},
         "unclassified": missing,
+        "conflicts": conflicts,
         "note": note,
     }
     with open(out_path, "w") as fh:
@@ -76,7 +94,7 @@ def main() -> int:
           f"{len(out['skipped_superlinear'])} skipped, "
           f"{len(out['excluded'])} excluded, {len(out['failures'])} failed, "
           f"{len(out['resource_bounded'])} resource-bounded, "
-          f"{len(missing)} unclassified")
+          f"{len(missing)} unclassified, {len(conflicts)} conflicts")
     return 0
 
 
