@@ -93,7 +93,25 @@ def force(df) -> bool:
         # here, and they must hit the same count() fallback.
         probe.agg(F.bit_xor("_h")).collect()
         return False
-    except Exception:
+    except Exception as e:
+        # Only an UNSUPPORTED-TYPE error may take the count() fallback.  A
+        # transient executor/broadcast failure on a loaded host used to be
+        # swallowed here too, silently degrading a full-output timing to a
+        # pruned count and flagging the query (observed: a healthy
+        # embedding_int8_quantize flagged while three sweep JVMs shared
+        # the box).  Transients get ONE probe retry, then propagate — a
+        # bench run that cannot evaluate its contract must fail loudly,
+        # not record a misleading timing.
+        msg = str(e)
+        type_sig = (
+            "DATATYPE_MISMATCH" in msg
+            or "UNSUPPORTED" in msg.upper()
+            or "cannot be used in grouping" in msg
+            or "xxhash64" in msg
+        )
+        if not type_sig:
+            probe.agg(F.bit_xor("_h")).collect()
+            return False
         df.count()
         return True
 
