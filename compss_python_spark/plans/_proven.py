@@ -370,6 +370,17 @@ SLOT_PRIORITY: tuple[str, ...] = (
                                      # ADVICE: the closed form alone no longer
                                      # verified the fill VALUE)
     "multimodal_ahash_pair_stats",   # hamming-0 pair count in DECIMAL(38,0)
+    # round-12 exact-cents hardening: every magnitude-bearing money/value
+    # aggregate moved off ROUND(SUM(double), k) onto exact integer cents
+    # after tpch_q5 digest-flipped at sfgen100 (summation-order error at
+    # ~1e12 group sums dwarfs the 2-dp round unit)
+    "tpch_q5_local_supplier_volume",   # confirmed sfgen100 flip -> cents
+    "tpch_q6_forecast_revenue",        # global 4-dp sum -> cents4 (lossless)
+    "tpch_q17_small_quantity_revenue", # global /7 avg -> cents + 0-dp round
+    "broadcast_dim_join",              # 25 brand groups ~1e12 each -> cents
+    "events_last_touch_attribution",   # channel sums over millions -> cents
+    "tumbling_window_agg",             # 43k window groups -> cents
+    "cdc_temporal_join",               # state groups over millions -> cents
 )
 
 # Round-11 SLOT_PRIORITY (kept for the record; all rows landed green in

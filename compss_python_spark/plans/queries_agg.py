@@ -433,18 +433,24 @@ def window_lag_lead(spark, sf_dir):
     SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP) AS w_start,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT))::BIGINT AS total_cents
     FROM events GROUP BY 1, 2
     """,
 )
 def tumbling_window_agg(spark, sf_dir):
     """5-minute tumbling window — F.window in batch mode; identical semantics
-    drive the Structured Streaming variant (streaming module)."""
+    drive the Structured Streaming variant (streaming module).  Window
+    totals are integer cents (value is 2-dp): tens of thousands of window
+    groups each summing thousands of doubles make an order-flip somewhere
+    in the output near-certain at gen SFs (round-12 hardening)."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
-        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_cents"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_cents")
     )
 
 
@@ -583,7 +589,8 @@ def tpch_q3_unshipped_orders(spark, sf_dir):
 @query(
     "tpch_q6_forecast_revenue",
     sql="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0) AS BIGINT))::BIGINT
+             AS revenue_cents4,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -594,7 +601,14 @@ def tpch_q3_unshipped_orders(spark, sf_dir):
 def tpch_q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6: pure scan->filter->global agg, zero shuffles beyond the
     single-row final combine.  All three predicates reach the parquet scan
-    as PushedFilters; only 4 columns are read (ReadSchema pruning)."""
+    as PushedFilters; only 4 columns are read (ReadSchema pruning).
+
+    Revenue accumulates as integer 1e-4-dollar units: price and discount
+    are both 2-dp, so price*discount*1e4 is an integer recovered EXACTLY by
+    a 0-dp round (no per-item loss) — the old ROUND(SUM(double), 4) was a
+    single global ~1e10-magnitude double sum whose summation-order error
+    exceeds the 4-dp round unit from sfgen100 up (round-12 hardening, same
+    class as the sfgen100 q5 digest flip)."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
@@ -603,7 +617,11 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0).cast(
+                "long"
+            )
+        ).alias("revenue_cents4"),
         F.count("*").alias("n_items"),
     )
 
@@ -690,7 +708,9 @@ def tpch_q4_order_priority(spark, sf_dir):
 @query(
     "tpch_q5_local_supplier_volume",
     sql="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))::BIGINT
+             AS revenue_cents
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -705,6 +725,11 @@ def tpch_q4_order_priority(spark, sf_dir):
 def tpch_q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5: 6-way join with the customer-nation = supplier-nation
     equality (the classic join-ordering stressor).
+
+    Revenue accumulates as integer CENTS (the q1/q10 convention): the old
+    ROUND(SUM(double), 2) rode a per-nation ~1e12-magnitude double sum
+    whose summation-order error (~1e-2 at that magnitude) dwarfs the 2-dp
+    round unit — it digest-flipped at sfgen100 (round-12 sweep catch).
 
     Scale shape: region⋈nation⋈supplier collapses to one broadcast chain
     (dims); lineitem⋈orders is the single big shuffle on orderkey; customer
@@ -734,11 +759,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
             & (F.col("s_nationkey") == cust.c_nationkey),
         )
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_net_cents().alias("revenue_cents"))
     )
 
 
@@ -1163,7 +1184,9 @@ def tpch_q15_top_supplier(spark, sf_dir):
     WITH avgq AS (
       SELECT l_partkey AS pk, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT CAST(ROUND(
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 7.0, 0
+           ) AS BIGINT) AS avg_yearly_cents
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN avgq ON pk = l_partkey
@@ -1173,7 +1196,15 @@ def tpch_q15_top_supplier(spark, sf_dir):
 def tpch_q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17: revenue lost to small-quantity orders — per-part average
     threshold (aggregate → rejoin on the SAME key: co-partitioned, AQE
-    turns the threshold side into a broadcast at this cardinality)."""
+    turns the threshold side into a broadcast at this cardinality).
+
+    The yearly average is derived from an EXACT integer-cents sum, then one
+    engine-identical /7.0 + 0-dp round (both inputs bit-equal, and 0-dp
+    ROUND of a double < 2^52 agrees between Spark's HALF_UP and DuckDB's
+    floor(d+0.5) on every input) — the old ROUND(SUM(double)/7, 2) was a
+    global ~1e11 double sum, order-flipped past gen100 (round-12
+    hardening).  The l_quantity < 0.5*aq threshold is itself exact: AVG of
+    an integer-valued column is an exact-integer sum over a count."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
     avgq = li.groupBy(F.col("l_partkey").alias("pk")).agg(F.avg("l_quantity").alias("aq"))
@@ -1181,7 +1212,14 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(avgq, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 7.0,
+                0,
+            )
+            .cast("long")
+            .alias("avg_yearly_cents")
+        )
     )
 
 
@@ -2169,7 +2207,7 @@ def timeseries_ewma(spark, sf_dir):
       FROM s)
     SELECT COALESCE(touch, 'direct') AS channel,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           ROUND(SUM(value), 2) AS attributed_value
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT))::BIGINT AS attributed_cents
     FROM a WHERE event_type = 'purchase'
     GROUP BY 1
     """,
@@ -2201,7 +2239,12 @@ def events_last_touch_attribution(spark, sf_dir):
         .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
         .agg(
             F.count("*").cast("long").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("attributed_value"),
+            # integer cents (value is 2-dp): the per-channel sum spans
+            # millions of purchases at gen SFs — a ROUND(SUM(double), 2)
+            # there is summation-order-dependent (round-12 hardening)
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "attributed_cents"
+            ),
         )
     )
 

@@ -493,7 +493,9 @@ def anti_join_not_exists(spark, sf_dir):
 @query(
     "broadcast_dim_join",
     sql="""
-    SELECT p_brand, ROUND(SUM(l_extendedprice), 2) AS total, COUNT(*) AS n
+    SELECT p_brand,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS total_cents,
+           COUNT(*) AS n
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 20
     GROUP BY p_brand
@@ -501,12 +503,20 @@ def anti_join_not_exists(spark, sf_dir):
     headline=True,
 )
 def broadcast_dim_join(spark, sf_dir):
-    """Explicit broadcast of the filtered dim — fact side never shuffles."""
+    """Explicit broadcast of the filtered dim — fact side never shuffles.
+
+    Brand totals are integer cents: 25 brand groups each sum millions of
+    2-dp prices at gen SFs (~1e12 per group at gen1000), where a
+    ROUND(SUM(double), 2) is summation-order-dependent (round-12
+    hardening, same class as the sfgen100 q5 digest flip)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter("p_size <= 20")
     out = joins.join(li, part, "l_partkey", "p_partkey", broadcast_right=True)
     return out.groupBy("p_brand").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("total"), F.count("*").alias("n")
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "total_cents"
+        ),
+        F.count("*").alias("n"),
     )
 
 
@@ -1195,7 +1205,7 @@ def join_full_outer(spark, sf_dir):
               WHERE event_type = 'purchase')
     SELECT d.state AS prevailing_state,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           ROUND(SUM(p.value), 2) AS total_value
+           SUM(CAST(ROUND(p.value * 100, 0) AS BIGINT))::BIGINT AS total_cents
     FROM purch p
     LEFT JOIN dim d
       ON d.user_id = p.user_id
@@ -1226,7 +1236,9 @@ def cdc_temporal_join(spark, sf_dir):
     j = temporal_join(purch, dim, "user_id", "ts")
     return j.groupBy(F.col("state").alias("prevailing_state")).agg(
         F.count("*").cast("long").alias("n_purchases"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # integer cents: a handful of state groups each sum millions of
+        # 2-dp purchase values at gen SFs (round-12 hardening)
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_cents"),
     )
 
 

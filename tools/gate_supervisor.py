@@ -73,6 +73,12 @@ def _run_gate(names: list[str], sf_dir: str, gate_args: list[str], env: dict,
     log_file = os.path.join(workdir, f"gate_{tag}.log")
     with open(names_file, "w") as fh:
         fh.write("\n".join(names))
+    # Unbuffered gate stdout: the per-query ✓/✗ markers are print()s, which
+    # block-buffer when piped — an OS kill (OOM) would lose every marker
+    # since the last flush and force completed queries to re-run, and the
+    # log is unmonitorable mid-sweep.  (The JVM's progress bars bypass the
+    # Python buffer, which made a silent gate LOOK live.)
+    env = dict(env, PYTHONUNBUFFERED="1")
     with open(log_file, "w") as fh:
         subprocess.run(
             [sys.executable, GATE, sf_dir, *gate_args, "--names-file", names_file],
