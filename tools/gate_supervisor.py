@@ -48,7 +48,8 @@ _POISON = re.compile(
     r"(?:SPARK (?:DIGEST )?ERROR|ORACLE ERROR).*?("
     r"Connection refused|SparkContext was shut down|Java heap space|"
     r"Py4JNetworkError|Answer from Java side is empty|"
-    r"OutOfMemoryError|SPILL_OUT_OF_MEMORY|No space left on device)"
+    r"OutOfMemoryError|SPILL_OUT_OF_MEMORY|No space left on device|"
+    r"Cannot call methods on a stopped SparkContext)"
 )
 
 _LINE = re.compile(r"^(✓|•|–|✗) ([A-Za-z0-9_]+)[ :]")
@@ -112,9 +113,19 @@ def main() -> int:
     while remaining and restarts <= a.max_restarts:
         tag = f"r{restarts}"
         rows = _run_gate(remaining, a.sf_dir, gate_args, env, tag, a.workdir)
-        classified = {n for _, n, _ in rows}
         poisoned = [(n, line) for mk, n, line in rows
                     if mk == "✗" and _POISON.search(line)]
+        if poisoned:
+            # Everything at/after the FIRST poisoned row ran against a dead
+            # (or dying) JVM — including ✗ rows whose message is NOT a
+            # poison signature (a stopped SparkContext surfaces as a plain
+            # IllegalStateException on every later query, which round-12's
+            # shard-0 sweep recorded as 38 bogus failures).  Only verdicts
+            # BEFORE the culprit are trustworthy; the rest requeue.
+            cut = next(i for i, (_mk, n, _l) in enumerate(rows)
+                       if n == poisoned[0][0])
+            rows = rows[:cut]
+        classified = {n for _, n, _ in rows}
         for mk, n, line in rows:
             if mk == "✓":
                 status[n] = ("matched", line)

@@ -27,7 +27,30 @@ def main() -> int:
     out_path, *logs = sys.argv[1:]
     status: dict[str, tuple[str, str]] = {}
     for path in logs:
-        for mk, n, line in _parse_log(path):
+        rows = _parse_log(path)
+        # A poison row can mean two things: the JOB died (ENOSPC aborts one
+        # query, the JVM survives and later verdicts are fine) or the JVM
+        # died (a stopped SparkContext fails every later query with a
+        # NON-poison IllegalStateException — round-12's shard-0 log recorded
+        # 38 bogus failures that way).  Disambiguate by looking ahead: if
+        # nothing after the poison row ever succeeds, the JVM was dead —
+        # truncate there so the tail stays unclassified (merge_gate lists it
+        # as missing for the mop-up); otherwise keep the row as a resource
+        # verdict and keep reading.
+        for i, (mk, n, line) in enumerate(rows):
+            if mk == "✗" and _POISON.search(line):
+                # Liveness proof = a later row that TOUCHED Spark and
+                # succeeded (✓, •, or an oracle-capped – whose Spark side
+                # completed).  SKIPPED/EXCLUDED – rows never start a job, so
+                # they appear even after a dead JVM and prove nothing.
+                alive = any(
+                    m in ("✓", "•") or (m == "–" and "CAPPED" in l.upper())
+                    for m, _n, l in rows[i + 1:]
+                )
+                if not alive:
+                    rows = rows[:i]
+                    break
+        for mk, n, line in rows:
             if mk == "✓":
                 status[n] = ("matched", line)
             elif mk == "•":
