@@ -149,10 +149,16 @@ def main() -> None:
     first_run: dict[str, float] = {}
     fallback: set[str] = set()
     for name, spec in headline.items():
+        # Progress marker BEFORE the run (stderr, never stdout — the driver
+        # parses stdout): a gen-SF JVM death mid-query must name its culprit
+        # in the log instead of leaving an anonymous GCLocker stack (both
+        # round-12 gen1000 bench deaths were unattributable without this).
+        print(f"# bench first_run {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         if force(spec.fn(spark, sf_dir)):
             fallback.add(name)
         first_run[name] = round(time.perf_counter() - t0, 3)
+        print(f"# bench first_run {name}: {first_run[name]}s", file=sys.stderr, flush=True)
         spark.catalog.clearCache()
 
     # Steady-state passes, per-query MINIMUM (min-of-k is the standard
@@ -164,6 +170,7 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in headline}
     for _pass in range(steady_passes):
         for name, spec in headline.items():
+            print(f"# bench steady p{_pass} {name} ...", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             if force(spec.fn(spark, sf_dir)):
                 fallback.add(name)
@@ -171,6 +178,7 @@ def main() -> None:
             spark.catalog.clearCache()
     for name, spec in headline.items():
         if max(samples[name]) > 1.0:
+            print(f"# bench steady p+ {name} ...", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             if force(spec.fn(spark, sf_dir)):
                 fallback.add(name)
