@@ -107,26 +107,72 @@ def main() -> int:
 
     remaining = [n for n in open(a.names_file).read().split() if n]
     status: dict[str, tuple[str, str]] = {}  # name -> (class, line)
+    poison_seen: dict[str, int] = {}  # task-OOM offenses per name
     restarts = 0
     env = dict(os.environ)
+
+    def _lone_retry(name: str, orig_line: str, tag: str) -> None:
+        """One solo run at reduced task parallelism; adjudicate by result."""
+        print(f"# resource symptom at {name}; lone retry with "
+              f"SPARK_GRAFT_CPUS={a.retry_cpus}", flush=True)
+        retry_env = dict(env, SPARK_GRAFT_CPUS=a.retry_cpus)
+        retry = _run_gate([name], a.sf_dir, gate_args, retry_env, tag, a.workdir)
+        verdict = next((r for r in retry if r[1] == name), None)
+        if verdict and verdict[0] == "✓":
+            status[name] = ("matched", verdict[2] + " [lone retry]")
+        elif verdict and verdict[0] == "•":
+            status[name] = ("rows_only", verdict[2] + " [lone retry]")
+        elif verdict and verdict[0] == "–":
+            status[name] = ("capped", verdict[2] + " [lone retry]")
+        elif verdict and not _POISON.search(verdict[2]):
+            status[name] = ("failure", verdict[2])
+        else:
+            status[name] = (
+                "spark_resource",
+                f"resource symptom in shared worker and in lone retry "
+                f"at cpus={a.retry_cpus}: {orig_line[:300]}",
+            )
 
     while remaining and restarts <= a.max_restarts:
         tag = f"r{restarts}"
         rows = _run_gate(remaining, a.sf_dir, gate_args, env, tag, a.workdir)
-        poisoned = [(n, line) for mk, n, line in rows
-                    if mk == "✗" and _POISON.search(line)]
-        if poisoned:
-            # Everything at/after the FIRST poisoned row ran against a dead
-            # (or dying) JVM — including ✗ rows whose message is NOT a
-            # poison signature (a stopped SparkContext surfaces as a plain
+        # A poison ✗ can mean two things (same disambiguation as
+        # harvest_gate_log): the JOB died but the JVM survived (a task-level
+        # SparkOutOfMemoryError aborts one query; every later verdict in the
+        # same log is real — round-12's shard-3 sweep hit this on its FIRST
+        # query, and the old cut-at-first-poison rule would have discarded
+        # six hours of ✓ rows), or the JVM died (nothing after the poison
+        # row ever succeeds).  Liveness proof = a later row that touched
+        # Spark and completed: ✓, •, or an oracle-capped – (SKIPPED/EXCLUDED
+        # – rows never start a job, so they prove nothing).
+        dead_cut = None
+        dead_line = ""
+        alive_poison: list[tuple[str, str]] = []
+        for i, (mk, n, line) in enumerate(rows):
+            if mk == "✗" and _POISON.search(line):
+                alive = any(
+                    m in ("✓", "•") or (m == "–" and "CAPPED" in l.upper())
+                    for m, _n, l in rows[i + 1:]
+                )
+                if alive:
+                    alive_poison.append((n, line))
+                else:
+                    dead_cut, dead_line = i, line
+                    break
+        if dead_cut is not None:
+            # Everything at/after the first TRAILING poison row ran against
+            # a dead (or dying) JVM — including ✗ rows whose message is NOT
+            # a poison signature (a stopped SparkContext surfaces as a plain
             # IllegalStateException on every later query, which round-12's
             # shard-0 sweep recorded as 38 bogus failures).  Only verdicts
             # BEFORE the culprit are trustworthy; the rest requeue.
-            cut = next(i for i, (_mk, n, _l) in enumerate(rows)
-                       if n == poisoned[0][0])
-            rows = rows[:cut]
+            culprit = rows[dead_cut][1]
+            rows = rows[:dead_cut]
+        alive_names = {n for n, _ in alive_poison}
         classified = {n for _, n, _ in rows}
         for mk, n, line in rows:
+            if n in alive_names:
+                continue  # adjudicated below, never as a plain failure
             if mk == "✓":
                 status[n] = ("matched", line)
             elif mk == "•":
@@ -140,42 +186,37 @@ def main() -> int:
                     status[n] = ("excluded", line)
             elif not _POISON.search(line):
                 status[n] = ("failure", line)  # real verdict, keep sweeping
-        if poisoned:
-            culprit, culprit_line = poisoned[0]
-            print(f"# JVM death at {culprit}; lone retry with "
-                  f"SPARK_GRAFT_CPUS={a.retry_cpus}", flush=True)
-            retry_env = dict(env, SPARK_GRAFT_CPUS=a.retry_cpus)
-            retry = _run_gate([culprit], a.sf_dir, gate_args, retry_env,
-                              f"{tag}_culprit", a.workdir)
-            verdict = next((r for r in retry if r[1] == culprit), None)
-            if verdict and verdict[0] == "✓":
-                status[culprit] = ("matched", verdict[2] + " [lone retry]")
-            elif verdict and verdict[0] == "•":
-                status[culprit] = ("rows_only", verdict[2] + " [lone retry]")
-            elif verdict and verdict[0] == "–":
-                status[culprit] = ("capped", verdict[2] + " [lone retry]")
-            elif verdict and not _POISON.search(verdict[2]):
-                status[culprit] = ("failure", verdict[2])
+        # Task-level OOM with a surviving JVM: first offense requeues into
+        # the next fresh-JVM round (shared-worker memory pressure is often
+        # transient); second offense gets the lone retry and a final verdict.
+        for n, line in alive_poison:
+            poison_seen[n] = poison_seen.get(n, 0) + 1
+            if poison_seen[n] >= 2:
+                _lone_retry(n, line, f"{tag}_oom_{n}")
             else:
-                status[culprit] = (
-                    "spark_resource",
-                    f"JVM death (heap) in shared worker and in lone retry "
-                    f"at cpus={a.retry_cpus}: {culprit_line[:300]}",
-                )
+                print(f"# task-level resource error at {n} (JVM survived); "
+                      f"requeued", flush=True)
+        if dead_cut is not None:
+            print(f"# JVM death at {culprit}", flush=True)
+            _lone_retry(culprit, dead_line, f"{tag}_culprit")
             # everything poisoned AFTER the culprit + never-classified → requeue
-            done_or_adjudicated = {n for n in status}
-            remaining = [n for n in remaining if n not in done_or_adjudicated]
+            remaining = [n for n in remaining if n not in status]
             restarts += 1
             continue
-        # normal completion: anything unclassified means the process died
-        # without a poison line (e.g. OS kill) — treat the first as culprit
+        # normal completion: anything never classified means the process
+        # died without a poison line (e.g. OS kill) — treat the first such
+        # name as culprit.  First-offense task-OOM names (classified but
+        # unadjudicated) requeue alongside whatever the dead process never
+        # reached.
         left = [n for n in remaining if n not in classified and n not in status]
-        if not left:
+        if left:
+            first = left[0]
+            status[first] = ("spark_resource",
+                             "gate process died with no classified line")
+        requeue = [n for n in remaining if n not in status]
+        if not requeue:
             break
-        first = left[0]
-        status[first] = ("spark_resource",
-                         "gate process died with no classified line")
-        remaining = left[1:]
+        remaining = requeue
         restarts += 1
 
     out = {
