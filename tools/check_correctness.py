@@ -358,15 +358,38 @@ def _run_spark_capped(spark, fn, timeout: float | None):
     with a job group from this thread and cancel the group from a timer.
     Returns (result, None) or (None, 'timeout').  A query whose Spark side
     is capped is reported like an oracle cap: a cost statement, not a
-    correctness statement (nothing completed to compare)."""
+    correctness statement (nothing completed to compare).
+
+    The cancel must REPEAT, not fire once: ``cancelJobGroup`` kills only
+    the jobs active at that instant, and an iterative construction
+    (pagerank: a driver-side loop launching one job per iteration) is
+    between jobs for much of its wall-clock.  A one-shot timer that fires
+    in such a gap cancels nothing ("Failed to cancel job group … Cannot
+    find active jobs") and the gate then blocks UNBOUNDED on fn() — the
+    round-12 gen-SF sweeps sat >15 min past the cap on exactly this.
+    After the deadline the canceller re-cancels every few seconds until
+    fn() returns, so the next job the loop launches dies promptly."""
     if not timeout:
         return fn(), None
     group = f"gate-cap-{time.time_ns()}"
     sc = spark.sparkContext
     sc.setJobGroup(group, "check_correctness spark cap", interruptOnCancel=True)
     fired = threading.Event()
-    timer = threading.Timer(timeout, lambda: (fired.set(), sc.cancelJobGroup(group)))
-    timer.start()
+    done = threading.Event()
+
+    def _canceller():
+        if done.wait(timeout):
+            return
+        fired.set()
+        while not done.is_set():
+            try:
+                sc.cancelJobGroup(group)
+            except Exception:  # noqa: BLE001 — context already stopped
+                return
+            done.wait(5.0)
+
+    canceller = threading.Thread(target=_canceller, daemon=True)
+    canceller.start()
     try:
         return fn(), None
     except Exception:
@@ -374,7 +397,7 @@ def _run_spark_capped(spark, fn, timeout: float | None):
             return None, "timeout"
         raise
     finally:
-        timer.cancel()
+        done.set()
         sc.setJobGroup(None, None)
 
 
