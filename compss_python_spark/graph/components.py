@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from compss_python_spark.caching import release_checkpoint
 from compss_python_spark.graph._scoped_conf import scoped_shuffle_partitions
 
 
@@ -212,7 +213,12 @@ def _cc_star(c: DataFrame, max_iters: int) -> DataFrame:
     E = c.localCheckpoint(eager=True)
     prev = None
     for _ in range(max_iters):
+        E_old = E
         E = _small_star(_large_star(E)).localCheckpoint(eager=True)
+        # E is materialized — the superseded edge checkpoint is garbage
+        # now; release it (caching.py) instead of pinning one edge table
+        # per round until session GC.
+        release_checkpoint(E_old)
         cur = tuple(
             E.agg(
                 F.count("*").alias("n"),
@@ -229,12 +235,14 @@ def _cc_star(c: DataFrame, max_iters: int) -> DataFrame:
         )
     # Star forest: every edge is (leaf, root), roots never appear as src —
     # so leaves contribute exactly one row each and roots one via distinct.
-    return (
+    out = (
         E.select(F.col("src").alias("node"), F.col("dst").alias("component"))
         .union(E.select(F.col("dst").alias("node"), F.col("dst").alias("component")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    release_checkpoint(E)  # out is materialized; the star forest is garbage
+    return out
 
 
 def _cc_loop(e: DataFrame, max_iters: int) -> DataFrame:
@@ -268,6 +276,10 @@ def _cc_loop(e: DataFrame, max_iters: int) -> DataFrame:
             .localCheckpoint(eager=True)  # materialize + truncate lineage
         )
         changed = new_labels.agg(F.sum("_changed")).first()[0]
+        # new_labels is materialized (its own checkpoint) — the superseded
+        # label checkpoint is garbage NOW; release it instead of pinning
+        # one n-node table per iteration until session GC (caching.py).
+        release_checkpoint(labels)
         labels = new_labels.drop("_changed")
         if not changed:
             break

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from compss_python_spark.caching import release_checkpoint
+
 
 def k_core(
     edges: DataFrame,
@@ -44,13 +46,19 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     prev_nodes = -1
+    prev_active = None
     for _ in range(max_iter):
         deg = cur.groupBy("s").agg(F.count("*").alias("degree"))
         active = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
+        # release the superseded checkpoints (caching.py — df.unpersist()
+        # was a no-op on localCheckpoint RDDs, so every peel round leaked
+        # its node and edge tables until session GC)
+        if prev_active is not None:
+            release_checkpoint(prev_active)
+        prev_active = active
         n = active.count()
-        if n == prev_nodes:
-            return active.select(F.col("s").alias("node"), "degree")
-        if n == 0:
+        if n == prev_nodes or n == 0:
+            release_checkpoint(cur)
             return active.select(F.col("s").alias("node"), "degree")
         nxt = (
             cur.join(active.select("s"), "s")
@@ -58,7 +66,7 @@ def k_core(
             .select("s", "d")
             .localCheckpoint(eager=True)
         )
-        cur.unpersist()
+        release_checkpoint(cur)
         cur = nxt
         prev_nodes = n
     raise RuntimeError(

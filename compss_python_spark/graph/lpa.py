@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from compss_python_spark.caching import release_checkpoint
+
 
 def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     base = (
@@ -69,8 +71,12 @@ def label_propagation(
             )
             .localCheckpoint(eager=True)
         )
-        labels.unpersist()
+        # df.unpersist() was a NO-OP here: a localCheckpoint pins the RDD,
+        # not the Dataset — release the superseded checkpoint explicitly
+        # (caching.py) or one label table per round stays pinned.
+        release_checkpoint(labels)
         labels = nxt
+    release_checkpoint(e)  # labels is a checkpointed leaf; edges are garbage
     return labels
 
 
@@ -103,8 +109,9 @@ def bfs_layers(
             .agg(F.min("dist").cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        dist.unpersist()
+        release_checkpoint(dist)  # superseded checkpoint (see LPA note)
         dist = nxt
+    release_checkpoint(e)
     return dist
 
 
@@ -182,6 +189,7 @@ def sssp_weighted(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        dist.unpersist()
+        release_checkpoint(dist)  # superseded checkpoint (see LPA note)
         dist = nxt
+    release_checkpoint(e)
     return dist

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from compss_python_spark.caching import release_checkpoint
 from compss_python_spark.graph._scoped_conf import scoped_shuffle_partitions
 
 
@@ -120,9 +121,10 @@ def pagerank(
         default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         num_partitions = max(1, min(default_p, n_edges // 500_000 + 1))
     helpers: list[DataFrame] = [e]
+    ckpts: list[DataFrame] = []
     try:
         with scoped_shuffle_partitions(spark, num_partitions):
-            ranks, loop_helpers = _pagerank_loop(
+            ranks, loop_helpers, ckpts = _pagerank_loop(
                 e, damping, max_iters, checkpoint_every
             )
             helpers += loop_helpers
@@ -133,6 +135,12 @@ def pagerank(
     finally:
         for h in helpers:
             h.unpersist()
+        # The final eager checkpoint materialized every intermediate lazy
+        # lineage-truncation checkpoint as a side effect; those superseded
+        # rank tables are garbage now — release them (caching.py) instead
+        # of pinning one per checkpoint_every iterations until session GC.
+        for c in ckpts:
+            release_checkpoint(c)
     return ranks
 
 
@@ -217,9 +225,11 @@ def _pagerank_loop(
     damping: float,
     max_iters: int,
     checkpoint_every: int,
-) -> tuple[DataFrame, list[DataFrame]]:
+) -> tuple[DataFrame, list[DataFrame], list[DataFrame]]:
     """Runs the iteration; returns (ranks, persisted helpers the caller
-    must unpersist after materializing ranks).  The node count (init +
+    must unpersist after materializing ranks, intermediate lazy
+    checkpoints the caller must release after materializing ranks — see
+    caching.release_checkpoint).  The node count (init +
     dangling constant) is a narrow count of the persisted node list the
     loop materializes anyway — see the preamble accounting in
     :func:`pagerank`.
@@ -230,6 +240,7 @@ def _pagerank_loop(
     partitions, 8 iterations) — the saved all-nodes join is cheap against
     the persisted node list, and the extra plan nodes cost more than the
     exchange they remove.  Keeping the simpler full-node state."""
+    ckpts: list[DataFrame] = []
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -284,7 +295,8 @@ def _pagerank_loop(
             # across iterations without running a blocking job per
             # checkpoint (eager=False materializes at the next action).
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks, [nodes, edges_w]
+            ckpts.append(ranks)
+    return ranks, [nodes, edges_w], ckpts
 
 
 def personalized_pagerank(
@@ -352,6 +364,7 @@ def personalized_pagerank(
         finally:
             e.unpersist()
     helpers: list[DataFrame] = [e]
+    ckpts: list[DataFrame] = []
     try:
         with scoped_shuffle_partitions(spark, num_partitions):
             flagged = (
@@ -412,8 +425,13 @@ def personalized_pagerank(
                 )
                 if (i + 1) % checkpoint_every == 0 and i + 1 < max_iters:
                     ranks = ranks.localCheckpoint(eager=False)
+                    ckpts.append(ranks)
             ranks = ranks.localCheckpoint(eager=True)
     finally:
         for h in helpers:
             h.unpersist()
+        # Release the superseded intermediate checkpoints (caching.py) —
+        # all materialized by the final eager checkpoint above.
+        for c in ckpts:
+            release_checkpoint(c)
     return ranks

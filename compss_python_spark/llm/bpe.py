@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from compss_python_spark.caching import release_checkpoint
+
 from compss_python_spark.llm.text import tokens
 
 END_OF_WORD = "</w>"
@@ -138,9 +140,15 @@ def bpe_train(
         )
         if (r + 1) % checkpoint_every == 0:
             state = state.localCheckpoint(eager=True)
-            last_ckpt.unpersist()  # release the superseded checkpoint's blocks
+            # DataFrame.unpersist() was a NO-OP here (a localCheckpoint pins
+            # the RDD, not the Dataset) — release the superseded word-state
+            # checkpoint explicitly (caching.py).
+            release_checkpoint(last_ckpt)
             last_ckpt = state
 
+    # The merge list lives on the driver; every word-state checkpoint is
+    # garbage once training ends.
+    release_checkpoint(last_ckpt)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )

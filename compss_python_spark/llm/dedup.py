@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from compss_python_spark.caching import release_checkpoint
 from compss_python_spark.llm.text import tokens
 from compss_python_spark.width import ensure_min_partitions
 
@@ -365,6 +366,12 @@ def _finish_lsh_pairs(
         )
         drop_metrics.update(m.asDict())
     sig.unpersist()
+    # The signature plan rides on the collapse-barrier localCheckpoint
+    # inside minhash_signatures (the shingle table, O(corpus) rows in
+    # MEMORY_AND_DISK).  The result above is an eager checkpointed leaf,
+    # so nothing references that barrier anymore — release it explicitly
+    # (caching.py); sig.unpersist() alone left it pinned for the session.
+    release_checkpoint(sig)
     return result
 
 
@@ -1443,6 +1450,13 @@ def minhash_index(
     (zero shuffle); the posting explode is ×bands, still narrow.
     """
     rows_per_band = _validate_bands(num_hashes, bands, "minhash_index")
+    # Widen a one-split local scan before the md5-dense signature stage —
+    # same guard as minhash_signatures (no-op at scale; without it the
+    # whole ingest ran as ONE task: signature compute AND the posting
+    # write serialized on a single core, measured 4.9 s of a 32-core box
+    # at sf0.1).  Parallel write also sizes the posting files by input
+    # split rather than one monolithic file.
+    df = ensure_min_partitions(df)
     # collapse barriers — see minhash_signatures: one between shingles and
     # the seed transform (else shingles re-evaluate per seed) and one
     # between the signature and the band slices (else the 16-seed

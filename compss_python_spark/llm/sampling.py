@@ -294,31 +294,41 @@ def dsir_importance_weights(
     tb = gram_buckets(target).groupBy("_b").agg(F.count("*").alias("_tc"))
     rb = gram_buckets(raw).groupBy("_b").agg(F.count("*").alias("_rc"))
     # Model totals: the TARGET total must sum over ALL target buckets —
-    # summing it over the rb-join result would drop target buckets no raw
-    # gram hits (a target domain with vocabulary outside the raw corpus),
-    # inflating every log p_target by a constant per gram and re-ranking
-    # long docs vs short ones.  Both totals ride in one broadcast 1-row
-    # table; the raw total window over the B-row rb table is fine (rb by
-    # construction covers every bucket a raw doc can score on).
-    t_total = tb.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tt"))
+    # summing it over an rb-LEFT-join result would drop target buckets no
+    # raw gram hits (a target domain with vocabulary outside the raw
+    # corpus), inflating every log p_target by a constant per gram and
+    # re-ranking long docs vs short ones.  A FULL outer join of the two
+    # B-row bucket tables keeps every bucket of BOTH models, so each total
+    # is an exact integer window sum over the joined table — no second
+    # pass over the target corpus (the earlier t_total aggregate
+    # re-executed the whole target explode because tb fed two consumers
+    # without materialization: one extra corpus scan + a
+    # BroadcastNestedLoopJoin, measured as 4 scans in the sf0.1 plan).
+    # Target-only buckets survive the join as dead rows (_rc null) and
+    # are dropped by the inner doc_counts join below — they only pad the
+    # broadcast by <B rows.
     w_all = Window.partitionBy(F.lit(1))
     b_ = float(num_buckets)
     llr = (
-        rb.join(tb, "_b", "left")
-        .crossJoin(F.broadcast(t_total))
+        rb.join(tb, "_b", "full")
         .select(
             "_b",
+            "_rc",
             (
                 F.log(
                     (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("_tt") + F.lit(alpha * b_))
+                    / (F.sum(F.coalesce(F.col("_tc"), F.lit(0))).over(w_all)
+                       + F.lit(alpha * b_))
                 )
                 - F.log(
-                    (F.col("_rc") + F.lit(alpha))
-                    / (F.sum("_rc").over(w_all) + F.lit(alpha * b_))
+                    (F.coalesce(F.col("_rc"), F.lit(0)) + F.lit(alpha))
+                    / (F.sum(F.coalesce(F.col("_rc"), F.lit(0))).over(w_all)
+                       + F.lit(alpha * b_))
                 )
             ).alias("_w"),
         )
+        .filter(F.col("_rc").isNotNull())
+        .drop("_rc")
     )
     return (
         doc_counts.join(F.broadcast(llr), "_b")

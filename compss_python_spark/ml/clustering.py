@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.ml.clustering import KMeans as MLKMeans
+
+from compss_python_spark.caching import release_checkpoint
 from pyspark.ml.functions import array_to_vector, vector_to_array
 
 
@@ -118,7 +120,7 @@ def kmeans_lloyd(
             .select("_id", "_v", "_cid")
         )
 
-    for _ in range(iters):
+    for it in range(iters):
         assigned = assign(pts, cents)
         # Element-wise mean as `dim` avg aggregates (partial/final hash agg
         # with map-side combine — the shuffle carries k×dim doubles per map
@@ -127,11 +129,25 @@ def kmeans_lloyd(
             F.array(*[F.avg(F.element_at("_v", i + 1)) for i in range(dim)]).alias("_c")
         )
         # keep previous centroid for empty clusters
+        prev = cents
         cents = (
             cents.select("_cid", F.col("_c").alias("_c_old"))
             .join(new_cents, "_cid", "left")
             .select("_cid", F.coalesce("_c", "_c_old").alias("_c"))
+            # Materialize the k-row centroid table NOW (executor storage,
+            # never the driver).  Without this, `cents` feeds TWO consumers
+            # per level (the next assign and the empty-cluster fallback) in
+            # one lazy plan, so the point-assignment subtree re-executes
+            # once per duplicated reference — the iters=2 plan held 16
+            # parquet scans of the corpus and zero ReusedExchange; each
+            # extra scan is a full corpus pass at 100 TB.  Checkpointing k
+            # rows costs one bounded job per iteration and pins the loop
+            # at exactly one assignment pass per iteration (+1 final).
+            .localCheckpoint(eager=True)
         )
+        if it > 0:
+            # the superseded k-row centroid checkpoint is garbage now
+            release_checkpoint(prev)
     return assign(pts, cents).select(
         F.col("_id").alias(id_col), F.col("_cid").alias(prediction_col)
     )
