@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from compss_python_spark.width import ensure_min_partitions
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -137,7 +139,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(featurize, FEATURE_SCHEMA)
+    # Producer may be the JVM-only synthesize_media over a one-split local
+    # scan — widen before the Python stage (no-op at scale).
+    return ensure_min_partitions(media).mapInPandas(featurize, FEATURE_SCHEMA)
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -407,7 +411,13 @@ def synthesize_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "payload": [payload(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(build, "media_id long, payload binary")
+    # Widen a one-split local scan before the per-image Python build — the
+    # same no-op-at-scale guard as the dedup signature paths (without it the
+    # whole synthesize→decode chain ran as ONE task at sf0.1: one core of 32
+    # doing every codec call, measured 2× the widened chain).
+    return ensure_min_partitions(df.select(id_col)).mapInPandas(
+        build, "media_id long, payload binary"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -640,7 +650,13 @@ def synthesize_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "payload": ids.map(payload)}
             )
 
-    return df.select(id_col).mapInPandas(build, "media_id long, payload binary")
+    # Widen a one-split local scan before the per-image Python build — the
+    # same no-op-at-scale guard as the dedup signature paths (without it the
+    # whole synthesize→decode chain ran as ONE task at sf0.1: one core of 32
+    # doing every codec call, measured 2× the widened chain).
+    return ensure_min_partitions(df.select(id_col)).mapInPandas(
+        build, "media_id long, payload binary"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -837,7 +853,13 @@ def synthesize_pixel_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
             yield pd.DataFrame({"media_id": ids, "payload": ids.map(payload)})
 
-    return df.select(id_col).mapInPandas(build, "media_id long, payload binary")
+    # Widen a one-split local scan before the per-image Python build — the
+    # same no-op-at-scale guard as the dedup signature paths (without it the
+    # whole synthesize→decode chain ran as ONE task at sf0.1: one core of 32
+    # doing every codec call, measured 2× the widened chain).
+    return ensure_min_partitions(df.select(id_col)).mapInPandas(
+        build, "media_id long, payload binary"
+    )
 
 
 PIXEL_STATS_SCHEMA = (
@@ -1031,7 +1053,13 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "payload": [payload(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(build, "media_id long, payload binary")
+    # Widen a one-split local scan before the per-image Python build — the
+    # same no-op-at-scale guard as the dedup signature paths (without it the
+    # whole synthesize→decode chain ran as ONE task at sf0.1: one core of 32
+    # doing every codec call, measured 2× the widened chain).
+    return ensure_min_partitions(df.select(id_col)).mapInPandas(
+        build, "media_id long, payload binary"
+    )
 
 
 def jpeg_pixel_stats(
