@@ -272,6 +272,14 @@ def dsir_importance_weights(
 
     from compss_python_spark.llm.dedup import md5_hash48
     from compss_python_spark.llm.text import ngrams
+    from compss_python_spark.width import ensure_min_partitions
+
+    # Widen one-split local scans before the gram explodes — the md5-dense
+    # tokenize→explode runs BELOW the first exchange, so on a narrow input
+    # all three gram passes serialized on one core (no-op at scale; the
+    # pin also shares the widened raw scan between its two explodes).
+    raw = ensure_min_partitions(raw)
+    target = ensure_min_partitions(target)
 
     def gram_buckets(df: DataFrame) -> DataFrame:
         grams = F.concat(ngrams(text_col, 1), ngrams(text_col, 2))
