@@ -1,18 +1,22 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
-JSON lines (round-7 lesson: the driver's tail buffer truncated a single
-long line into an unparseable artifact, so BOTH lines are kept small and
-either alone is a parseable record):
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints FOUR
+JSON lines, each independently parseable (round-7 lesson: the driver's
+tail buffer truncated a single long line into an unparseable artifact):
 
 1. FIRST the detail line (<~4 KB): summary keys plus {"queries":
    {name: sec}, "spread": {name: sec}} — per-query steady minima and
    spreads (also written to ``BENCH_DETAIL.json``).
-2. LAST a compact summary (<~300 B): {"metric", "value", "unit", "sf",
-   "n_queries", "calibration_sec", "first_run_total"} — the driver keeps
-   only the last ~2.2 KB of stdout, so the short line must come last
-   (round-8 lesson: the reverse order beheaded the artifact again).
-   The per-query FIRST-RUN map (cold-JVM profile) goes to
-   ``BENCH_FIRSTRUN.json`` next to this script.
+2. {"spread": {name: sec}} alone (~1.2 KB) and then
+3. {"queries": {name: sec}} alone (~1.2 KB) — the driver keeps only the
+   last ~2.2 KB of stdout, which beheaded the combined detail line every
+   round and left PERF's per-query comparison empty (r12 VERDICT item 3);
+   the times line plus the summary fit that window together, the spread
+   line survives when there is room.
+4. LAST a compact summary (<~300 B): {"metric", "value", "unit", "sf",
+   "n_queries", "calibration_sec", "first_run_total"} — the short line
+   must come last (round-8 lesson: the reverse order beheaded the
+   artifact again).  The per-query FIRST-RUN map (cold-JVM profile) goes
+   to ``BENCH_FIRSTRUN.json`` next to this script.
 
 ``calibration_sec`` is a fixed pure-JVM measurement
 (min-of-3 ``spark.range(500M).sum()``) so cross-round wall-clock can be
@@ -79,11 +83,23 @@ def _release_stray_blocks(spark) -> None:
     end-of-run calibration drift 0.10 → 0.20 s).  Queries are independent
     (each invocation rebuilds its own plan), so no live query state can be
     referenced here."""
+    # Width-guard pins first via the library's own hook (also clears the
+    # pin registry so it doesn't grow across the 38×4 query executions);
+    # the generic sweep below then covers operator collapse barriers.
+    from compss_python_spark.caching import release_width_pins
+
+    release_width_pins(spark)
     sc = spark.sparkContext
     try:
+        # Snapshot the RDD handles FIRST (r12 ADVICE): unpersisting while
+        # walking the live Scala map's iterator can throw mid-iteration and
+        # the bare except would silently leave the remaining blocks pinned.
         it = sc._jsc.sc().getPersistentRDDs().iterator()
+        rdds = []
         while it.hasNext():
-            it.next()._2().unpersist(False)
+            rdds.append(it.next()._2())
+        for rdd in rdds:
+            rdd.unpersist(False)
     except Exception:
         pass
 
@@ -197,7 +213,12 @@ def main() -> None:
                 fallback.add(name)
             samples[name].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
-        _release_stray_blocks(spark)
+            # Per QUERY, not per pass (r12 ADVICE): pinned width-guard /
+            # operator checkpoint blocks otherwise accumulate across all
+            # ~38 queries within a pass, re-introducing exactly the
+            # cross-query GC-debt bias this helper removes in the
+            # first_run and p+ loops.
+            _release_stray_blocks(spark)
     for name, spec in headline.items():
         if max(samples[name]) > 1.0:
             print(f"# bench steady p+ {name} ...", file=sys.stderr, flush=True)
@@ -270,6 +291,18 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(detail))
+    # The driver keeps only the last ~2.2 KB of stdout and its PERF
+    # comparator could never reconstruct per-query times because the
+    # combined times+spread detail line above gets beheaded by that tail
+    # window (r12: `n_common: 0`, judges reconstructed from
+    # BENCH_DETAIL.json).  Emit the per-query maps as two SEPARATE short
+    # lines between the detail line and the summary: the times line
+    # (~1.2 KB) plus the summary (~0.3 KB) fit the tail window together,
+    # so per-query deltas become driver-diffable; the spread line rides
+    # just above and survives whenever there is room.  Additions only —
+    # the final summary line's shape is unchanged and still printed last.
+    print(json.dumps({"spread": spread}))
+    print(json.dumps({"queries": times}))
     print(json.dumps(common))
 
 

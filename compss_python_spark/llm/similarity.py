@@ -566,8 +566,16 @@ def ivfpq_topk(
     every verdict exactly SQL-checkable; production trains both
     (:func:`train_pq_codebooks_sample`).
     """
-    first = corpus.select(vec_col).first()
-    dim = len(first[vec_col])
+    if centroids is not None:
+        # dim is implied by the provided quantizer — do NOT run the eager
+        # `corpus.first()` probe job (one extra scan-limit-1 Spark job per
+        # invocation whose only output was the dimension; at a cluster it
+        # also serialized plan setup behind a round trip).  Mismatched
+        # vectors fail exactly as before, at execution, in zip_with.
+        dim = len(centroids[0])
+    else:
+        first = corpus.select(vec_col).first()
+        dim = len(first[vec_col])
     if dim % m_sub:
         raise ValueError(f"pq: dim {dim} not divisible by m_sub {m_sub}")
     dsub = dim // m_sub
@@ -730,12 +738,16 @@ def ivfpq_topk(
     scored = (
         c.join(q, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # One F.expr, not Python-lambda HOFs (the ivf_topk one-parse
+        # template, r12 item 9): the lambda builders cost ~140 py4j round
+        # trips here; the SQL string is one parse call and yields the
+        # identical expression tree (same zip_with/get/aggregate fold
+        # order → bit-identical ADC sums).
         .withColumn(
             "_adc",
-            F.aggregate(
-                F.zip_with(F.col("_tab"), F.col("_code"), lambda t, cd: F.get(t, cd)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            F.expr(
+                "aggregate(zip_with(_tab, _code, (t, cd) -> get(t, cd)), "
+                "0D, (acc, v) -> acc + v)"
             ),
         )
         # no dropDuplicates: each corpus vector lives in exactly ONE cell and
@@ -759,7 +771,17 @@ def ivfpq_topk(
         "query_id",
         "neighbor_id",
         F.round("_adc", 6).alias("adc_d2"),
-        F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        # One-parse cosine over the two plain array<double> columns: the
+        # Column-building twin (cosine_expr) costs ~325 py4j round trips
+        # for the dot + two norms; this is one parse with the identical
+        # fold order (left-to-right aggregate, transform squares), so the
+        # rounded doubles are bit-identical.
+        F.expr(
+            "round(aggregate(zip_with(_qv, _cv, (x, y) -> x * y), 0D, "
+            "(acc, v) -> acc + v) / "
+            "(sqrt(aggregate(transform(_qv, x -> x * x), 0D, (acc, v) -> acc + v)) * "
+            "sqrt(aggregate(transform(_cv, x -> x * x), 0D, (acc, v) -> acc + v))), 6)"
+        ).alias("cosine"),
         "rn",
     )
 

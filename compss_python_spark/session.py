@@ -52,6 +52,16 @@ def get_spark(
         # dedup_semantic_scaled 2.58→1.50 s, llm_dsir_select 2.85→1.50 s
         # (the B-row full-outer bucket join and the pair joins drop their
         # per-partition sorts); no affected query slower outside host noise.
+        # AT-SCALE ROLLBACK TRIGGER (r12 ADVICE): SHJ's build side does not
+        # spill, so the failure signature is an executor
+        # OutOfMemoryError/`Unable to acquire` in a ShuffledHashJoin build
+        # whose per-partition build side was misestimated.  If that appears
+        # at production scale, scope this conf to the measured-win queries
+        # via get_spark(extra_conf=...) / a scoped conf instead of the
+        # session default — the planner's own size gate
+        # (canBuildLocalHashMap ≈ autoBroadcastJoinThreshold ×
+        # shuffle.partitions per partition) plus AQE skew-split is the
+        # reason this is expected to stay safe, not a guarantee.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -58,4 +58,19 @@ def ensure_min_partitions(
     if width >= target:
         return df
     out = df.repartition(target)
-    return out.localCheckpoint(eager=False) if pin else out
+    if not pin:
+        return out
+    pinned = out.localCheckpoint(eager=False)
+    # Register the pin's RDD id (caching._WIDTH_PINS) so (a)
+    # caching.release_checkpoint never frees a shared widened scan as a
+    # stray leaf of one consumer's plan, and (b) callers outside the bench
+    # harness have a release path (caching.release_width_pins) — r12
+    # ADVICE flagged both.
+    try:
+        from compss_python_spark.caching import register_width_pin
+
+        plan = pinned._jdf.queryExecution().analyzed()
+        register_width_pin(plan.rdd().id())
+    except Exception:
+        pass
+    return pinned
