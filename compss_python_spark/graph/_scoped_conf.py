@@ -32,6 +32,50 @@ from pyspark.sql import SparkSession
 _LOCK = threading.RLock()
 
 
+def parse_byte_size(s: str) -> int:
+    """Parse a Spark byte-size conf value ("256MB", "64m", "10485760b",
+    plain digits) to bytes.  Delegates to Spark's own JavaUtils when a JVM
+    is reachable so the accepted grammar matches Spark's exactly; falls
+    back to a local parse (used only if the JVM call fails)."""
+    s = s.strip()
+    try:
+        from pyspark import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm  # type: ignore[union-attr]
+        return int(jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s))
+    except Exception:
+        units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+        low = s.lower().rstrip("b")
+        mult = 1
+        if low and low[-1] in units:
+            mult = units[low[-1]]
+            low = low[:-1]
+        return int(float(low or "0") * mult)
+
+
+@contextmanager
+def scoped_aqe_disabled(spark: SparkSession, disable: bool) -> Iterator[None]:
+    """Turn AQE off for the scope when ``disable`` is True (no-op scope
+    otherwise).  Callers must prove the disable is safe first — the
+    iterative loops gate it on (a) the per-iteration shuffle being
+    provably below the AQE skew-split threshold, so skew handling cannot
+    fire anyway, and (b) the small join side being explicitly broadcast,
+    so AQE's runtime broadcast conversion is not needed.  Same lock and
+    restore discipline as :func:`scoped_shuffle_partitions`; results must
+    be materialized inside the scope."""
+    if not disable:
+        yield
+        return
+    with _LOCK:
+        key = "spark.sql.adaptive.enabled"
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+
+
 @contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int) -> Iterator[int]:
     """Set ``spark.sql.shuffle.partitions`` to ``n`` for the scope, and pin

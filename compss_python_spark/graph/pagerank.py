@@ -44,7 +44,61 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from compss_python_spark.caching import release_checkpoint
-from compss_python_spark.graph._scoped_conf import scoped_shuffle_partitions
+from compss_python_spark.graph._scoped_conf import (
+    parse_byte_size,
+    scoped_aqe_disabled,
+    scoped_shuffle_partitions,
+)
+
+# Conservative serialized-bytes bounds for the loop-conf gates below:
+# a contribution-shuffle row is (node key, double) ≈ 16 B payload; 32 B
+# covers codec/framing overhead.  A broadcast rank row (node, rank) in a
+# built hash relation costs ≈ 64 B with object overhead.
+_SHUFFLE_BYTES_PER_EDGE = 32
+_BCAST_BYTES_PER_NODE = 64
+
+
+def _loop_conf_gates(spark, n_edges: int, n_nodes: int) -> tuple[bool, bool]:
+    """Decide (aqe_off, broadcast_ranks) for the iteration loop from the
+    MEASURED graph size against the session's own thresholds — never a
+    constant tuned for local mode (both gates are no-ops at 100 TB).
+
+    - ``broadcast_ranks``: hint the (node, rank) side of the contribution
+      join broadcast when its bounded size fits the session's
+      autoBroadcastJoinThreshold.  The rank table is a per-iteration
+      derived plan whose size estimate is unknown, so the static planner
+      never broadcasts it unhinted and AQE re-discovers the conversion
+      every iteration at replan cost; the hint makes it deterministic.
+    - ``aqe_off``: disable AQE inside the loop scope ONLY when both
+      (a) the whole per-iteration contribution shuffle, bounded by
+      n_edges × 32 B, is smaller than the AQE skew-split threshold —
+      so no post-shuffle partition can ever qualify as skewed and
+      skew handling provably cannot fire (measured at gen10: 5.99 M
+      edges → ≤ ~190 MB < 256 MB, in-degree max/median = 1.16), and
+      (b) the ranks side is being broadcast explicitly — so AQE's
+      runtime join conversion has nothing left to discover.
+      Under (a) ∧ (b) the only thing AQE still does in the loop is
+      re-plan every stage of every iteration (pure driver overhead:
+      r12 measured 8-10 % steady and far more cold at sf0.1-forced;
+      r13 interleaved gen10 min-of-9: 8.3 s vs 11.4 s base).  On a
+      power-law graph at scale the gates keep AQE ON: either bound
+      growing past its threshold re-enables the full machinery.
+    """
+    try:
+        bcast_thr = parse_byte_size(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+        skew_thr = parse_byte_size(
+            spark.conf.get(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "256MB",
+            )
+        )
+    except Exception:
+        return False, False
+    broadcast_ranks = bcast_thr > 0 and n_nodes * _BCAST_BYTES_PER_NODE <= bcast_thr
+    aqe_off = broadcast_ranks and n_edges * _SHUFFLE_BYTES_PER_EDGE <= skew_thr
+    return aqe_off, broadcast_ranks
 
 
 def pagerank(
@@ -124,14 +178,25 @@ def pagerank(
     ckpts: list[DataFrame] = []
     try:
         with scoped_shuffle_partitions(spark, num_partitions):
-            ranks, loop_helpers, ckpts = _pagerank_loop(
-                e, damping, max_iters, checkpoint_every
+            nodes = (
+                e.select(F.col("src").alias("node"))
+                .union(e.select(F.col("dst").alias("node")))
+                .distinct()
+                .repartition("node")
+                .persist()
             )
-            helpers += loop_helpers
-            # Materialize under the scoped conf; the returned plan is a
-            # checkpointed leaf, immune to the conf restore and to the
-            # helper unpersists below.
-            ranks = ranks.localCheckpoint(eager=True)
+            helpers.append(nodes)
+            n_nodes = nodes.count()  # cached-side narrow job; materializes nodes
+            aqe_off, bcast = _loop_conf_gates(spark, n_edges, n_nodes)
+            with scoped_aqe_disabled(spark, aqe_off):
+                ranks, loop_helpers, ckpts = _pagerank_loop(
+                    e, nodes, n_nodes, damping, max_iters, checkpoint_every, bcast
+                )
+                helpers += loop_helpers
+                # Materialize under the scoped confs; the returned plan is
+                # a checkpointed leaf, immune to the conf restores and to
+                # the helper unpersists below.
+                ranks = ranks.localCheckpoint(eager=True)
     finally:
         for h in helpers:
             h.unpersist()
@@ -222,17 +287,24 @@ def _rank_schema(node_type) -> "T.StructType":
 
 def _pagerank_loop(
     e: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
     damping: float,
     max_iters: int,
     checkpoint_every: int,
+    broadcast_ranks: bool = False,
 ) -> tuple[DataFrame, list[DataFrame], list[DataFrame]]:
     """Runs the iteration; returns (ranks, persisted helpers the caller
     must unpersist after materializing ranks, intermediate lazy
     checkpoints the caller must release after materializing ranks — see
-    caching.release_checkpoint).  The node count (init +
-    dangling constant) is a narrow count of the persisted node list the
-    loop materializes anyway — see the preamble accounting in
-    :func:`pagerank`.
+    caching.release_checkpoint).  ``nodes`` is the caller's persisted,
+    node-hash-partitioned distinct node list (counted by the caller —
+    the count feeds the conf gates, see :func:`_loop_conf_gates`).
+
+    ``broadcast_ranks`` hints the per-iteration rank table broadcast in
+    the contribution join (size-gated by the caller): the edge side then
+    never exchanges at all, and the only per-iteration shuffle left is
+    the map-side-combined contribution aggregate.
 
     Note: a source-nodes-only loop state (sinks' ranks never feed back;
     full-node update once at the end) was implemented and MEASURED SLOWER
@@ -241,14 +313,6 @@ def _pagerank_loop(
     the persisted node list, and the extra plan nodes cost more than the
     exchange they remove.  Keeping the simpler full-node state."""
     ckpts: list[DataFrame] = []
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .repartition("node")
-        .persist()
-    )
-    n_nodes = nodes.count()  # cached-side narrow job; materializes nodes
 
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     edges_w = (
@@ -260,8 +324,11 @@ def _pagerank_loop(
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for i in range(max_iters):
+        r_side = ranks.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            r_side = F.broadcast(r_side)
         contribs = (
-            edges_w.join(ranks.withColumnRenamed("node", "src"), "src")
+            edges_w.join(r_side, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
@@ -296,7 +363,7 @@ def _pagerank_loop(
             # checkpoint (eager=False materializes at the next action).
             ranks = ranks.localCheckpoint(eager=False)
             ckpts.append(ranks)
-    return ranks, [nodes, edges_w], ckpts
+    return ranks, [edges_w], ckpts
 
 
 def personalized_pagerank(
@@ -378,8 +445,14 @@ def personalized_pagerank(
             helpers.append(flagged)
             # Restart mass is defined over seeds ∩ graph (an out-of-graph
             # seed would silently leak Σrank below 1); counting the flag on
-            # the persisted node list costs one tiny cached-side job.
-            n_seeds = flagged.filter(F.col("_s")).count()
+            # the persisted node list costs one tiny cached-side job, and
+            # the total node count (for the loop-conf gates) rides in the
+            # same single aggregate.
+            cnt = flagged.agg(
+                F.count("*").alias("_n"),
+                F.sum(F.col("_s").cast("long")).alias("_ns"),
+            ).first()
+            n_nodes, n_seeds = int(cnt["_n"]), int(cnt["_ns"] or 0)
             if n_seeds == 0:
                 raise ValueError(
                     "personalized_pagerank: no seed is a node of the graph"
@@ -398,35 +471,45 @@ def personalized_pagerank(
                 .persist()
             )
             helpers.append(edges_w)
-            ranks = nodes.select("node", F.col("r").alias("rank"))
-            for i in range(max_iters):
-                contribs = (
-                    edges_w.join(ranks.withColumnRenamed("node", "src"), "src")
-                    .groupBy(F.col("dst").alias("node"))
-                    .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-                )
-                total = contribs.agg(
-                    F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("_tc")
-                )
-                ranks = (
-                    nodes.join(contribs, "node", "left")
-                    .crossJoin(F.broadcast(total))
-                    .select(
-                        "node",
-                        (
-                            F.lit(1.0 - damping) * F.col("r")
-                            + F.lit(damping)
-                            * (
-                                F.coalesce(F.col("contrib"), F.lit(0.0))
-                                + (F.lit(1.0) - F.col("_tc")) * F.col("r")
-                            )
-                        ).alias("rank"),
+            # Same size-gated loop confs as the global loop (see
+            # :func:`_loop_conf_gates`): deterministic broadcast of the
+            # bounded rank table, AQE off only when skew-split provably
+            # cannot fire AND the broadcast hint replaces AQE's only other
+            # in-loop contribution.
+            aqe_off, bcast = _loop_conf_gates(spark, n_edges, n_nodes)
+            with scoped_aqe_disabled(spark, aqe_off):
+                ranks = nodes.select("node", F.col("r").alias("rank"))
+                for i in range(max_iters):
+                    r_side = ranks.withColumnRenamed("node", "src")
+                    if bcast:
+                        r_side = F.broadcast(r_side)
+                    contribs = (
+                        edges_w.join(r_side, "src")
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
                     )
-                )
-                if (i + 1) % checkpoint_every == 0 and i + 1 < max_iters:
-                    ranks = ranks.localCheckpoint(eager=False)
-                    ckpts.append(ranks)
-            ranks = ranks.localCheckpoint(eager=True)
+                    total = contribs.agg(
+                        F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("_tc")
+                    )
+                    ranks = (
+                        nodes.join(contribs, "node", "left")
+                        .crossJoin(F.broadcast(total))
+                        .select(
+                            "node",
+                            (
+                                F.lit(1.0 - damping) * F.col("r")
+                                + F.lit(damping)
+                                * (
+                                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                                    + (F.lit(1.0) - F.col("_tc")) * F.col("r")
+                                )
+                            ).alias("rank"),
+                        )
+                    )
+                    if (i + 1) % checkpoint_every == 0 and i + 1 < max_iters:
+                        ranks = ranks.localCheckpoint(eager=False)
+                        ckpts.append(ranks)
+                ranks = ranks.localCheckpoint(eager=True)
     finally:
         for h in helpers:
             h.unpersist()

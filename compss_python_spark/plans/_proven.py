@@ -252,7 +252,8 @@ CHANGED_MODULES: frozenset[str] = frozenset({
     "llm.similarity",         # ivfpq: dim from provided quantizer (no
                               # first() job); ADC/py4j build-cost trims
     "llm.packing",            # pack_sequences: width-guarded tokenize stage
-    "graph.pagerank",         # loop conf re-measured at gen10
+    "graph.pagerank",         # size-gated broadcast-ranks + AQE-off loop gates
+    "graph._scoped_conf",     # scoped_aqe_disabled + parse_byte_size added
 })
 
 # Round-12 CHANGED_MODULES (kept for the record — NOTE: this set was
