@@ -254,6 +254,8 @@ CHANGED_MODULES: frozenset[str] = frozenset({
     "llm.packing",            # pack_sequences: width-guarded tokenize stage
     "graph.pagerank",         # size-gated broadcast-ranks + AQE-off loop gates
     "graph._scoped_conf",     # scoped_aqe_disabled + parse_byte_size added
+    "llm.dedup",              # exact-collapse rep filter moved off the text
+                              # table onto the narrow signature table
 })
 
 # Round-12 CHANGED_MODULES (kept for the record — NOTE: this set was
